@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.CurrentState
+
+/** SURVEY §2.A — the reference's CDC query surface re-expressed on the
+  * `events` table (entity = user_id; op mapping signup→INSERT,
+  * click/view/purchase→UPDATE, error→DELETE tombstone).
+  *
+  * Reference behaviors covered: event-type counts (README.md:440-447),
+  * ReplacingMergeTree/OPTIMIZE FINAL latest-state
+  * (04-optimize-tables.sql:24-48), JSON property extraction
+  * (README.md:362, JSONExtractString), monthly partitioning
+  * (01-init-tables.sql:19 PARTITION BY toYYYYMM), duplicate validation
+  * (04-optimize-tables.sql:65-87), operation mapping
+  * (01-init-tables.sql:74-81 multiIf CREATE/UPDATE/DELETE).
+  */
+object CdcQueries extends QueryPack {
+
+  private val opExpr =
+    when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
+      .otherwise("DELETE")
+
+  val queries: Map[String, Q] = Map(
+    // A1: events per type — the README's verify-clickhouse query.
+    "cdc_event_type_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    // A2: ReplacingMergeTree FINAL — one row per entity, newest wins.
+    // Hash-agg max_by (single shuffle, map-side partial agg) instead of
+    // a window sort: shuffle payload is ~|entities|, not ~|events|.
+    "cdc_latest_state" -> ((s, dir) => {
+      val latest = CurrentState.latest(
+        Tables.load(s, dir, "events"), "user_id", Seq("ts", "event_id"))
+      latest.select(
+        col("user_id"),
+        col("event_type").as("last_type"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // A3: latest-state minus DELETE tombstones (entity whose newest
+    // event is 'error' is considered deleted).
+    "cdc_current_state" -> ((s, dir) => {
+      val cur = CurrentState.current(
+        Tables.load(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        isTombstone = col("event_type") === "error")
+      cur.select(
+        col("user_id"),
+        col("event_type").as("last_type"),
+        unix_micros(col("ts")).as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // A4: JSON property extraction + aggregation (JSONExtractString).
+    "cdc_props_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k")), 4).as("avg_k"),
+             count(col("k")).as("n_k"),
+             max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // A5: monthly rollup — the toYYYYMM partition key as a query.
+    "cdc_monthly_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("month")),
+
+    // A6: duplicate validation — GROUP BY entity HAVING count>1.
+    "cdc_dedup_validate" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .orderBy("user_id", "event_type")),
+
+    // A7: raw op string → INSERT/UPDATE/DELETE enum (the materialized
+    // view's multiIf), with per-op entity stats.
+    "cdc_op_mapping" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("op", opExpr)
+        .groupBy("op")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("n_entities"))
+        .orderBy("op")),
+
+    // A8: snapshot load — a source table turned into SNAPSHOT event
+    // records (the initial-load bulk import shape).
+    "snapshot_load" -> ((s, dir) =>
+      graft.sources.Snapshot.fromTable(
+          Tables.load(s, dir, "customer"),
+          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"))
+        .select(col("entity_id"), col("event_type"),
+                col("labels")(0).as("label0"))
+        .orderBy("entity_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_event_type_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "cdc_latest_state" ->
+      """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us, round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_current_state" ->
+      """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "cdc_props_extract" ->
+      """SELECT event_type,
+                round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+                count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_monthly_counts" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "cdc_dedup_validate" ->
+      """SELECT user_id, event_type, count(*) AS dup_count FROM events
+         GROUP BY user_id, event_type HAVING count(*) > 1 ORDER BY user_id, event_type""",
+    "cdc_op_mapping" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                     WHEN event_type IN ('click','view','purchase') THEN 'UPDATE'
+                     ELSE 'DELETE' END AS op,
+                count(*) AS cnt, count(DISTINCT user_id) AS n_entities
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "snapshot_load" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'SNAPSHOT' AS event_type, c_mktsegment AS label0
+         FROM customer ORDER BY entity_id"""
+  )
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2.B — graph-shaped analytics: the reference's node ⋈
+  * relationship queries (04-optimize-tables.sql:205-218 "complex
+  * join", README.md device→interface example), on customer/orders/
+  * lineitem as node/edge tables (edges carry FK source ids, exactly
+  * like relationships_cdc.source_id/target_id).
+  */
+object GraphQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // B1: out-degree per node — edge list grouped by source id. One
+    // hash-agg shuffle on the edge key; no node-table scan needed.
+    "graph_degree" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("node_id"))
+        .agg(count(lit(1)).as("out_degree"),
+             round(sum(col("o_totalprice")), 4).as("weight"))
+        .orderBy("node_id")),
+
+    // B2: node ⋈ edges with property projection — the reference's
+    // "device name + interface count" join. Node side is a dimension →
+    // broadcast, so the only shuffle is the edge-side aggregation.
+    "graph_node_join" -> ((s, dir) => {
+      val nodes = Tables.load(s, dir, "customer")
+      val edges = Tables.load(s, dir, "orders")
+      edges.join(broadcast(nodes), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey").as("node_id"))
+        .agg(max(col("c_name")).as("node_name"),
+             count(col("o_orderkey")).as("edge_count"))
+        .orderBy("node_id")
+    }),
+
+    // B3: two-hop traversal — node → edge → edge (device → interface →
+    // port analog). Aggregate the inner hop FIRST (lineitem count per
+    // order), then join: the big table is reduced before it meets the
+    // second join, so the heavy shuffle is one agg, not a 3-way row
+    // explosion.
+    "graph_two_hop" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val hop2 = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n2"))
+      orders.join(hop2, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("node_id"))
+        .agg(sum(col("n2")).as("two_hop_edges"))
+        .orderBy("node_id")
+    }),
+
+    // B4: arrayJoin(labels) analog — explode a label array and count
+    // (04-optimize-tables.sql:152-160 "nodes by label").
+    "graph_label_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(explode(array(
+          col("event_type"),
+          concat(lit("u"), (col("user_id") % 10).cast("string")))).as("label"))
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree" ->
+      """SELECT o_custkey AS node_id, count(*) AS out_degree, round(sum(o_totalprice), 4) AS weight
+         FROM orders GROUP BY o_custkey ORDER BY node_id""",
+    "graph_node_join" ->
+      """SELECT c_custkey AS node_id, max(c_name) AS node_name, count(o_orderkey) AS edge_count
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY node_id""",
+    "graph_two_hop" ->
+      """SELECT o_custkey AS node_id, count(*) AS two_hop_edges
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_custkey ORDER BY node_id""",
+    "graph_label_counts" ->
+      """SELECT label, count(*) AS cnt FROM (
+           SELECT unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS label FROM events)
+         GROUP BY label ORDER BY label"""
+  )
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2.C — the OLAP workload class the reference's ClickHouse
+  * side serves (MergeTree scan-agg, star joins, time-range pruning —
+  * 01-init-tables.sql PARTITION BY / ORDER BY design). Expressed as
+  * declarative DataFrame plans so Catalyst pushes filters/prunes into
+  * the parquet scan and AQE picks join strategies at runtime.
+  */
+object OlapQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // C1: TPC-H Q1 shape — wide scan-aggregate, fully partial-agg
+    // friendly (map-side combine collapses to 4 groups before shuffle).
+    "q1_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // C2: TPC-H Q3 shape — selective dim filter broadcast into two
+    // fact joins, then top-k. Customer is broadcast; orders⋈lineitem
+    // shuffles once on orderkey.
+    "q3_topk" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // C3: TPC-H Q5 shape — star join; region/nation/customer broadcast,
+    // the one real shuffle is orders⋈lineitem.
+    "q5_multijoin" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val dims = cust
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("nation")
+    }),
+
+    // C4: time-range pruned aggregate — the PARTITION BY toYYYYMM
+    // query pattern (min/max parquet stats prune row groups).
+    "time_range_prune" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy("o_orderstatus"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_topk" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q5_multijoin" ->
+      """SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY nation""",
+    "time_range_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}

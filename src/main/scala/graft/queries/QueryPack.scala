@@ -1,0 +1,14 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One family of operators from SURVEY.md §2: named queries plus their
+  * DuckDB oracle SQL (same column names/ordering — the driver hash-
+  * compares after sorting columns by name). Queries without an oracle
+  * entry get the driver's weaker rows-only check.
+  */
+trait QueryPack {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracles: Map[String, String]
+}

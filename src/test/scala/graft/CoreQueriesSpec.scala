@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operator invariants on sf0.001 (fast); exact value checks where the
+  * expected result is derivable independently of the implementation.
+  */
+class CoreQueriesSpec extends SparkSpec {
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has matching column names with its oracle declared") {
+    // oracle keys must be a subset of query keys
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("cdc_latest_state: one row per entity, newest event wins") {
+    val events = Tables.load(spark, sfDir, "events")
+    val latest = operators.CurrentState.latest(events, "user_id", Seq("ts", "event_id"))
+    assert(latest.count() == events.select("user_id").distinct().count())
+    // cross-check one entity against a sort-based reference
+    val uid = events.select("user_id").first().getLong(0)
+    val want = events.filter(col("user_id") === uid)
+      .orderBy(col("ts").desc, col("event_id").desc).first()
+    val got = latest.filter(col("user_id") === uid).first()
+    assert(got.getAs[Long]("event_id") == want.getAs[Long]("event_id"))
+  }
+
+  test("cdc_current_state drops tombstoned entities") {
+    val events = Tables.load(spark, sfDir, "events")
+    val cur = operators.CurrentState.current(
+      events, "user_id", Seq("ts", "event_id"),
+      isTombstone = col("event_type") === "error")
+    assert(cur.filter(col("event_type") === "error").count() == 0)
+  }
+
+  test("snapshot source emits valid SNAPSHOT events with JSON props") {
+    val snap = sources.Snapshot.fromTable(
+      Tables.load(spark, sfDir, "customer"), "c_custkey", Seq("c_mktsegment"))
+    val row = snap.select(
+      col("event_type"),
+      get_json_object(col("properties_after"), "$.c_name").as("name"),
+      col("properties_before")).first()
+    assert(row.getString(0) == CdcOp.Snapshot)
+    assert(row.getString(1) != null)
+    assert(row.getString(2) == "{}")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
