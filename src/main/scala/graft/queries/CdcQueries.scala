@@ -96,7 +96,8 @@ object CdcQueries extends QueryPack {
     "snapshot_load" -> ((s, dir) =>
       graft.sources.Snapshot.fromTable(
           Tables.load(s, dir, "customer"),
-          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"))
+          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
         .select(col("entity_id"), col("event_type"),
                 col("labels")(0).as("label0"))
         .orderBy("entity_id"))
@@ -105,19 +106,25 @@ object CdcQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "cdc_event_type_counts" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // newest-wins ordering pinned to MICROsecond precision (epoch_us)
+    // on the oracle side too: Spark floors the nanos timestamp to
+    // micros at load, so ordering by raw nanos here could tie-break
+    // differently if data ever carries sub-microsecond precision.
     "cdc_latest_state" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us, round(value, 4) AS last_value
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "cdc_current_state" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us
-         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    // TRY_CAST mirrors Spark's cast-to-null on non-numeric JSON values
+    // (a plain CAST would make DuckDB error out instead).
     "cdc_props_extract" ->
       """SELECT event_type,
-                round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-                count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
-                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+                round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+                count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+                max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_monthly_counts" ->
       """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS cnt, round(sum(value), 4) AS sum_value

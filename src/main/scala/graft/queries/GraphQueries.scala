@@ -22,12 +22,13 @@ object GraphQueries extends QueryPack {
         .orderBy("node_id")),
 
     // B2: node ⋈ edges with property projection — the reference's
-    // "device name + interface count" join. Node side is a dimension →
-    // broadcast, so the only shuffle is the edge-side aggregation.
+    // "device name + interface count" join. The node table scales with
+    // the graph, so no broadcast hint: AQE broadcasts while it fits
+    // and shuffle-joins on the key beyond that.
     "graph_node_join" -> ((s, dir) => {
       val nodes = Tables.load(s, dir, "customer")
       val edges = Tables.load(s, dir, "orders")
-      edges.join(broadcast(nodes), col("o_custkey") === col("c_custkey"))
+      edges.join(nodes, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey").as("node_id"))
         .agg(max(col("c_name")).as("node_name"),
              count(col("o_orderkey")).as("edge_count"))

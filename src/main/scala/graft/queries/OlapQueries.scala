@@ -27,9 +27,11 @@ object OlapQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // C2: TPC-H Q3 shape — selective dim filter broadcast into two
-    // fact joins, then top-k. Customer is broadcast; orders⋈lineitem
-    // shuffles once on orderkey.
+    // C2: TPC-H Q3 shape — selective dim filter into two fact joins,
+    // then top-k. No broadcast hint on customer: it scales linearly
+    // with SF (the filter keeps ~1/5 of it), so the join strategy is a
+    // runtime size decision — AQE broadcasts when the filtered side
+    // fits and falls back to shuffle join when it doesn't.
     "q3_topk" -> ((s, dir) => {
       val cust = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -38,15 +40,17 @@ object OlapQueries extends QueryPack {
       val li = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
     }),
 
-    // C3: TPC-H Q5 shape — star join; region/nation/customer broadcast,
-    // the one real shuffle is orders⋈lineitem.
+    // C3: TPC-H Q5 shape — star join. Only the genuinely scale-free
+    // dims (nation 25 rows, region 5 rows) carry broadcast hints;
+    // customer is fact-scaled (~SF·150k rows), so its joins are left
+    // to AQE — broadcast at small SF, shuffle join at 100 TB.
     "q5_multijoin" -> ((s, dir) => {
       val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = Tables.load(s, dir, "nation")
@@ -57,7 +61,7 @@ object OlapQueries extends QueryPack {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name").as("nation"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("nation")

@@ -17,17 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** Turn a source table into SNAPSHOT node-event records. */
-  def fromTable(src: DataFrame, entityCol: String,
-                labelCols: Seq[String]): DataFrame = {
+  /** Turn a source table into SNAPSHOT node-event records.
+    *
+    * @param asOf the snapshot time stamped on every record. Defaults to
+    *             `current_timestamp()` for production loads; pass a
+    *             fixed literal for reproducible/testable output (a
+    *             non-deterministic column would break hash-compares the
+    *             moment a query projects `event_timestamp`).
+    */
+  def fromTable(src: DataFrame, entityCol: String, labelCols: Seq[String],
+                asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
     val propCols = src.columns.filterNot(c => c == entityCol || labelCols.contains(c))
+    // NULL-safe content hash: concat_ws silently drops NULL args, which
+    // would collide (a,NULL,b) with (a,b,NULL); coalesce every column
+    // to a sentinel that can't appear in cast-to-string data, and
+    // include the label columns so label changes produce new event ids.
+    val hashed = (entityCol +: (labelCols ++ propCols)).map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL")))
     src.select(
       // deterministic surrogate event id (reference uses uuid4; a
       // content hash keeps reruns idempotent, which uuid4 is not)
-      sha2(concat_ws("|", (entityCol +: propCols).map(c => col(c).cast("string")): _*), 256)
-        .as("event_id"),
+      sha2(concat_ws("|", hashed: _*), 256).as("event_id"),
       lit(graft.CdcOp.Snapshot).as("event_type"),
-      current_timestamp().as("event_timestamp"),
+      asOf.as("event_timestamp"),
       col(entityCol).cast("string").as("entity_id"),
       array(labelCols.map(col): _*).as("labels"),
       lit("{}").as("properties_before"),
@@ -36,11 +48,16 @@ object Snapshot {
   }
 
   /** CSV snapshot reader (the reference's staging/nodes CSV path):
-    * schema'd read, then the same SNAPSHOT transform.
+    * explicit-schema read — no `inferSchema` (which costs a second full
+    * pass over the data and can type-drift between chunks; the
+    * reference's bulk import likewise validates against a known schema,
+    * 03-bulk-import.py) — then the same SNAPSHOT transform.
     */
   def fromCsv(spark: org.apache.spark.sql.SparkSession, path: String,
-              entityCol: String, labelCols: Seq[String]): DataFrame =
+              schema: org.apache.spark.sql.types.StructType,
+              entityCol: String, labelCols: Seq[String],
+              asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame =
     fromTable(
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path),
-      entityCol, labelCols)
+      spark.read.option("header", "true").schema(schema).csv(path),
+      entityCol, labelCols, asOf)
 }
