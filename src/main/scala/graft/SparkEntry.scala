@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    CdcQueries, GraphQueries, OlapQueries)
+    CdcQueries, GraphQueries, OlapQueries,
+    TextQueries, DedupQueries, SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge => B}
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float|double>` columns. The dot
+  * product is a native codegen'd Catalyst expression
+  * ([[DotProduct]]) — a tight primitive loop, no UDF/serialization
+  * cost and no intermediate array — and its left-to-right accumulation
+  * order is deterministic, which keeps doubles bitwise-comparable with
+  * the DuckDB oracle's sequential `list_dot_product`.
+  */
+object VectorFunctions {
+
+  /** Cast to array<double> so all arithmetic runs in double precision
+    * (float intermediates would drift from the oracle). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential dot product (native codegen expression). */
+  def dot(a: Column, b: Column): Column =
+    B.column(DotProduct(B.expression(a), B.expression(b)))
+
+  /** L2 norm. */
+  def l2(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** Cosine given precomputed norms (avoids recomputing the norm of
+    * the same vector against every candidate — at n·k comparisons the
+    * norm is computed once per row, not once per pair). */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** SURVEY §2.D — deduplication family for the LLM-data pipeline.
+  *
+  * Scale stance (100 TB): nothing here is O(n²) except the *exact*
+  * embedding variant, which is definitionally all-pairs and exists as
+  * the correctness baseline for the LSH/IVF approximate paths
+  * (Similarity.scala). Jaccard/MinHash/SimHash all reduce candidate
+  * generation to equi-join shuffles on content-derived keys
+  * (inverted-index token / LSH band / hamming band), with a document-
+  * frequency cap bounding the worst bucket (stop-shingle skew) — the
+  * same trick as stop-word removal in classic near-dup pipelines.
+  */
+object Dedup {
+
+  /** D1: exact dedup on a content hash; keep-first = lowest id wins.
+    * One hash-agg shuffle on the 128-bit content key; map-side partial
+    * aggregation collapses local duplicates before the exchange.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** D2: all document pairs with n-gram-shingle Jaccard ≥ tau, via an
+    * inverted index — candidates only for pairs sharing ≥1 shingle, so
+    * the heavy operation is an equi-join shuffle on the shingle key,
+    * never a cross join.
+    *
+    * @param dfCap shingles appearing in more than this many documents
+    *              are dropped from the index AND from the set sizes
+    *              (both sides of the Jaccard stay consistent). This
+    *              bounds the join fan-out of degenerate "stop
+    *              shingles" — the classic quadratic-bucket skew killer
+    *              at corpus scale. The oracle applies the same cap.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double, dfCap: Long): DataFrame = {
+    val sh = Par.widen(docs).select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+    // ONE shuffle on the shingle key produces the per-token posting
+    // list; the df cap is a size filter on it. Shingling runs once —
+    // downstream branches (pair generation + set sizes) both hang off
+    // this aggregation, so its exchange is computed once and reused,
+    // instead of re-scanning/re-shingling per branch.
+    val postings = sh.groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= dfCap)
+      .select("ds")
+    // capped set size per doc (the Jaccard denominator must use the
+    // same capped universe as the intersection counts)
+    val sizes = postings.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // pairwise combinations within each (bounded-size) posting list —
+    // candidate pairs share ≥1 shingle by construction, so intersection
+    // size = number of posting lists containing the pair. Two native
+    // explodes + a filter (codegen'd GenerateExec) beat an interpreted
+    // nested-lambda combination builder.
+    val inter = postings
+      .select(explode(col("ds")).as("i"), col("ds"))
+      .select(col("i"), explode(col("ds")).as("j"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sz_i") + col("sz_j") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
+      .filter(jac >= tau)
+      .select(col("i"), col("j"), round(jac, 4).as("jaccard"))
+  }
+
+  /** D5: exact embedding near-duplicate pairs (cosine ≥ tau).
+    *
+    * Definitionally all-pairs: this is the small-scale correctness
+    * baseline; at 100 TB use the LSH (Similarity.lshTopK) or IVF
+    * (Similarity.ivfTopK) candidate generators, which replace the
+    * cross join with bucketed equi-joins. Norms are computed once per
+    * row before the join, so the pair-level work is one fused
+    * zip_with/aggregate dot product.
+    */
+  def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                     tau: Double): DataFrame = {
+    val v = Par.widen(vecs).select(col(idCol).as("id"),
+                        VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val a = v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= tau)
+      .select(col("i"), col("j"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text normalization / tokenization / shingling shared by the text
+  * (F1–F4) and dedup (D1–D4) families. All pure column expressions —
+  * codegen'd by Tungsten, no UDFs — and each has an exact DuckDB
+  * mirror (SURVEY §6: single-space split on space-normalized text) so
+  * the oracle can replicate token-level semantics bit-for-bit.
+  */
+object TextOps {
+
+  /** Canonical normal form: lowercase, trimmed, whitespace collapsed
+    * to single spaces. DuckDB mirror:
+    * `regexp_replace(trim(lower(text)), '\s+', ' ', 'g')`.
+    */
+  def norm(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Single-space tokenization of [[norm]] output.
+    * DuckDB mirror: `string_split(norm, ' ')`. */
+  def tokens(text: Column): Column = split(norm(text), " ")
+
+  /** Stopword set used by quality scoring / langid (drawn from the
+    * corpus vocabulary; the reference pipeline has no text ops — this
+    * family is the LLM-pipeline extension the brief asks for). */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Occurrence count of any of `words` in the token array. */
+  def occurrences(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Distinct word n-gram shingles of the token array. Shingling (vs
+    * unigram word sets) is what makes Jaccard discriminative on a
+    * small vocabulary: contiguous n-grams capture ordering, so only
+    * genuinely near-duplicate documents overlap.
+    * DuckDB mirror: `arr[i] || ' ' || arr[i+1] || ... ` over
+    * `unnest(range(1, len(arr) - n + 2))`.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    // statically unrolled element_at chain (n is a plan-time constant):
+    // no per-shingle array slicing, just n O(1) element reads + concat.
+    val sh = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    // sequence(1, k) counts DOWN when k < 1 — guard short docs.
+    array_distinct(when(size(toks) >= n, sh).otherwise(array()))
+  }
+}

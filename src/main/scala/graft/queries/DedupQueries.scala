@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** SURVEY §2.D — dedup family entries with DuckDB oracles (D1/D2/D5;
+  * the hash-based D3 MinHash and D4 SimHash variants are not
+  * SQL-expressible in DuckDB and ship as rows-only entries in
+  * [[SketchQueries]] plus recall invariants in ScalaTest).
+  */
+object DedupQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // D1: exact content-hash dedup, keep-first.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // D2: 3-gram shingle Jaccard ≥ 0.5 via inverted-index equi-join
+    // with document-frequency cap 1000 (stop-shingle skew bound).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L)
+        .orderBy("i", "j")),
+
+    // D5: exact embedding-cosine near-dup pairs ≥ 0.4 (all-pairs
+    // correctness baseline; LSH/IVF are the scale path — see E2/E3).
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", tau = 0.4)
+        .orderBy("i", "j"))
+  )
+
+  private val normSql =
+    """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+                 FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+                 WHERE len(arr) >= 3),
+          idx AS (SELECT doc_id, tok FROM sh
+                  QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                    FROM idx a JOIN idx b USING (tok)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT i, j,
+                 round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON pairs.i = sa.doc_id
+          JOIN sizes sb ON pairs.j = sb.doc_id
+          WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+          ORDER BY i, j""",
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
+         SELECT a.vec_id AS i, b.vec_id AS j,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         ORDER BY i, j"""
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps
+
+/** SURVEY §2.F — text analysis over `documents`: quality scoring,
+  * token accounting, marker-based language ID, and content
+  * fingerprinting. All pure built-in column expressions (whole-stage
+  * codegen, no UDFs); every query is a narrow scan → per-row transform
+  * (or one hash-agg), so the plans are embarrassingly parallel at any
+  * scale — no shuffles except the final rollups.
+  */
+object TextQueries extends QueryPack {
+
+  // Marker tokens per language for the n-gram langid heuristic.
+  // Disjoint sets drawn from the corpus vocabulary; prediction =
+  // argmax of marker occurrences with a fixed deterministic
+  // tie-break (higher lang code wins), mirrored in the oracle CASE.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "value"),
+    "fr" -> Seq("column", "line"),
+    "zh" -> Seq("hash", "scan"))
+
+  val queries: Map[String, Q] = Map(
+    // F1: per-document quality metrics — length, token count, stopword
+    // ratio, composite score. One narrow projection, zero shuffles
+    // (the ORDER BY is the oracle-determinism tail only).
+    "text_quality" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val stopCnt = TextOps.occurrences(toks, TextOps.Stopwords)
+      val nToks = size(toks)
+      val stopRatio = stopCnt.cast("double") / nToks
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          nToks.cast("long").as("n_tokens"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(length(regexp_replace(TextOps.norm(col("text")), " ", ""))
+            .cast("double") / nToks, 4).as("avg_tok_len"),
+          round(least(nToks.cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - stopRatio), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // F2: corpus token rollup per language — docs, tokens, vocabulary
+    // size. Explode → single hash-agg; partial aggregation collapses
+    // the count map-side.
+    "text_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+                explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("vocab"),
+          round(count(lit(1)).cast("double") / countDistinct(col("doc_id")), 4)
+            .as("avg_tokens"))
+        .orderBy("lang")),
+
+    // F3: marker-token language ID → confusion rollup vs the labeled
+    // lang column. Scores are per-row expressions; the only shuffle is
+    // the tiny (lang × pred) aggregation.
+    "text_langid" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val scored = markers.foldLeft(Tables.load(s, dir, "documents")) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"s_$lang", TextOps.occurrences(toks, words))
+      }
+      val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+      // ties break toward the alphabetically greatest language —
+      // mirrored by the oracle's CASE order (zh checked first).
+      val pred = markers.reverse.tail.foldLeft(
+        when(col(s"s_${markers.reverse.head._1}") === best,
+             markers.reverse.head._1)) {
+        case (acc, (l, _)) => acc.when(col(s"s_$l") === best, l)
+      }
+      scored
+        .withColumn("pred_lang", coalesce(pred, lit(markers.head._1)))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // F4: content fingerprints — md5 of the normal form plus a prefix
+    // fingerprint (rolling-hash analog: near-dups created by
+    // truncation share the prefix fingerprint). Pure projection.
+    "text_fingerprint" -> ((s, dir) => {
+      val n = TextOps.norm(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(n).as("fp"),
+          md5(substring(n, 1, 100)).as("fp_prefix"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val normSql =
+    """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks, $normSql AS norm FROM documents)
+          SELECT doc_id,
+                 length(text) AS n_chars_calc,
+                 len(toks) AS n_tokens,
+                 round(len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks), 4) AS stop_ratio,
+                 round(length(replace(norm, ' ', '')) * 1.0 / len(toks), 4) AS avg_tok_len,
+                 round(least(len(toks) / 100.0, 1.0) *
+                       (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)), 4) AS quality
+          FROM t ORDER BY doc_id""",
+    "text_tokens" ->
+      s"""WITH t AS (SELECT lang, doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)
+          SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+                 count(DISTINCT tok) AS vocab,
+                 round(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS avg_tokens
+          FROM t GROUP BY lang ORDER BY lang""",
+    "text_langid" ->
+      s"""WITH t AS (SELECT lang, string_split($normSql, ' ') AS toks FROM documents),
+          sc AS (SELECT lang,
+                 len(list_filter(toks, x -> x IN ('table','row')))  AS s_de,
+                 len(list_filter(toks, x -> x IN ('the','a')))      AS s_en,
+                 len(list_filter(toks, x -> x IN ('data','value'))) AS s_es,
+                 len(list_filter(toks, x -> x IN ('column','line'))) AS s_fr,
+                 len(list_filter(toks, x -> x IN ('hash','scan')))  AS s_zh
+                 FROM t),
+          p AS (SELECT lang, CASE
+                 WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                 WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                 ELSE 'de' END AS pred_lang FROM sc)
+          SELECT lang, pred_lang, count(*) AS cnt FROM p
+          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
+          FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+import graft.functions.VectorFunctions
+
+/** Invariants for the text (F) and dedup (D) families, on synthetic
+  * micro-corpora where ground truth is known by construction, plus
+  * sf0.001 sanity.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: contiguous distinct n-grams, short docs empty") {
+    val df = Seq("a b c d", "a b", "x x x x").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exact dedup keeps lowest id per identical text") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(got.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toSeq
+      == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs finds planted near-dup, skips dissimilar") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " zz yy"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000L).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("i") == 1L && got(0).getAs[Long]("j") == 2L)
+    assert(got(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("jaccard dfCap drops stop-shingles from index and sizes") {
+    // 4 docs share the same one shingle -> df=4 > cap=3 -> no pairs
+    val docs = (1L to 4L).map(i => (i, "common shingle here")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1, 3L).count() == 0)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1, 4L).count() == 6)
+  }
+
+  test("embedding pairs: identical vectors cosine 1, orthogonal excluded") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)), // same direction, scaled
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("i") == 1L && got(0).getAs[Long]("j") == 2L)
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("cosine matches hand-computed value") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(
+      VectorFunctions.asDouble(col("a")), VectorFunctions.asDouble(col("b")))).first().getDouble(0)
+    val want = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("text quality bounds on sf0.001") {
+    val q = SparkEntry.queries("text_quality")(spark, sfDir)
+    val bad = q.filter(
+      col("stop_ratio") < 0 || col("stop_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1 ||
+      col("n_tokens") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("langid predictions cover every document exactly once") {
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    val cm = SparkEntry.queries("text_langid")(spark, sfDir)
+    assert(cm.agg(sum("cnt")).first().getLong(0) == docs)
+  }
+}
