@@ -11,7 +11,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CdcQueries, GraphQueries, OlapQueries,
-    TextQueries, DedupQueries, SimilarityQueries)
+    TextQueries, DedupQueries, SimilarityQueries, SketchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

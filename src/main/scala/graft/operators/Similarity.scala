@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** SURVEY §2.E — approximate nearest-neighbor search over an embedding
+  * column. Two scale paths around the exact brute-force baseline
+  * (SimilarityQueries E1):
+  *
+  *  - E2 random-hyperplane LSH: signatures on both sides, candidates
+  *    from an equi-join on (table, bucket) keys;
+  *  - E3 IVF: k-means-lite centroids fitted in a short driver loop
+  *    (model metadata — k×dim doubles, like any MLlib model), data
+  *    partitioned by nearest centroid, queries probing the top-nprobe
+  *    centroids.
+  *
+  * Both turn O(|queries|·|corpus|) scoring into bucketed equi-joins;
+  * exact cosine runs only on the candidate set, and top-k is a
+  * per-query window over candidates (bounded by bucket sizes).
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes: `tables × bits` planes of
+    * dimension `dim`, from a fixed-seed Gaussian. */
+  private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int,
+                                 seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** (table, bucket) key pairs for one vector column: bit i of the
+    * bucket in table t = sign of v · plane(t)(i). */
+  private def bucketKeys(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    array(planes.indices.map { t =>
+      val key = planes(t).indices.map { i =>
+        when(VectorFunctions.dot(v, typedlit(planes(t)(i).toSeq)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), key.as("key"))
+    }: _*)
+
+  /** E2: LSH-bucketed approximate top-k. Queries = rows where
+    * `idCol % queryMod == 0` (same convention as E1). */
+  def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              k: Int = 10, queryMod: Int = 100,
+              tables: Int = 16, bits: Int = 4, seed: Long = 42L): DataFrame = {
+    val v = Par.widen(vecs).select(
+        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(tables, bits, dim, seed)
+    val keyed = v.select(col("id"), col("v"), col("nrm"),
+      explode(bucketKeys(col("v"), planes)).as("bk"))
+    val data = keyed.select(col("bk"), col("id"), col("v"), col("nrm"))
+    val queries = keyed.filter(col("id") % queryMod === 0)
+      .select(col("bk"), col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = queries.join(data, "bk")
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+              col("v"), col("nrm"))
+      .distinct() // same pair can collide in several tables
+    topK(cand, k)
+  }
+
+  /** Fit k-means-lite centroids: deterministic init (lowest ids),
+    * `iters` Lloyd steps. Returns k × dim centroid matrix (driver-side
+    * model metadata, k·dim doubles). */
+  def fitCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): Array[Array[Double]] = {
+    val v = vecs.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+    var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
+        .collect().map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i.toLong, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an
+    * array column — a per-row expression over the broadcast-literal
+    * centroid matrix, no join. */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]],
+                              nprobe: Int): Column = {
+    val scored = array(centroids.indices.map { c =>
+      struct(
+        VectorFunctions.cosine(v, typedlit(centroids(c).toSeq)).as("s"),
+        lit(c.toLong).as("c"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nprobe), p => p.getField("c"))
+  }
+
+  /** E3: IVF approximate top-k — data assigned to its nearest
+    * centroid, queries probe the `nprobe` nearest centroid partitions;
+    * exact cosine within the probed partitions only. */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              k: Int = 10, queryMod: Int = 100,
+              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val centroids = fitCentroids(vecs, idCol, vecCol, nCentroids, iters)
+    val v = Par.widen(vecs).select(
+        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val data = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
+    val queries = v.filter(col("id") % queryMod === 0)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(nearestCentroid(col("v"), centroids, nprobe)).as("cid"))
+    val cand = queries.join(data, "cid")
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+              col("v"), col("nrm"))
+    topK(cand, k)
+  }
+
+  /** Exact cosine over a candidate set + deterministic per-query
+    * top-k (rank by cosine desc, id asc). */
+  private def topK(cand: DataFrame, k: Int): DataFrame = {
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+    cand.withColumn("cosine", round(cos, 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.D3/D4 — hash-sketch dedup: MinHash + banded LSH and
+  * 64-bit SimHash with hamming-band candidate generation.
+  *
+  * Both reduce near-duplicate detection to equi-join shuffles on
+  * sketch-derived keys (never all-pairs):
+  *  - signatures are computed in ONE hash aggregation per document
+  *    (k min-aggregates / 64 sum-aggregates, map-side partial agg —
+  *    the shuffle payload is |docs| × sketch, not |docs| × tokens);
+  *  - candidates come from posting lists per band key, the same
+  *    bounded-bucket pattern as the inverted-index Jaccard join.
+  *
+  * Not SQL-expressible in DuckDB (xxhash64 signatures) → rows-only
+  * driver checks; recall-vs-ground-truth invariants live in
+  * SketchSpec.
+  */
+object Sketches {
+
+  /** MinHash signature per document: for each of `k` seeded hash
+    * functions, the min of `xxhash64(seed, shingle)` over the doc's
+    * shingle set. Columns: doc_id, h0..h{k-1}.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = Par.widen(docs).select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+    sh.groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("tok"))).as("h0"),
+        (1 until k).map(s => min(xxhash64(lit(s), col("tok"))).as(s"h$s")): _*)
+  }
+
+  /** D3: candidate near-dup pairs via banded MinHash-LSH: signatures
+    * split into `bands` bands of `k/bands` rows; docs sharing any
+    * band key become a candidate pair. Output: (i, j, sig_sim) where
+    * sig_sim = fraction of agreeing signature components (the MinHash
+    * estimate of Jaccard similarity), filtered at `minSigSim`.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                 minSigSim: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // band key = hash of the band's r signature components
+    val banded = sigs.select(
+      col("doc_id"),
+      array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)
+        .as("bks"))
+      .select(col("doc_id"), explode(col("bks")).as("bk"))
+    // posting list per band key -> in-bucket pairs, deduped across bands
+    val cand = banded.groupBy("bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(col("ds")).as("i"), col("ds"))
+      .select(col("i"), explode(col("ds")).as("j"))
+      .where(col("i") < col("j"))
+      .distinct()
+    // verify candidates on full signatures: estimated Jaccard =
+    // fraction of equal components (equi-join on doc id, no fan-out)
+    val si = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "i" else s"${c}_i"): _*)
+    val sj = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "j" else s"${c}_j"): _*)
+    val agree = (0 until k).map(s =>
+      when(col(s"h${s}_i") === col(s"h${s}_j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("sig_sim", agree)
+      .filter(col("sig_sim") >= minSigSim)
+      .select(col("i"), col("j"), round(col("sig_sim"), 4).as("sig_sim"))
+  }
+
+  /** 64-bit SimHash per document: bit b of the sketch is the sign of
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1). One hash-agg with
+    * 64 packed sum aggregates. Columns: doc_id, simhash.
+    */
+  def simhashSketch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.widen(docs).select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = toks.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")): _*)
+    val packed = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** D4: near-dup pairs via SimHash hamming bands: the 64-bit sketch
+    * splits into 4 × 16-bit bands. Any pair within hamming distance 3
+    * must agree exactly on ≥1 band (pigeonhole: 3 differing bits can
+    * touch at most 3 of the 4 bands), so banded candidates are
+    * LOSSLESS for maxHamming ≤ 3; candidates are then verified with an
+    * exact popcount of the XOR. Output: (i, j, hamming) ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sk = simhashSketch(docs, idCol, textCol)
+    val banded = sk.select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bits"))
+    val cand = banded.groupBy("band", "bits")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(col("ds")).as("i"), col("ds"))
+      .select(col("i"), explode(col("ds")).as("j"))
+      .where(col("i") < col("j"))
+      .distinct()
+    val si = sk.select(col("doc_id").as("i"), col("simhash").as("sh_i"))
+    val sj = sk.select(col("doc_id").as("j"), col("simhash").as("sh_j"))
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sketches, Similarity}
+import graft.functions.VectorFunctions
+
+/** Quality invariants for the hash-sketch family (D3/D4/E2/E3) against
+  * exact ground truth on sf0.001. Bounds sit under measured values
+  * (minhash 0.93, simhash 0.75, lsh 0.84, ivf 0.58) with margin —
+  * the pipelines are deterministic except IVF's distributed-avg
+  * centroid update (FP order), which moves recall by ±1 pair at most.
+  */
+class SketchSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val vecs = Tables.load(spark, sfDir, "embeddings")
+  private lazy val truthPairs =
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000L).select("i", "j")
+
+  test("minhash-LSH recall vs exact jaccard pairs >= 0.85") {
+    val got = Sketches.minhashLsh(docs, "doc_id", "text").select("i", "j")
+    val t = truthPairs.count().toDouble
+    assert(t > 0)
+    val recall = truthPairs.intersect(got).count() / t
+    assert(recall >= 0.85, s"minhash recall $recall")
+  }
+
+  test("simhash hamming bands are lossless for maxHamming <= 3") {
+    val sk = Sketches.simhashSketch(docs, "doc_id", "text")
+    val a = sk.select(col("doc_id").as("i"), col("simhash").as("si"))
+    val b = sk.select(col("doc_id").as("j"), col("simhash").as("sj"))
+    val brute = a.join(b, col("i") < col("j"))
+      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
+      .filter(col("hamming") <= 3)
+      .select("i", "j")
+    val banded = Sketches.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("i", "j")
+    assert(brute.exceptAll(banded).count() == 0, "banded candidates missed a pair")
+    assert(banded.exceptAll(brute).count() == 0, "banded produced a non-qualifying pair")
+  }
+
+  test("simhash recall vs exact jaccard pairs >= 0.6") {
+    val got = Sketches.simhashPairs(docs, "doc_id", "text").select("i", "j")
+    val t = truthPairs.count().toDouble
+    val recall = truthPairs.intersect(got).count() / t
+    assert(recall >= 0.6, s"simhash recall $recall")
+  }
+
+  private lazy val bruteTop10 = {
+    val v = vecs.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    q.join(v, col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+  }
+
+  test("LSH ANN recall@10 vs brute force >= 0.75, exactly k rows per query") {
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding")
+    val perQ = got.groupBy("q_id").count().agg(min("count"), max("count")).head()
+    assert(perQ.getLong(0) == 10 && perQ.getLong(1) == 10)
+    val t = bruteTop10.count().toDouble
+    val recall = bruteTop10.intersect(got.select("q_id", "vec_id")).count() / t
+    assert(recall >= 0.75, s"lsh recall $recall")
+  }
+
+  test("IVF ANN recall@10 vs brute force >= 0.4, exactly k rows per query") {
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding")
+    val perQ = got.groupBy("q_id").count().agg(min("count"), max("count")).head()
+    assert(perQ.getLong(0) == 10 && perQ.getLong(1) == 10)
+    val t = bruteTop10.count().toDouble
+    val recall = bruteTop10.intersect(got.select("q_id", "vec_id")).count() / t
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
+  test("ANN candidates report exact cosine values") {
+    // every (q, vec) the LSH path returns must carry the same cosine
+    // as direct computation — the approximation is only in WHICH
+    // candidates are scored, never in the score itself
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding")
+    val v = vecs.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val joined = got
+      .join(v.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(v, "vec_id")
+      .withColumn("exact", round(VectorFunctions.cosine(col("qv"), col("v")), 4))
+    assert(joined.filter(abs(col("cosine") - col("exact")) > 1e-9).count() == 0)
+  }
+}
