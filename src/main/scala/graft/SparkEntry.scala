@@ -11,7 +11,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CdcQueries, GraphQueries, OlapQueries,
-    TextQueries, DedupQueries, SimilarityQueries, SketchQueries)
+    CdcJsonQueries, TextQueries, DedupQueries, SimilarityQueries,
+    SketchQueries, PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

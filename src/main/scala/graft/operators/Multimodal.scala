@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.G — multimodal plumbing: media as opaque binary columns
+  * with typed metadata, and a batch-shaped feature-extraction pipeline.
+  *
+  * The DECODE step is a deterministic stub (no image/audio libraries
+  * in this environment — and at scale the decoder is an external
+  * native lib anyway); everything Spark-side is real: binary column
+  * handling, schema, partition-parallel batched iteration, and typed
+  * output. Swapping `decodeStub` for a JNI/ONNX call changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  final case class Media(doc_id: Long, bytes: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+                                 width: Int, height: Int,
+                                 features: Array[Float])
+
+  /** G1: typed metadata over a binary column — byte length, header
+    * hex, payload digest. Pure column expressions on `binary`. */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      lower(hex(substring(col(binCol), 1, 8))).as("header_hex"),
+      md5(col(binCol)).as("payload_md5"))
+
+  /** The stubbed decoder: deterministic pseudo-decode of a byte
+    * payload into (width, height, 16-bin byte histogram). Replace with
+    * a real decoder (libjpeg/ffmpeg/ONNX) without touching the
+    * pipeline around it. */
+  private[graft] def decodeStub(m: Media): MediaFeatures = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < m.bytes.length) { hist((m.bytes(i) & 0xFF) % 16) += 1f; i += 1 }
+    val n = math.max(m.bytes.length, 1)
+    var b = 0
+    while (b < 16) { hist(b) /= n.toFloat; b += 1 }
+    MediaFeatures(m.doc_id, m.bytes.length,
+      width = 64 + (m.bytes.length % 1024),
+      height = 64 + ((m.bytes.length / 7) % 1024),
+      features = hist)
+  }
+
+  /** G2: partition-parallel, batch-shaped feature extraction.
+    * `mapPartitions` + `grouped(batchSize)` mirrors how a real decoder
+    * amortizes model/codec setup over a batch (the mapInPandas batch
+    * shape, in JVM form) — per-partition imperative code is the right
+    * tool here, since the decode is opaque to Catalyst either way. */
+  def extractFeatures(media: Dataset[Media], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real impl would invoke the codec
+        // once for `batch.size` payloads
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.CdcJson
+
+/** SURVEY §2.A (raw payload path) — the reference's core ingest
+  * operator: raw CDC JSON envelope → typed event rows, exercised
+  * end-to-end by synthesizing the connector wire format from the base
+  * tables and parsing it back. The oracle computes the expected typed
+  * output directly from the base table, so the check validates the
+  * whole serialize→parse→type pipeline semantically.
+  */
+object CdcJsonQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // node events: the nodes_kafka_mv logic (op multiIf, timestamp
+    // parse, label array, property blob extraction).
+    "cdc_json_parse" -> ((s, dir) => {
+      val parsed = CdcJson.parseNodes(
+        CdcJson.synthesizeNodeJson(Tables.load(s, dir, "events")), "raw")
+      parsed.select(
+        col("event_id"),
+        col("event_type").as("op"),
+        col("entity_id"),
+        col("labels")(1).as("label1"),
+        unix_micros(col("event_timestamp")).as("ts_us"),
+        get_json_object(col("properties_after"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id").cast("long"))
+    }),
+
+    // relationship events: relationships_kafka_mv (type + start/end
+    // elementId extraction), rolled up per source node — the
+    // "edges per device" consistency check shape.
+    "cdc_json_rel_parse" -> ((s, dir) => {
+      val parsed = CdcJson.parseRels(
+        CdcJson.synthesizeRelJson(Tables.load(s, dir, "orders")), "raw")
+      parsed
+        .groupBy(col("source_id"))
+        .agg(
+          count(lit(1)).as("n_edges"),
+          max(col("relationship_type")).as("rel_type"),
+          round(sum(get_json_object(col("properties_after"), "$.totalprice")
+            .cast("double")), 4).as("total"))
+        .orderBy("source_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_json_parse" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+                CASE WHEN event_type = 'signup' THEN 'INSERT'
+                     WHEN event_type IN ('click','view','purchase') THEN 'UPDATE'
+                     ELSE 'DELETE' END AS op,
+                CAST(user_id AS VARCHAR) AS entity_id,
+                event_type AS label1,
+                epoch_us(ts) AS ts_us,
+                TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY CAST(event_id AS BIGINT)""",
+    "cdc_json_rel_parse" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS source_id,
+                count(*) AS n_edges,
+                'ORDERED' AS rel_type,
+                round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY o_custkey ORDER BY source_id"""
+  )
+}

@@ -100,7 +100,28 @@ object CdcQueries extends QueryPack {
           asOf = to_timestamp(lit("2026-01-01 00:00:00")))
         .select(col("entity_id"), col("event_type"),
                 col("labels")(0).as("label0"))
-        .orderBy("entity_id"))
+        .orderBy("entity_id")),
+
+    // I3: CSV snapshot path end-to-end — export customer to the
+    // staging CSV shape the reference's initial load reads
+    // (03-bulk-import.py nodes CSV), read it back with an explicit
+    // schema, and emit SNAPSHOT records. Oracle checks against the
+    // original table, so the whole CSV round-trip is validated.
+    "snapshot_csv" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val staging = s"${System.getProperty("java.io.tmpdir")}/graft_staging_csv"
+      src.write.mode("overwrite").option("header", "true").csv(staging)
+      graft.sources.Snapshot.fromCsv(s, staging, src.schema,
+          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
+        .select(col("entity_id").cast("long").as("entity_id"),
+          col("event_type"), col("labels")(0).as("label0"),
+          get_json_object(col("properties_after"), "$.c_name").as("name"),
+          round(get_json_object(col("properties_after"), "$.c_acctbal")
+            .cast("double"), 2).as("acctbal"))
+        .orderBy("entity_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +161,11 @@ object CdcQueries extends QueryPack {
          FROM events GROUP BY 1 ORDER BY 1""",
     "snapshot_load" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'SNAPSHOT' AS event_type, c_mktsegment AS label0
+         FROM customer ORDER BY entity_id""",
+    "snapshot_csv" ->
+      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
+                c_mktsegment AS label0, c_name AS name,
+                round(c_acctbal, 2) AS acctbal
          FROM customer ORDER BY entity_id"""
   )
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.CdcStream
+
+/** SURVEY §2.G (multimodal) + §2.H (streaming) driver entries.
+  *
+  * The multimodal binary payloads are synthesized deterministically
+  * from `documents.text` (no binary test table exists); the Spark-side
+  * plumbing — binary columns, metadata extraction, batched
+  * partition-parallel decode — is the real thing.
+  *
+  * The streaming entries run the actual Structured Streaming engine
+  * (file source → AvailableNow → memory sink) inside the query
+  * builder, then hand the materialized result to the driver; H1/H2
+  * equal their batch twins on a static file set, which the DuckDB
+  * oracles check end-to-end.
+  */
+object PipelineQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // G1: binary metadata extraction (byte length, header, digest).
+    "mm_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")),
+        "doc_id", "bin")
+        .orderBy("doc_id")),
+
+    // G2: batched feature-extraction pipeline (stubbed decode; typed
+    // Dataset in/out). Deterministic features -> rows-only entry plus
+    // MultimodalSpec invariants.
+    "mm_feature_stub" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[Multimodal.Media]
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    }),
+
+    // H1: streaming windowed counts == batch aggregation (AvailableNow
+    // over the static file set).
+    "stream_event_counts" -> ((s, dir) => {
+      val agg = CdcStream.eventCounts(CdcStream.readEvents(s, dir))
+      CdcStream.runToMemory(agg, OutputMode.Complete())
+        .select(
+          unix_micros(col("window.start")).as("day_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("day_us", "event_type")
+    }),
+
+    // H2: incremental flatMapGroupsWithState latest-state == the batch
+    // ReplacingMergeTree FINAL (cdc_latest_state twin). The final
+    // max_by collapse dedupes re-emissions if AvailableNow split the
+    // file set into multiple micro-batches.
+    "stream_latest_state" -> ((s, dir) => {
+      import s.implicits._
+      val evs = CdcStream.readEvents(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[CdcStream.Ev]
+      val updates = CdcStream.latestState(evs).toDF()
+      CdcStream.runToMemory(updates, OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_type").as("last_type"),
+          col("st.ts_us").as("last_ts_us"),
+          round(col("st.value"), 4).as("last_value"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+                md5(text) AS payload_md5
+         FROM documents ORDER BY doc_id""",
+    "stream_event_counts" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_latest_state" ->
+      """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
+                round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw Neo4j-CDC JSON envelope parsing — the Spark-native form of the
+  * reference's Kafka materialized views
+  * (clickhouse/init/01-init-tables.sql:71-118): one `from_json` against
+  * an explicit envelope schema (never schema inference — a second pass
+  * at scale) plus `get_json_object` for the raw property blobs
+  * (JSONExtractRaw analog), producing the typed `nodes_cdc` /
+  * `relationships_cdc` row shapes of model.NodeEvent /
+  * model.RelationshipEvent.
+  *
+  * All pure column expressions: the parse runs wherever the scan runs,
+  * pipelined inside whole-stage codegen — the streaming ingest path
+  * (streaming/CdcStream) applies the same functions to a readStream.
+  */
+object CdcJson {
+
+  /** Neo4j CDC connector envelope (01-init-tables.sql:63-69 comment):
+    * one schema shared by node and relationship events; fields absent
+    * from a variant parse as null. */
+  val envelopeSchema: StructType = new StructType()
+    .add("id", StringType)
+    .add("metadata", new StructType()
+      .add("txStartTime", new StructType().add("TZDT", StringType)))
+    .add("event", new StructType()
+      .add("operation", StringType)
+      .add("elementId", StringType)
+      .add("labels", ArrayType(StringType))
+      .add("type", StringType)
+      .add("start", new StructType().add("elementId", StringType))
+      .add("end", new StructType().add("elementId", StringType)))
+
+  /** CREATE/UPDATE/DELETE → INSERT/UPDATE/DELETE enum with INSERT
+    * default — the MV's multiIf (01-init-tables.sql:74-81). */
+  private def opEnum(operation: Column): Column =
+    when(operation === "CREATE", graft.CdcOp.Insert)
+      .when(operation === "UPDATE", graft.CdcOp.Update)
+      .when(operation === "DELETE", graft.CdcOp.Delete)
+      .otherwise(graft.CdcOp.Insert)
+
+  private def common(parsed: Column, raw: Column): Seq[Column] = Seq(
+    parsed.getField("id").as("event_id"),
+    opEnum(parsed.getField("event").getField("operation")).as("event_type"),
+    // parseDateTimeBestEffort analog: cast handles ISO-8601 incl. 'Z'
+    to_timestamp(parsed.getField("metadata").getField("txStartTime")
+      .getField("TZDT")).as("event_timestamp"),
+    parsed.getField("event").getField("elementId").as("entity_id"))
+
+  private def propsAndMeta(raw: Column): Seq[Column] = Seq(
+    coalesce(get_json_object(raw, "$.event.state.before.properties"), lit("{}"))
+      .as("properties_before"),
+    coalesce(get_json_object(raw, "$.event.state.after.properties"), lit("{}"))
+      .as("properties_after"),
+    raw.as("metadata"))
+
+  /** Parse raw node-event JSON → nodes_cdc shape
+    * (01-init-tables.sql:71-89). */
+  def parseNodes(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val parsed = from_json(raw, envelopeSchema)
+    df.select(common(parsed, raw) ++
+      Seq(coalesce(parsed.getField("event").getField("labels"),
+        array().cast("array<string>")).as("labels")) ++
+      propsAndMeta(raw): _*)
+  }
+
+  /** Parse raw relationship-event JSON → relationships_cdc shape
+    * (01-init-tables.sql:96-118, start/end elementId extraction). */
+  def parseRels(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol)
+    val parsed = from_json(raw, envelopeSchema)
+    val ev = parsed.getField("event")
+    df.select(common(parsed, raw) ++ Seq(
+      ev.getField("type").as("relationship_type"),
+      ev.getField("start").getField("elementId").as("source_id"),
+      ev.getField("end").getField("elementId").as("target_id")) ++
+      propsAndMeta(raw): _*)
+  }
+
+  // ---- deterministic envelope synthesizers (test/demo input): build
+  // the connector's wire format from the testdata tables, so the
+  // parse path can be exercised end-to-end and oracle-checked against
+  // the base table.
+
+  /** events table row → raw node-event JSON (entity = user_id, op per
+    * SURVEY §2.A mapping, properties_after = props). */
+  def synthesizeNodeJson(events: DataFrame): DataFrame = {
+    val opRaw = when(col("event_type") === "signup", "CREATE")
+      .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
+      .otherwise("DELETE")
+    events.select(to_json(struct(
+      col("event_id").cast("string").as("id"),
+      struct(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("TZDT"))
+        .as("txStartTime")).as("metadata"),
+      struct(
+        opRaw.as("operation"),
+        col("user_id").cast("string").as("elementId"),
+        array(lit("User"), col("event_type")).as("labels"),
+        struct(struct(
+          from_json(col("props"), MapType(StringType, StringType))
+            .as("properties")).as("after")).as("state"))
+        .as("event"))).as("raw"))
+  }
+
+  /** orders table row → raw relationship-event JSON (customer
+    * -[ORDERED]-> order edges, totalprice as a property). */
+  def synthesizeRelJson(orders: DataFrame): DataFrame =
+    orders.select(to_json(struct(
+      col("o_orderkey").cast("string").as("id"),
+      struct(struct(
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+          .as("TZDT")).as("txStartTime")).as("metadata"),
+      struct(
+        lit("CREATE").as("operation"),
+        concat(lit("rel-"), col("o_orderkey")).as("elementId"),
+        lit("ORDERED").as("type"),
+        struct(col("o_custkey").cast("string").as("elementId")).as("start"),
+        struct(col("o_orderkey").cast("string").as("elementId")).as("end"),
+        struct(struct(
+          struct(col("o_totalprice").cast("string").as("totalprice"))
+            .as("properties")).as("after")).as("state"))
+        .as("event"))).as("raw"))
+}

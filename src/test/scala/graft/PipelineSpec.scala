@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Multimodal
+import graft.sinks.{JdbcSink, ParquetSink}
+import graft.streaming.CdcStream
+
+/** Sinks (I1/I2), streaming (H1/H2), and multimodal (G1/G2)
+  * invariants. Streaming latest-state is driven through MemoryStream
+  * across MULTIPLE micro-batches to prove the state actually carries
+  * over (the AvailableNow driver entry only sees one batch).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("jdbc sink options: batched, isolation NONE, bounded connections") {
+    val o = JdbcSink.options("jdbc:clickhouse://host:8123/cdc", "nodes_cdc",
+      "u", "p", batchSize = 50000, numPartitions = 8)
+    assert(o("batchsize") == "50000")
+    assert(o("isolationLevel") == "NONE")
+    assert(o("numPartitions") == "8")
+    assert(o("rewriteBatchedStatements") == "true")
+    assert(o("dbtable") == "nodes_cdc")
+  }
+
+  test("jdbc writer coalesces to the connection bound") {
+    val df = Tables.load(spark, sfDir, "orders").repartition(16)
+    val w = JdbcSink.writer(df, JdbcSink.options("jdbc:x", "t", "u", "p",
+      numPartitions = 4))
+    assert(w != null) // construction only — no live DB in the sandbox
+  }
+
+  test("monthly parquet sink round-trips and prunes by month") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val events = Tables.load(spark, sfDir, "events")
+    ParquetSink.writeMonthly(events, "ts", out, mode = "overwrite")
+    val back = ParquetSink.readMonthly(spark, out)
+    assert(back.count() == events.count())
+    // month is a partition column (read back type-inferred as int) ->
+    // directory pruning, not data read
+    val months = events.select(ParquetSink.monthKey(col("ts"))).distinct().count()
+    assert(back.select("month").distinct().count() == months)
+    val m0 = back.select(col("month").cast("string")).first().getString(0)
+    val one = back.filter(col("month").cast("string") === m0)
+    assert(one.count() > 0)
+  }
+
+  test("streaming latest-state carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val q = CdcStream.latestState(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("pipelinespec_state")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: two users
+    mem.addData(CdcStream.Ev(1, 100, 7, "signup", 1.0),
+                CdcStream.Ev(2, 200, 8, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: newer event for user 7, older (ignored) for user 8
+    mem.addData(CdcStream.Ev(3, 300, 7, "purchase", 3.0),
+                CdcStream.Ev(4, 150, 8, "view", 9.9))
+    q.processAllAvailable()
+    q.stop()
+    val finalState = spark.table("pipelinespec_state")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts_us"), col("event_id"), col("event_type")),
+        struct(col("ts_us"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("st.event_type").as("t"), col("st.ts_us").as("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(finalState(7L) == ("purchase", 300L)) // newer event won
+    assert(finalState(8L) == ("click", 200L))    // older event did NOT win
+  }
+
+  test("streaming event counts equal batch aggregation") {
+    val streamed = SparkEntry.queries("stream_event_counts")(spark, sfDir)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("day")).as("day_us"), col("event_type"), col("cnt"))
+    assert(streamed.select("day_us", "event_type", "cnt")
+      .exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed.select("day_us", "event_type", "cnt")).count() == 0)
+  }
+
+  test("multimodal feature extraction: deterministic, batch-size independent") {
+    import spark.implicits._
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[Multimodal.Media]
+    val a = Multimodal.extractFeatures(media, batchSize = 64).collect()
+    val b = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    val am = a.map(f => f.doc_id -> f).toMap
+    val bm = b.map(f => f.doc_id -> f).toMap
+    assert(am.keySet == bm.keySet)
+    am.foreach { case (id, f) =>
+      assert(f.features.toSeq == bm(id).features.toSeq, s"doc $id differs")
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram normalized")
+      assert(f.n_bytes == bm(id).n_bytes)
+    }
+  }
+
+  test("binary metadata matches the underlying payload") {
+    val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val joined = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(encode(col("text"), "UTF-8")))
+    assert(joined.count() == 0)
+  }
+}
