@@ -68,6 +68,20 @@ object CdcJson {
       propsAndMeta(raw): _*)
   }
 
+  /** Typed view of [[parseNodes]] (nodes_cdc row shape). */
+  def parseNodesTyped(df: DataFrame, rawCol: String):
+      org.apache.spark.sql.Dataset[graft.NodeEvent] = {
+    val s = df.sparkSession; import s.implicits._
+    parseNodes(df, rawCol).as[graft.NodeEvent]
+  }
+
+  /** Typed view of [[parseRels]] (relationships_cdc row shape). */
+  def parseRelsTyped(df: DataFrame, rawCol: String):
+      org.apache.spark.sql.Dataset[graft.RelationshipEvent] = {
+    val s = df.sparkSession; import s.implicits._
+    parseRels(df, rawCol).as[graft.RelationshipEvent]
+  }
+
   /** Parse raw relationship-event JSON → relationships_cdc shape
     * (01-init-tables.sql:96-118, start/end elementId extraction). */
   def parseRels(df: DataFrame, rawCol: String): DataFrame = {
