@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{GraftExpressionBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.DotProduct
+
+/** SQL registration of graft's native expressions, so pure-SQL users
+  * (spark.sql, thriftserver, SQL files) get the same codegen'd kernels
+  * as the DataFrame API.
+  *
+  * Two wire-ups:
+  *  - at session build: `.withExtensions(new GraftExtensions)` or
+  *    `.config("spark.sql.extensions", "graft.GraftExtensions")`;
+  *  - on a live session (the driver hands graft an already-built
+  *    session): `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples for every exported function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(arrayA, arrayB)")
+        DotProduct(Cast(args.head, ArrayType(DoubleType)),
+                   Cast(args(1), ArrayType(DoubleType)))
+      }))
+
+  /** Register everything on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      GraftExpressionBridge.registerFunction(spark, name, info, builder)
+    }
+}

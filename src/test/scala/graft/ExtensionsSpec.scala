@@ -1,0 +1,19 @@
+package graft
+
+/** The SQL surface of the native expressions — registered on the live
+  * shared session (the same path a driver-provided session uses). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("dot_product is callable from SQL after register(spark)") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
+      .head().getDouble(0)
+    assert(got == 32.0)
+    // float arrays are cast on the way in
+    val f = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(math.abs(f - 3.0) < 1e-9)
+  }
+}
