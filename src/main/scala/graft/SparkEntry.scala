@@ -12,7 +12,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CdcQueries, GraphQueries, OlapQueries,
     CdcJsonQueries, TextQueries, DedupQueries, SimilarityQueries,
-    SketchQueries, PipelineQueries)
+    SketchQueries, PipelineQueries, CorpusQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/similarity
+  * families: deterministic dataset splitting, decontamination, and
+  * near-dup cluster canonicalization. All shuffle-bounded: splitting
+  * is a pure projection, decontamination is an inverted-index
+  * equi-join, clustering is iterative min-label propagation over the
+  * (sparse) near-dup pair graph.
+  */
+object PipelineOps {
+
+  /** Deterministic content-hash split assignment: bucket =
+    * first-8-hex-chars of md5(content) mod 100 → train/val/test by
+    * `pctTrain`/`pctVal`. Content-keyed (not id-keyed), so the
+    * assignment is stable under re-ingestion and re-iding, and
+    * duplicate payloads land in the same split — the property that
+    * prevents train/test leakage through near-identical copies.
+    * Pure per-row projection: no shuffle at any scale.
+    */
+  def splitAssign(contentCol: String,
+                  pctTrain: Int = 80, pctVal: Int = 10): Column = {
+    val bucket = conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < pctTrain, "train")
+      .when(bucket < pctTrain + pctVal, "val")
+      .otherwise("test")
+  }
+
+  /** Decontamination: flag training documents sharing ≥ `minShared`
+    * distinct word n-grams with any document of the eval set
+    * (`isEval`). The classic eval-leakage scan, shaped as the same
+    * posting-list equi-join as the Jaccard dedup — candidates only
+    * where an n-gram collides, with the df-cap bounding stop-shingle
+    * fan-out. Output: (doc_id, n_shared) per contaminated train doc.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int = 5, minShared: Long = 3,
+                    dfCap: Long = 1000L): DataFrame = {
+    val sh = Par.widen(docs).select(
+      col(idCol).as("doc_id"), isEval.as("is_eval"),
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+    val postings = sh.groupBy("tok").agg(
+        collect_set(when(col("is_eval"), col("doc_id"))).as("eval_ds"),
+        collect_set(when(!col("is_eval"), col("doc_id"))).as("train_ds"))
+      .filter(size(col("eval_ds")) > 0 && size(col("train_ds")) > 0 &&
+              (size(col("eval_ds")) + size(col("train_ds"))) <= dfCap)
+    postings
+      .select(explode(col("train_ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Near-dup cluster canonicalization: connected components over a
+    * pair list, labeling every member with the minimum doc id of its
+    * component (the canonical "keeper"). Iterative min-label
+    * propagation — each step is one equi-join + hash-agg shuffle, and
+    * the iteration count is the graph diameter (near-dup clusters are
+    * shallow; the driver loop stops at the fixpoint, detected by the
+    * strictly-decreasing label sum).
+    */
+  def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
+                    maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+    var labels = edges.groupBy("a")
+      .agg(min(least(col("a"), col("b"))).as("lbl"))
+      .select(col("a").as("n"), col("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    while (!converged && iter < maxIters) {
+      // each node takes the min of its own label and its neighbors'
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("n", "b"), "b")
+        .groupBy(col("a").as("n")).agg(min(col("lbl")).as("nlbl"))
+      // localCheckpoint truncates the per-iteration lineage (standard
+      // for iterative graph algorithms) so plan size stays constant
+      val next = labels.join(viaNeighbors, "n")
+        .select(col("n"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .localCheckpoint()
+      val sumNow = next.agg(sum("lbl")).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels = next
+      iter += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, PipelineOps}
+
+/** Training-data pipeline composition operators (beyond SURVEY §2's
+  * lettered inventory — the "operations a large-scale training-data
+  * pipeline would need" extension): content-hash dataset splitting,
+  * train/eval decontamination, and near-dup cluster canonicalization.
+  */
+object CorpusQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // deterministic content-keyed train/val/test split, stratified
+    // rollup for validation (the split itself is a pure projection).
+    "split_assign" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("split", PipelineOps.splitAssign("text"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")),
+
+    // eval-leakage scan: train docs sharing >= 3 distinct 5-gram
+    // shingles with the eval slice (source = 'src0').
+    "decontaminate" -> ((s, dir) =>
+      PipelineOps.decontaminate(Tables.load(s, dir, "documents"),
+          "doc_id", "text", isEval = col("source") === "src0",
+          n = 5, minShared = 3L)
+        .orderBy("doc_id")),
+
+    // canonical keeper per near-dup cluster: connected components over
+    // the 3-gram Jaccard >= 0.5 pair graph.
+    "dedup_clusters" -> ((s, dir) =>
+      PipelineOps.dedupClusters(
+        Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
+        .orderBy("doc_id"))
+  )
+
+  private val normSql =
+    """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  // shared candidate-pair SQL (identical to dedup_ngram_jaccard's)
+  private val pairSql =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+        sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+               FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+               WHERE len(arr) >= 3),
+        idx AS (SELECT doc_id, tok FROM sh
+                QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+               FROM idx a JOIN idx b USING (tok)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT i, j FROM pr
+                  JOIN sizes sa ON pr.i = sa.doc_id
+                  JOIN sizes sb ON pr.j = sb.doc_id
+                  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
+
+  val oracles: Map[String, String] = Map(
+    "split_assign" ->
+      """SELECT CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_eval,
+                            string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, is_eval,
+                        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS tok
+                 FROM t, unnest(range(1, len(arr) - 3)) AS r(i)
+                 WHERE len(arr) >= 5),
+          toks AS (SELECT tok,
+                          count(DISTINCT CASE WHEN is_eval THEN doc_id END) AS n_eval,
+                          count(DISTINCT CASE WHEN NOT is_eval THEN doc_id END) AS n_train
+                   FROM sh GROUP BY tok),
+          hot AS (SELECT tok FROM toks
+                  WHERE n_eval > 0 AND n_train > 0 AND n_eval + n_train <= 1000)
+          SELECT doc_id, count(DISTINCT tok) AS n_shared
+          FROM sh JOIN hot USING (tok)
+          WHERE NOT is_eval
+          GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
+          ORDER BY doc_id""",
+    "dedup_clusters" ->
+      s"""$pairSql,
+          edges AS (SELECT i AS a, j AS b FROM pairs
+                    UNION ALL SELECT j, i FROM pairs),
+          reach AS (
+            WITH RECURSIVE r(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
+            SELECT * FROM r)
+          SELECT n AS doc_id, min(m) AS cluster_id
+          FROM reach GROUP BY n ORDER BY doc_id"""
+  )
+}

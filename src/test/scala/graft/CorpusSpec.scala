@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PipelineOps}
+
+/** Invariants for the corpus-composition operators (split /
+  * decontaminate / clusters). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is content-keyed: identical text, same split") {
+    val df = Seq((1L, "same payload"), (2L, "same payload"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+      .withColumn("split", PipelineOps.splitAssign("text"))
+    val splits = df.filter(col("text") === "same payload")
+      .select("split").distinct().count()
+    assert(splits == 1, "duplicate payloads must land in the same split")
+  }
+
+  test("split proportions roughly match 80/10/10 on sf0.001") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("split", PipelineOps.splitAssign("text"))
+    val n = docs.count().toDouble
+    val frac = docs.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.03)
+    assert(frac.getOrElse("test", 0.0) > 0.03)
+  }
+
+  test("dedup clusters: every member maps to the min id of its component") {
+    // two components: {1,2,3} chained (1-2, 2-3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = PipelineOps.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters converge on a long chain (diameter > 1 iteration)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = PipelineOps.dedupClusters(chain)
+    assert(got.filter(col("cluster_id") =!= 1L).count() == 0)
+    assert(got.count() == 12)
+  }
+
+  test("decontaminate flags only cross-set overlap") {
+    // doc 1 (train) copies eval doc 100's text -> flagged;
+    // doc 2 (train) is unique -> clean
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, evalText, false),
+      (2L, "one two three four five six seven eight", false),
+      (100L, evalText, true)
+    ).toDF("doc_id", "text", "ev")
+    val got = PipelineOps.decontaminate(docs, "doc_id", "text",
+      isEval = col("ev"), n = 5, minShared = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+}
