@@ -63,8 +63,12 @@ object PipelineOps {
     */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
                     maxIters: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — it participates in every
+    // iteration's join, and without truncation each iteration would
+    // re-run the (expensive) upstream pair-generation pipeline
     val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+      .localCheckpoint()
     var labels = edges.groupBy("a")
       .agg(min(least(col("a"), col("b"))).as("lbl"))
       .select(col("a").as("n"), col("lbl"))
