@@ -57,6 +57,34 @@ object PipelineQueries extends QueryPack {
         .orderBy("day_us", "event_type")
     }),
 
+    // H1b: the reference's ACTUAL stream topology — raw CDC JSON
+    // arriving on a stream, parsed in-flight by the same CdcJson
+    // columns the batch path uses (Kafka queue -> MV parse -> typed
+    // table, 01-init-tables.sql:40-89), then aggregated. File-source
+    // stand-in for the Kafka source; the parse/agg dataflow is
+    // identical.
+    "stream_json_parse" -> ((s, dir) => {
+      val staging =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_json"
+      graft.sources.CdcJson
+        .synthesizeNodeJson(Tables.load(s, dir, "events"))
+        .write.mode("overwrite").text(staging)
+      val raw = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("value", org.apache.spark.sql.types.StringType))
+        .text(staging)
+      val typed = graft.sources.CdcJson.parseNodes(raw, "value")
+      // distinct aggs aren't streamable: aggregate per (op, entity)
+      // in-stream (bounded state: one row per entity-op), roll up the
+      // distinct count on the materialized result
+      val agg = typed.groupBy(col("event_type").as("op"), col("entity_id"))
+        .agg(count(lit(1)).as("cnt"))
+      CdcStream.runToMemory(agg, OutputMode.Complete())
+        .groupBy("op")
+        .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_entities"))
+        .orderBy("op")
+    }),
+
     // H2: incremental flatMapGroupsWithState latest-state == the batch
     // ReplacingMergeTree FINAL (cdc_latest_state twin). The final
     // max_by collapse dedupes re-emissions if AvailableNow split the
@@ -87,6 +115,12 @@ object PipelineQueries extends QueryPack {
                 lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
                 md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    "stream_json_parse" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+                     WHEN event_type IN ('click','view','purchase') THEN 'UPDATE'
+                     ELSE 'DELETE' END AS op,
+                count(*) AS cnt, count(DISTINCT user_id) AS n_entities
+         FROM events GROUP BY 1 ORDER BY 1""",
     "stream_event_counts" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
                 count(*) AS cnt, round(sum(value), 4) AS sum_value

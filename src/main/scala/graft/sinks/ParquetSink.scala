@@ -33,4 +33,22 @@ object ParquetSink {
     * time. */
   def readMonthly(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed layout for co-located joins: tables bucketed AND sorted
+    * on the same join key join with zero shuffle and zero sort (the
+    * exchange is eliminated at planning time — see ParquetSinkSpec).
+    * This is the layout to land CDC streams in when the dominant
+    * downstream pattern is repeated joins/aggregations on
+    * `entity_id`: the shuffle is paid once at write, not per query.
+    * Bucket count is a capacity decision (files ≈ buckets ×
+    * writer-partitions) — at 100 TB pick buckets so a bucket fits an
+    * executor's scan budget. */
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,
+                    tableName: String): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .mode("overwrite")
+      .saveAsTable(tableName)
 }

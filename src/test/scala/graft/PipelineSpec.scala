@@ -48,6 +48,35 @@ class PipelineSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      ParquetSink.writeBucketed(
+        Tables.load(spark, sfDir, "orders"), "o_custkey", 4, "orders_b")
+      ParquetSink.writeBucketed(
+        Tables.load(spark, sfDir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 4, "customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), "o_custkey")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be shuffle-free, found ${shuffles.size} exchanges")
+      // and it still returns the right rows
+      assert(joined.count() ==
+        Tables.load(spark, sfDir, "orders")
+          .join(Tables.load(spark, sfDir, "customer"),
+            col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("streaming latest-state carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
