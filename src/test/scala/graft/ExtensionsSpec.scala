@@ -4,6 +4,14 @@ package graft
   * shared session (the same path a driver-provided session uses). */
 class ExtensionsSpec extends SparkSpec {
 
+  test("GraftSession recommended conf covers the operator requirements") {
+    val c = GraftSession.recommendedConf
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(c("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("dot_product is callable from SQL after register(spark)") {
     GraftExtensions.register(spark)
     val got = spark.sql(
