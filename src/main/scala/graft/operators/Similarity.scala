@@ -104,7 +104,7 @@ object Similarity {
     * exact cosine within the probed partitions only. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 6): DataFrame = {
     val centroids = fitCentroids(vecs, idCol, vecCol, nCentroids, iters)
     val v = Par.widen(vecs).select(
         col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))

@@ -68,13 +68,15 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.75, s"lsh recall $recall")
   }
 
-  test("IVF ANN recall@10 vs brute force >= 0.4, exactly k rows per query") {
+  test("IVF ANN recall@10 vs brute force >= 0.6, exactly k rows per query") {
+    // measured 0.74 at nprobe=6 on near-random vectors (the hardest
+    // case for IVF — real embedding corpora cluster far better)
     val got = Similarity.ivfTopK(vecs, "vec_id", "embedding")
     val perQ = got.groupBy("q_id").count().agg(min("count"), max("count")).head()
     assert(perQ.getLong(0) == 10 && perQ.getLong(1) == 10)
     val t = bruteTop10.count().toDouble
     val recall = bruteTop10.intersect(got.select("q_id", "vec_id")).count() / t
-    assert(recall >= 0.4, s"ivf recall $recall")
+    assert(recall >= 0.6, s"ivf recall $recall")
   }
 
   test("ANN candidates report exact cosine values") {
