@@ -14,9 +14,12 @@ object SparkEntry {
     CdcJsonQueries, TextQueries, DedupQueries, SimilarityQueries,
     SketchQueries, PipelineQueries, CorpusQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end corpus-curation pipeline (quality filter →
+    * exact dedup → split accounting) — the composed shape this engine
+    * exists for. */
   def entry(spark: SparkSession): DataFrame =
-    OlapQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    CorpusQueries.queries("corpus_curate")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

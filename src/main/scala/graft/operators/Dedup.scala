@@ -27,6 +27,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** The surviving ROWS of exact dedup (what a corpus-curation
+    * pipeline actually consumes): per content hash, the full row with
+    * the lowest id — one `min_by(struct)` hash-agg, no join-back. */
+  def exactKept(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cols = docs.columns.map(col)
+    docs
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min_by(struct(cols: _*), col(idCol)).as("row"))
+      .select(col("row.*"))
+  }
+
   /** D2: all document pairs with n-gram-shingle Jaccard ≥ tau, via an
     * inverted index — candidates only for pairs sharing ≥1 shingle, so
     * the heavy operation is an equi-join shuffle on the shingle key,

@@ -34,7 +34,29 @@ object CorpusQueries extends QueryPack {
       PipelineOps.dedupClusters(
         Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the end-to-end curation pipeline a training-data job runs:
+    // quality filter -> exact dedup (full surviving rows) -> split
+    // assignment -> per-split accounting. Composition of F1 + D1 + J1
+    // in one declarative plan: Catalyst fuses the filter and split
+    // projections around the single dedup hash-agg.
+    "corpus_curate" -> ((s, dir) => {
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val stopRatio = graft.operators.TextOps
+        .occurrences(toks, graft.operators.TextOps.Stopwords)
+        .cast("double") / size(toks)
+      val quality = least(size(toks).cast("double") / lit(100.0), lit(1.0)) *
+        (lit(1.0) - stopRatio)
+      val curated = Dedup.exactKept(
+        Tables.load(s, dir, "documents").filter(quality >= 0.3),
+        "doc_id", "text")
+        .withColumn("split", PipelineOps.splitAssign("text"))
+      curated.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(length(col("text"))), 4).as("avg_chars"))
+        .orderBy("split")
+    })
   )
 
   private val normSql =
@@ -82,6 +104,18 @@ object CorpusQueries extends QueryPack {
           WHERE NOT is_eval
           GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
           ORDER BY doc_id""",
+    "corpus_curate" ->
+      s"""WITH q AS (SELECT *, string_split($normSql, ' ') AS toks FROM documents),
+          f AS (SELECT * FROM q
+                WHERE least(len(toks) / 100.0, 1.0) *
+                      (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)) >= 0.3),
+          d AS (SELECT * FROM f
+                QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+          s AS (SELECT *, CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                               WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                               ELSE 'test' END AS split FROM d)
+          SELECT split, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
+          FROM s GROUP BY split ORDER BY split""",
     "dedup_clusters" ->
       s"""$pairSql,
           edges AS (SELECT i AS a, j AS b FROM pairs
