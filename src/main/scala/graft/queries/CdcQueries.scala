@@ -102,6 +102,37 @@ object CdcQueries extends QueryPack {
                 col("labels")(0).as("label0"))
         .orderBy("entity_id")),
 
+    // Point lookup — the README's "find a specific node" monitoring
+    // query (README.md:360-365: has(labels,'Device') + JSON property
+    // equality, newest event first, LIMIT 1). Here: newest matching
+    // event for a type + JSON-property predicate, tie-broken by
+    // event_id so the single-row result is deterministic. The
+    // event_type predicate reaches the parquet scan; the JSON
+    // extraction runs only on surviving rows.
+    "cdc_point_lookup" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+                get_json_object(col("props"), "$.k") === "7")
+        .agg(max_by(
+          struct(col("event_id"), col("user_id"),
+                 unix_micros(col("ts")).as("ts_us"),
+                 round(col("value"), 4).as("value")),
+          struct(col("ts"), col("event_id"))).as("r"))
+        .select(col("r.event_id").as("event_id"), col("r.user_id").as("user_id"),
+                col("r.ts_us").as("ts_us"), col("r.value").as("value"))),
+
+    // Reconciliation — the README's source-vs-sink validation
+    // (README.md:318-321: UNION ALL of node and relationship counts).
+    // Each side is a metadata-only parquet count; the union is two
+    // scalar rows regardless of SF.
+    "validate_counts" -> ((s, dir) => {
+      val nodes = Tables.load(s, dir, "customer")
+        .agg(count(lit(1)).as("cnt")).select(lit("Nodes").as("kind"), col("cnt"))
+      val rels = Tables.load(s, dir, "orders")
+        .agg(count(lit(1)).as("cnt")).select(lit("Relationships").as("kind"), col("cnt"))
+      nodes.unionAll(rels).orderBy("kind")
+    }),
+
     // I3: CSV snapshot path end-to-end — export customer to the
     // staging CSV shape the reference's initial load reads
     // (03-bulk-import.py nodes CSV), read it back with an explicit
@@ -159,6 +190,16 @@ object CdcQueries extends QueryPack {
                      ELSE 'DELETE' END AS op,
                 count(*) AS cnt, count(DISTINCT user_id) AS n_entities
          FROM events GROUP BY 1 ORDER BY 1""",
+    "cdc_point_lookup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, round(value, 4) AS value
+         FROM events
+         WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') = '7'
+         ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "validate_counts" ->
+      """SELECT 'Nodes' AS kind, count(*) AS cnt FROM customer
+         UNION ALL
+         SELECT 'Relationships' AS kind, count(*) AS cnt FROM orders
+         ORDER BY kind""",
     "snapshot_load" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'SNAPSHOT' AS event_type, c_mktsegment AS label0
          FROM customer ORDER BY entity_id""",
