@@ -52,9 +52,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double, dfCap: Long): DataFrame = {
+    // the index key is xxhash64(shingle), not the shingle string: the
+    // shuffle moves fixed-width longs (~5× smaller payload), and a
+    // 64-bit collision perturbing a pair's intersection count is
+    // ~2^-64 — negligible against tau-threshold decisions.
     val sh = Par.widen(docs).select(
       col(idCol).as("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("tok"))
     // ONE shuffle on the shingle key produces the per-token posting
     // list; the df cap is a size filter on it. Shingling runs once —
     // downstream branches (pair generation + set sizes) both hang off

@@ -29,6 +29,17 @@ object PipelineOps {
       .otherwise("test")
   }
 
+  /** Deterministic hash sampling: keep a row iff its content hash
+    * bucket falls under `pct` (0–100). The sampling decision is a pure
+    * per-row projection — reproducible across runs, machines, and
+    * partitionings (unlike `df.sample`, whose output depends on
+    * partition layout), which is what a mixture-weighted corpus build
+    * needs: re-running the pipeline yields the identical subset.
+    */
+  def hashKeep(keyCol: Column, pct: Column): Column =
+    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100) < pct
+
   /** Decontamination: flag training documents sharing ≥ `minShared`
     * distinct word n-grams with any document of the eval set
     * (`isEval`). The classic eval-leakage scan, shaped as the same
@@ -39,9 +50,15 @@ object PipelineOps {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isEval: Column, n: Int = 5, minShared: Long = 3,
                     dfCap: Long = 1000L): DataFrame = {
+    // shuffle an 8-byte xxhash64 of each shingle instead of the n-word
+    // string: the posting-list exchange carries ~5× less payload and
+    // hashes/compares fixed-width longs. A 64-bit collision (two
+    // distinct shingles of one doc-pair colliding) is ~2^-64 per pair
+    // — far below any curation-relevant signal.
     val sh = Par.widen(docs).select(
       col(idCol).as("doc_id"), isEval.as("is_eval"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("s")).as("tok"))
     val postings = sh.groupBy("tok").agg(
         collect_set(when(col("is_eval"), col("doc_id"))).as("eval_ds"),
         collect_set(when(!col("is_eval"), col("doc_id"))).as("train_ds"))

@@ -36,6 +36,37 @@ object CorpusQueries extends QueryPack {
           "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
         .orderBy("doc_id")),
 
+    // mixture-weighted corpus build: deterministic hash-sampled
+    // downsampling per source tier (keep rates keyed on doc_id hash,
+    // reproducible across runs/partitionings), validated as per-source
+    // surviving counts. The decision is a pure projection — at 100 TB
+    // this is a scan with zero shuffle before the tiny rollup.
+    "sample_mix" -> ((s, dir) => {
+      val rate = when(col("source") === "src0", 100)
+        .when(col("source").isin("src1", "src2"), 60)
+        .otherwise(25)
+      Tables.load(s, dir, "documents")
+        .filter(PipelineOps.hashKeep(col("doc_id"), rate))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // corpus token-count distribution per language — the shape/mixing
+    // stats a data-curation run reports. Exact interpolated
+    // percentiles (both engines use linear interpolation); one
+    // hash-agg, 5 groups.
+    "corpus_stats" -> ((s, dir) => {
+      val ntoks = size(graft.operators.TextOps.tokens(col("text")))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), ntoks.as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).cast("long").as("total_tokens"),
+             round(expr("percentile(n_toks, 0.5)"), 4).as("p50_toks"),
+             round(expr("percentile(n_toks, 0.95)"), 4).as("p95_toks"))
+        .orderBy("lang")
+    }),
+
     // the end-to-end curation pipeline a training-data job runs:
     // quality filter -> exact dedup (full surviving rows) -> split
     // assignment -> per-split accounting. Composition of F1 + D1 + J1
@@ -104,6 +135,19 @@ object CorpusQueries extends QueryPack {
           WHERE NOT is_eval
           GROUP BY doc_id HAVING count(DISTINCT tok) >= 3
           ORDER BY doc_id""",
+    "sample_mix" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+               CASE WHEN source = 'src0' THEN 100
+                    WHEN source IN ('src1','src2') THEN 60
+                    ELSE 25 END
+         GROUP BY source ORDER BY source""",
+    "corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS total_tokens,
+                 round(quantile_cont(len(string_split($normSql, ' ')), 0.5), 4) AS p50_toks,
+                 round(quantile_cont(len(string_split($normSql, ' ')), 0.95), 4) AS p95_toks
+          FROM documents GROUP BY lang ORDER BY lang""",
     "corpus_curate" ->
       s"""WITH q AS (SELECT *, string_split($normSql, ' ') AS toks FROM documents),
           f AS (SELECT * FROM q

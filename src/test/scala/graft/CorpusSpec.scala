@@ -57,4 +57,21 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("hashKeep: deterministic, rate-monotone, 0/100 boundaries") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def kept(pct: Int): Set[Long] =
+      docs.filter(PipelineOps.hashKeep(col("doc_id"), lit(pct)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count()
+    assert(kept(0).isEmpty)
+    assert(kept(100).size == n)
+    val k25 = kept(25); val k60 = kept(60)
+    // raising the rate only ADDS rows — a mixture re-weighting never
+    // swaps which documents survive at a given tier
+    assert(k25.subsetOf(k60))
+    assert(k25 == kept(25), "same rate twice -> identical subset")
+    // rate is roughly honored on real data
+    assert(k60.size.toDouble / n > 0.4 && k60.size.toDouble / n < 0.8)
+  }
 }
