@@ -29,6 +29,23 @@ object CdcJsonQueries extends QueryPack {
         .orderBy(col("event_id").cast("long"))
     }),
 
+    // dead-letter path: corrupt a deterministic subset of the wire
+    // payloads (truncation — the classic partial-message failure),
+    // parse PERMISSIVEly, and classify. The valid/invalid split is
+    // what a production ingest routes to the typed table vs the
+    // replay queue; counts are oracle-checked against the corruption
+    // rule applied to the base table.
+    "cdc_json_dead_letter" -> ((s, dir) => {
+      val raw = CdcJson.synthesizeNodeJson(Tables.load(s, dir, "events"))
+        .withColumn("raw",
+          when(get_json_object(col("raw"), "$.id").cast("long") % 10 === 0,
+               substring(col("raw"), 1, 25)).otherwise(col("raw")))
+      val classified = CdcJson.withValidity(CdcJson.parseNodes(raw, "raw"))
+      classified.groupBy("is_valid", "error_reason")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("is_valid")
+    }),
+
     // relationship events: relationships_kafka_mv (type + start/end
     // elementId extraction), rolled up per source node — the
     // "edges per device" consistency check shape.
@@ -57,6 +74,11 @@ object CdcJsonQueries extends QueryPack {
                 epoch_us(ts) AS ts_us,
                 TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events ORDER BY CAST(event_id AS BIGINT)""",
+    "cdc_json_dead_letter" ->
+      """SELECT event_id % 10 <> 0 AS is_valid,
+                CASE WHEN event_id % 10 = 0 THEN 'unparseable' END AS error_reason,
+                count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY is_valid""",
     "cdc_json_rel_parse" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS source_id,
                 count(*) AS n_edges,

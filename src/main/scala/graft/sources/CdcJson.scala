@@ -68,6 +68,40 @@ object CdcJson {
       propsAndMeta(raw): _*)
   }
 
+  /** Validity classification for parsed envelopes — the engine-side
+    * form of the reference bridge's drop-and-log path for events that
+    * don't parse (the Flask bridge 400s malformed payloads; ClickHouse
+    * Kafka tables skip unparseable rows). `from_json` is PERMISSIVE:
+    * a mangled payload yields nulls rather than failing the job, so a
+    * 100 TB backfill never dies on one bad record. This classifier
+    * makes the outcome explicit so callers can route a dead-letter
+    * stream instead of silently dropping.
+    *
+    * Adds: `is_valid`, `error_reason` (null for valid rows;
+    * 'unparseable' / 'missing_entity' / 'missing_timestamp').
+    */
+  def withValidity(parsed: DataFrame, rawCol: String = "metadata"): DataFrame = {
+    // get_json_object($) is null iff the payload isn't parseable JSON
+    // (PERMISSIVE from_json yields an all-null row, not a null struct,
+    // so the struct itself can't distinguish corrupt from empty)
+    val reason =
+      when(get_json_object(col(rawCol), "$").isNull, "unparseable")
+        .when(col("entity_id").isNull, "missing_entity")
+        .when(col("event_timestamp").isNull, "missing_timestamp")
+    parsed
+      .withColumn("error_reason", reason)
+      .withColumn("is_valid", col("error_reason").isNull)
+  }
+
+  /** (valid, deadLetter) split of a parsed envelope frame. The dead
+    * letters retain the raw payload (`metadata` column) for replay. */
+  def partitionValid(parsed: DataFrame, rawCol: String = "metadata")
+      : (DataFrame, DataFrame) = {
+    val classified = withValidity(parsed, rawCol)
+    (classified.filter(col("is_valid")).drop("is_valid", "error_reason"),
+     classified.filter(!col("is_valid")).drop("is_valid"))
+  }
+
   /** Typed view of [[parseNodes]] (nodes_cdc row shape). */
   def parseNodesTyped(df: DataFrame, rawCol: String):
       org.apache.spark.sql.Dataset[graft.NodeEvent] = {

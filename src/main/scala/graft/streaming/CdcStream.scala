@@ -61,6 +61,51 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** [[eventCounts]] with a watermark, for Append-mode production
+    * deployments: a window is emitted once the watermark passes its
+    * end and its state is then EVICTED — aggregation state stays
+    * bounded by (windows in flight × event types) instead of growing
+    * with stream lifetime, the property that keeps a perpetual 100 TB
+    * /day stream from accreting state. Complete-mode [[eventCounts]]
+    * is the finite-backfill/oracle twin; this is the always-on shape.
+    * Windows still open when the stream idles past the watermark are
+    * emitted on the next trigger after later data arrives (or on
+    * AvailableNow termination for closed windows only).
+    */
+  def eventCountsWatermarked(events: DataFrame,
+                             delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Run a stream into a batch-writer callback via foreachBatch — the
+    * reference's end-to-end topology (Kafka → ClickHouse insert) as
+    * Structured Streaming: each micro-batch lands through the same
+    * batched [[graft.sinks.JdbcSink]] writer the bulk path uses.
+    * ClickHouse-style sinks are at-least-once (no transactions); the
+    * reference handles replays by downstream dedup (ReplacingMergeTree
+    * — our CurrentState), so redelivered batches after a restart are
+    * absorbed, not duplicated. `save` is injectable so the wiring is
+    * testable without a live endpoint; production default writes JDBC.
+    */
+  def sinkEachBatch(df: DataFrame,
+                    jdbcOpts: Map[String, String],
+                    checkpointDir: String,
+                    save: (DataFrame, Map[String, String]) => Unit =
+                      (b, o) => graft.sinks.JdbcSink.writer(b, o).save())
+      : Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        save(batch.toDF(), jdbcOpts)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** H2: incremental ReplacingMergeTree FINAL — newest event per
     * entity held in `GroupState`, re-emitted on update. State is one
     * row per entity (bounded by |entities|, not |events|); a Kafka

@@ -114,6 +114,78 @@ class PipelineSpec extends SparkSpec {
     assert(batch.exceptAll(streamed.select("day_us", "event_type", "cnt")).count() == 0)
   }
 
+  test("watermarked append windows emit once closed and evict state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val stream = mem.toDS()
+      .select(expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_type"), col("value"))
+    val q = CdcStream.eventCountsWatermarked(stream, "1 day")
+      .writeStream.format("memory").queryName("pipelinespec_wm")
+      .outputMode(OutputMode.Append()).start()
+    val us = 1000000L
+    val day = 86400L * us
+    // day-1 window: two clicks
+    mem.addData(CdcStream.Ev(1, 1 * 3600L * us, 7, "click", 1.0),
+                CdcStream.Ev(2, 2 * 3600L * us, 8, "click", 2.0))
+    q.processAllAvailable()
+    // day-4 data: advances max event time; watermark (computed from
+    // the PREVIOUS batch) still sits in day 0 after this batch
+    mem.addData(CdcStream.Ev(3, 3 * day + 1800L * us, 7, "click", 5.0))
+    q.processAllAvailable()
+    // day-5 data: watermark moves to day 4 — past day-1's window end
+    // (emitted + evicted) but NOT past the day-4 window's end
+    mem.addData(CdcStream.Ev(4, 4 * day, 9, "view", 1.0))
+    q.processAllAvailable()
+    val emitted = spark.table("pipelinespec_wm")
+      .select(unix_micros(col("window.start")).as("w"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(emitted.toSet == Set((0L, "click", 2L, 3.0)),
+      s"only the closed day-1 window should have been appended: ${emitted.toSeq}")
+    // bounded state: the emitted window's state is gone — only the
+    // two still-open windows remain
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows <= 2, s"closed-window state not evicted: $stateRows rows")
+    q.stop()
+  }
+
+  test("foreachBatch sink lands every row through the batch writer") {
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var seenOpts: Map[String, String] = Map.empty
+    val opts = graft.sinks.JdbcSink.options(
+      "jdbc:clickhouse://host:8123/cdc", "nodes_cdc", "u", "p")
+    val stream = CdcStream.readEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${System.nanoTime()}"
+    CdcStream.sinkEachBatch(stream, opts, ckpt,
+      save = (batch, o) => { landed.synchronized { landed += batch.count() }; seenOpts = o })
+    val expected = Tables.load(spark, sfDir, "events").count()
+    assert(landed.sum == expected,
+      s"rows landed ${landed.sum} != source rows $expected")
+    assert(seenOpts("batchsize") == "100000" && seenOpts("isolationLevel") == "NONE")
+  }
+
+  test("dead-letter split: truncated and entity-less payloads routed out") {
+    import spark.implicits._
+    val good =
+      """{"id":"1","metadata":{"txStartTime":{"TZDT":"2026-01-01T00:00:00.000000Z"}},"event":{"operation":"CREATE","elementId":"e1","labels":["User"]}}"""
+    val noEntity =
+      """{"id":"2","metadata":{"txStartTime":{"TZDT":"2026-01-01T00:00:00.000000Z"}},"event":{"operation":"CREATE","labels":["User"]}}"""
+    val truncated = good.take(25)
+    val parsed = graft.sources.CdcJson.parseNodes(
+      Seq(good, noEntity, truncated).toDF("raw"), "raw")
+    val (valid, dead) = graft.sources.CdcJson.partitionValid(parsed)
+    assert(valid.count() == 1)
+    assert(valid.head().getAs[String]("entity_id") == "e1")
+    val reasons = dead.select("error_reason").collect().map(_.getString(0)).sorted
+    assert(reasons.toSeq == Seq("missing_entity", "unparseable"))
+    // dead letters keep the raw payload for replay
+    assert(dead.select("metadata").collect().map(_.getString(0)).toSet ==
+      Set(noEntity, truncated))
+  }
+
   test("multimodal feature extraction: deterministic, batch-size independent") {
     import spark.implicits._
     val media = Tables.load(spark, sfDir, "documents")
