@@ -34,6 +34,22 @@ object ParquetSink {
   def readMonthly(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The reference's `OPTIMIZE TABLE ... FINAL` as a job
+    * (04-optimize-tables.sql:24-48): collapse an event log to its
+    * latest state per entity and rewrite it month-partitioned. In
+    * ClickHouse this is a scheduled merge over the whole table; here
+    * it is one `max_by` hash-agg (shuffle payload ~|entities|) plus a
+    * partitioned write — run it periodically to keep the "current
+    * state" table cheap to scan, while the raw event log remains the
+    * source of truth.
+    */
+  def compactToLatest(events: DataFrame, entityCol: String,
+                      orderCols: Seq[String], tsCol: String, path: String,
+                      mode: String = "overwrite"): Unit =
+    writeMonthly(
+      graft.operators.CurrentState.latest(events, entityCol, orderCols),
+      tsCol, path, mode)
+
   /** Bucketed layout for co-located joins: tables bucketed AND sorted
     * on the same join key join with zero shuffle and zero sort (the
     * exchange is eliminated at planning time — see ParquetSinkSpec).

@@ -48,6 +48,20 @@ class PipelineSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("compactToLatest = OPTIMIZE FINAL: one row per entity, newest wins") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val events = Tables.load(spark, sfDir, "events")
+    ParquetSink.compactToLatest(events, "user_id", Seq("ts", "event_id"), "ts", out)
+    val back = ParquetSink.readMonthly(spark, out)
+    assert(back.count() == events.select("user_id").distinct().count())
+    // the compacted row per entity is the newest event
+    val expect = graft.operators.CurrentState
+      .latest(events, "user_id", Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"))
+    assert(back.select(col("user_id"), col("event_id"))
+      .exceptAll(expect).count() == 0)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
