@@ -33,6 +33,16 @@ object GraftExtensions {
         require(args.length == 2, "dot_product(arrayA, arrayB)")
         DotProduct(Cast(args.head, ArrayType(DoubleType)),
                    Cast(args(1), ArrayType(DoubleType)))
+      }),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(arrayA, arrayB)")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val a = Cast(args.head, ArrayType(DoubleType))
+        val b = Cast(args(1), ArrayType(DoubleType))
+        Divide(DotProduct(a, b),
+               Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
 
   /** Register everything on an existing session. */

@@ -24,4 +24,16 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(f - 3.0) < 1e-9)
   }
+
+  test("cosine_sim is callable from SQL after register(spark)") {
+    GraftExtensions.register(spark)
+    val same = spark.sql(
+      "SELECT cosine_sim(array(1.0, 2.0), array(2.0, 4.0)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-12, "colinear vectors -> cosine 1")
+    val orth = spark.sql(
+      "SELECT cosine_sim(array(1.0, 0.0), array(0.0, 7.0)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(orth) < 1e-12, "orthogonal vectors -> cosine 0")
+  }
 }
