@@ -34,14 +34,16 @@ object Bench {
       // min of two timed runs: single-run numbers on a 32-thread local
       // JVM carry multi-second GC/cleaner noise that would read as
       // phantom regressions round-over-round
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
         (System.nanoTime() - t0) / 1e9
       }
+      err.foreach(m => errors ::= (name -> m))
       name -> times.min
     }
     def jq(s: String): String =

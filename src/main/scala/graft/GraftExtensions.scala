@@ -38,11 +38,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(arrayA, arrayB)")
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Literal, Multiply, NullIf, Sqrt}
         val a = Cast(args.head, ArrayType(DoubleType))
         val b = Cast(args(1), ArrayType(DoubleType))
+        // zero-norm guard: under Spark 4's default ANSI mode a /0.0
+        // throws and would kill the whole query on one degenerate
+        // (all-zero) vector; NullIf turns the denominator into NULL so
+        // the row yields NULL cosine instead
         Divide(DotProduct(a, b),
-               Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+               new NullIf(Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
+                          Literal(0.0)))
       }))
 
   /** Register everything on an existing session. */

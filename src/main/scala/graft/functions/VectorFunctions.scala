@@ -23,12 +23,17 @@ object VectorFunctions {
   /** L2 norm. */
   def l2(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+  /** Cosine similarity of two double arrays. NULL (not an error) for
+    * a zero-norm vector: Spark 4 runs ANSI mode by default, where a
+    * plain /0.0 throws and one degenerate all-zero embedding would
+    * kill the whole job. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2(a) * l2(b), lit(0.0))
 
   /** Cosine given precomputed norms (avoids recomputing the norm of
     * the same vector against every candidate — at n·k comparisons the
-    * norm is computed once per row, not once per pair). */
+    * norm is computed once per row, not once per pair). Zero-norm
+    * guarded like [[cosine]]. */
   def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    dotAB / nullif(normA * normB, lit(0.0))
 }

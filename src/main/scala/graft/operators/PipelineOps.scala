@@ -20,10 +20,15 @@ object PipelineOps {
     * prevents train/test leakage through near-identical copies.
     * Pure per-row projection: no shuffle at any scale.
     */
+  /** 0–99 hash bucket of a column's string form — the one bucketing
+    * expression shared by splitting and sampling (its DuckDB oracle
+    * mirror is `('0x' || substr(md5(x), 1, 8))::BIGINT % 100`). */
+  private def hashBucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
   def splitAssign(contentCol: String,
                   pctTrain: Int = 80, pctVal: Int = 10): Column = {
-    val bucket = conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = hashBucket(col(contentCol))
     when(bucket < pctTrain, "train")
       .when(bucket < pctTrain + pctVal, "val")
       .otherwise("test")
@@ -37,8 +42,7 @@ object PipelineOps {
     * needs: re-running the pipeline yields the identical subset.
     */
   def hashKeep(keyCol: Column, pct: Column): Column =
-    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100) < pct
+    hashBucket(keyCol) < pct
 
   /** Decontamination: flag training documents sharing ≥ `minShared`
     * distinct word n-grams with any document of the eval set

@@ -119,7 +119,11 @@ object CdcQueries extends QueryPack {
                  round(col("value"), 4).as("value")),
           struct(col("ts"), col("event_id"))).as("r"))
         .select(col("r.event_id").as("event_id"), col("r.user_id").as("user_id"),
-                col("r.ts_us").as("ts_us"), col("r.value").as("value"))),
+                col("r.ts_us").as("ts_us"), col("r.value").as("value"))
+        // a global agg over an empty input emits one all-NULL row,
+        // where the oracle's LIMIT 1 emits zero — drop it so a
+        // no-match lookup returns no rows on both sides
+        .where(col("event_id").isNotNull)),
 
     // Reconciliation — the README's source-vs-sink validation
     // (README.md:318-321: UNION ALL of node and relationship counts).

@@ -22,6 +22,9 @@ object CdcJson {
   /** Neo4j CDC connector envelope (01-init-tables.sql:63-69 comment):
     * one schema shared by node and relationship events; fields absent
     * from a variant parse as null. */
+  /** Column carrying the raw payload when it failed to parse. */
+  val CorruptCol = "_corrupt_record"
+
   val envelopeSchema: StructType = new StructType()
     .add("id", StringType)
     .add("metadata", new StructType()
@@ -33,6 +36,14 @@ object CdcJson {
       .add("type", StringType)
       .add("start", new StructType().add("elementId", StringType))
       .add("end", new StructType().add("elementId", StringType)))
+    // PERMISSIVE corrupt-record capture: an unparseable payload fills
+    // this field (and nulls the rest) in the SAME parse — validity
+    // classification costs zero extra passes over the raw string
+    .add(CorruptCol, StringType)
+
+  private val parseOptions: Map[String, String] = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> CorruptCol)
 
   /** CREATE/UPDATE/DELETE → INSERT/UPDATE/DELETE enum with INSERT
     * default — the MV's multiIf (01-init-tables.sql:74-81). */
@@ -61,11 +72,12 @@ object CdcJson {
     * (01-init-tables.sql:71-89). */
   def parseNodes(df: DataFrame, rawCol: String): DataFrame = {
     val raw = col(rawCol)
-    val parsed = from_json(raw, envelopeSchema)
+    val parsed = from_json(raw, envelopeSchema, parseOptions)
     df.select(common(parsed, raw) ++
       Seq(coalesce(parsed.getField("event").getField("labels"),
         array().cast("array<string>")).as("labels")) ++
-      propsAndMeta(raw): _*)
+      propsAndMeta(raw) :+
+      parsed.getField(CorruptCol).as(CorruptCol): _*)
   }
 
   /** Validity classification for parsed envelopes — the engine-side
@@ -80,12 +92,12 @@ object CdcJson {
     * Adds: `is_valid`, `error_reason` (null for valid rows;
     * 'unparseable' / 'missing_entity' / 'missing_timestamp').
     */
-  def withValidity(parsed: DataFrame, rawCol: String = "metadata"): DataFrame = {
-    // get_json_object($) is null iff the payload isn't parseable JSON
-    // (PERMISSIVE from_json yields an all-null row, not a null struct,
-    // so the struct itself can't distinguish corrupt from empty)
+  def withValidity(parsed: DataFrame): DataFrame = {
+    // the corrupt-record column was filled by the ORIGINAL parse
+    // (PERMISSIVE + columnNameOfCorruptRecord), so classification is
+    // pure null-checks — no second pass over the raw payload
     val reason =
-      when(get_json_object(col(rawCol), "$").isNull, "unparseable")
+      when(col(CorruptCol).isNotNull, "unparseable")
         .when(col("entity_id").isNull, "missing_entity")
         .when(col("event_timestamp").isNull, "missing_timestamp")
     parsed
@@ -95,10 +107,10 @@ object CdcJson {
 
   /** (valid, deadLetter) split of a parsed envelope frame. The dead
     * letters retain the raw payload (`metadata` column) for replay. */
-  def partitionValid(parsed: DataFrame, rawCol: String = "metadata")
-      : (DataFrame, DataFrame) = {
-    val classified = withValidity(parsed, rawCol)
-    (classified.filter(col("is_valid")).drop("is_valid", "error_reason"),
+  def partitionValid(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val classified = withValidity(parsed)
+    (classified.filter(col("is_valid"))
+       .drop("is_valid", "error_reason", CorruptCol),
      classified.filter(!col("is_valid")).drop("is_valid"))
   }
 
@@ -120,13 +132,14 @@ object CdcJson {
     * (01-init-tables.sql:96-118, start/end elementId extraction). */
   def parseRels(df: DataFrame, rawCol: String): DataFrame = {
     val raw = col(rawCol)
-    val parsed = from_json(raw, envelopeSchema)
+    val parsed = from_json(raw, envelopeSchema, parseOptions)
     val ev = parsed.getField("event")
     df.select(common(parsed, raw) ++ Seq(
       ev.getField("type").as("relationship_type"),
       ev.getField("start").getField("elementId").as("source_id"),
       ev.getField("end").getField("elementId").as("target_id")) ++
-      propsAndMeta(raw): _*)
+      propsAndMeta(raw) :+
+      parsed.getField(CorruptCol).as(CorruptCol): _*)
   }
 
   // ---- deterministic envelope synthesizers (test/demo input): build

@@ -36,4 +36,19 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(orth) < 1e-12, "orthogonal vectors -> cosine 0")
   }
+
+  test("cosine of a zero-norm vector is NULL, not an ANSI crash") {
+    GraftExtensions.register(spark)
+    // SQL surface
+    assert(spark.sql(
+      "SELECT cosine_sim(array(0.0, 0.0), array(1.0, 2.0)) AS c")
+      .head().isNullAt(0))
+    // DataFrame surface
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val row = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .head()
+    assert(row.isNullAt(0))
+  }
 }

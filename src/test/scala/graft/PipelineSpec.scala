@@ -144,12 +144,13 @@ class PipelineSpec extends SparkSpec {
     mem.addData(CdcStream.Ev(1, 1 * 3600L * us, 7, "click", 1.0),
                 CdcStream.Ev(2, 2 * 3600L * us, 8, "click", 2.0))
     q.processAllAvailable()
-    // day-4 data: advances max event time; watermark (computed from
-    // the PREVIOUS batch) still sits in day 0 after this batch
+    // event in window [3d,4d): advances max event time; the watermark
+    // trails one batch behind, so nothing closes yet
     mem.addData(CdcStream.Ev(3, 3 * day + 1800L * us, 7, "click", 5.0))
     q.processAllAvailable()
-    // day-5 data: watermark moves to day 4 — past day-1's window end
-    // (emitted + evicted) but NOT past the day-4 window's end
+    // event at 4d (window [4d,5d)): watermark reaches 3d+0.5h-1d...
+    // then the no-data batch after it lifts it to ~3d+0.5h — past the
+    // day-1 window's end (emitted + evicted) but NOT past [3d,4d)'s
     mem.addData(CdcStream.Ev(4, 4 * day, 9, "view", 1.0))
     q.processAllAvailable()
     val emitted = spark.table("pipelinespec_wm")
