@@ -36,4 +36,30 @@ object VectorFunctions {
     * guarded like [[cosine]]. */
   def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / nullif(normA * normB, lit(0.0))
+
+  /** Per-vector symmetric int8 scalar quantization: each component
+    * maps to round(x / scale) with scale = max|x| / 127, stored as
+    * `(scale float, q array<tinyint>)` — 4× smaller than float32 and
+    * 8× smaller than the double form, the difference between a 100 TB
+    * and a 25 TB embedding store. Per-vector scaling (vs corpus-wide)
+    * needs no global statistics pass and bounds the per-component
+    * error at scale/2 regardless of outlier vectors elsewhere.
+    * Zero vectors get scale 0 and all-zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x))) / lit(127.0d)
+    struct(
+      scale.cast("float").as("scale"),
+      transform(v, x =>
+        when(scale === 0.0d, lit(0))
+          .otherwise(round(x / scale, 0).cast("int"))
+          .cast("byte")).as("q"))
+  }
+
+  /** Reconstruct an approximate double vector from [[quantizeInt8]]
+    * output. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"),
+      q => q.cast("double") * qv.getField("scale").cast("double"))
 }

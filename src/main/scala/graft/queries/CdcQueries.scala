@@ -102,6 +102,46 @@ object CdcQueries extends QueryPack {
                 col("labels")(0).as("label0"))
         .orderBy("entity_id")),
 
+    // Time travel — state of every entity AS OF a timestamp: the
+    // ReplacingMergeTree FINAL reconstruction with an upper time
+    // bound (what "rewind the CDC log to T" means). Same single
+    // hash-agg shape as cdc_latest_state; the ts predicate reaches
+    // the scan, so at 100 TB with the monthly layout whole later
+    // partitions are pruned before the agg even runs.
+    "cdc_state_asof" -> ((s, dir) => {
+      val asOf = "2024-01-15 00:00:00"
+      val latest = CurrentState.latest(
+        Tables.load(s, dir, "events")
+          .filter(col("ts") <= to_timestamp(lit(asOf))),
+        "user_id", Seq("ts", "event_id"))
+      latest.select(
+        col("user_id"),
+        col("event_type").as("type_asof"),
+        unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id")
+    }),
+
+    // Sessionization — split each entity's event stream on >30 min
+    // inactivity gaps and report per-entity session stats. The one
+    // window sort here is genuinely required (session boundaries are
+    // an ordered scan per entity); partitioning by entity keeps the
+    // sort local to each key group — no global sort.
+    "cdc_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      Tables.load(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull ||
+           unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+        .withColumn("sess_id", sum(col("new_sess")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("sess_id")).as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Point lookup — the README's "find a specific node" monitoring
     // query (README.md:360-365: has(labels,'Device') + JSON property
     // equality, newest event first, LIMIT 1). Here: newest matching
@@ -194,6 +234,20 @@ object CdcQueries extends QueryPack {
                      ELSE 'DELETE' END AS op,
                 count(*) AS cnt, count(DISTINCT user_id) AS n_entities
          FROM events GROUP BY 1 ORDER BY 1""",
+    "cdc_state_asof" ->
+      """SELECT user_id, event_type AS type_asof, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_sessionize" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+                    FROM events),
+           s AS (SELECT user_id,
+                        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+                 FROM g)
+         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM s GROUP BY user_id ORDER BY user_id""",
     "cdc_point_lookup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, round(value, 4) AS value
          FROM events

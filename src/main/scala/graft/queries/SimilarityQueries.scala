@@ -32,6 +32,31 @@ object SimilarityQueries extends QueryPack {
         .filter(col("cosine") >= 0.3)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
+    }),
+
+    // Quantized search path: corpus stored int8-quantized (4× smaller
+    // than float32 — the storage play for a 100 TB embedding corpus),
+    // scored against dequantized vectors with the same threshold
+    // shape as E1. Quantization isn't cleanly SQL-expressible →
+    // rows-only driver check; SketchSpec pins reconstruction error
+    // and recall vs the exact result.
+    "sim_quantized_topk" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(
+            VectorFunctions.asDouble(col("embedding"))).as("qv"))
+        .select(col("vec_id"),
+          VectorFunctions.dequantizeInt8(col("qv")).as("v"))
+        .withColumn("nrm", VectorFunctions.l2(col("v")))
+      val q = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cos = VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+      v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .withColumn("cosine", cos)
+        .filter(col("cosine") >= 0.3)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
     })
   )
 

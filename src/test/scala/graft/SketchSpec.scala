@@ -79,6 +79,34 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf recall $recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, high cosine fidelity") {
+    val v = vecs.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .withColumn("qv", VectorFunctions.quantizeInt8(col("v")))
+      .withColumn("r", VectorFunctions.dequantizeInt8(col("qv")))
+    // per-component error <= scale/2 (+ fp eps): the symmetric-rounding bound
+    val bad = v.filter(exists(zip_with(col("v"), col("r"), (a, b) => abs(a - b)),
+      e => e > col("qv.scale").cast("double") / 2 + lit(1e-9))).count()
+    assert(bad == 0, s"$bad vectors exceed the scale/2 error bound")
+    // cosine(original, reconstructed) stays near 1 on every vector
+    val minCos = v.select(min(VectorFunctions.cosine(col("v"), col("r")))).head().getDouble(0)
+    assert(minCos >= 0.995, s"min reconstruction cosine $minCos")
+    // codes actually fit int8
+    val outOfRange = v.filter(exists(col("qv.q"),
+      q => q.cast("int") > 127 || q.cast("int") < -127)).count()
+    assert(outOfRange == 0)
+  }
+
+  test("quantized search recall vs exact threshold search >= 0.9") {
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val quant = SparkEntry.queries("sim_quantized_topk")(spark, sfDir)
+      .select("q_id", "vec_id")
+    val t = exact.count().toDouble
+    assert(t > 0)
+    val recall = exact.intersect(quant).count() / t
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("ANN candidates report exact cosine values") {
     // every (q, vec) the LSH path returns must carry the same cosine
     // as direct computation — the approximation is only in WHICH
