@@ -38,16 +38,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(arrayA, arrayB)")
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Literal, Multiply, NullIf, Sqrt}
+        import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Multiply, Sqrt}
         val a = Cast(args.head, ArrayType(DoubleType))
         val b = Cast(args(1), ArrayType(DoubleType))
         // zero-norm guard: under Spark 4's default ANSI mode a /0.0
         // throws and would kill the whole query on one degenerate
-        // (all-zero) vector; NullIf turns the denominator into NULL so
-        // the row yields NULL cosine instead
+        // (all-zero) vector; TRY-mode division yields NULL instead,
+        // and unlike a NullIf guard it evaluates each operand once
         Divide(DotProduct(a, b),
-               new NullIf(Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
-                          Literal(0.0)))
+               Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
+               EvalMode.TRY)
       }))
 
   /** Register everything on an existing session. */

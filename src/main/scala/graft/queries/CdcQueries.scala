@@ -165,6 +165,18 @@ object CdcQueries extends QueryPack {
         // no-match lookup returns no rows on both sides
         .where(col("event_id").isNotNull)),
 
+    // Recency feed — the test harness's "latest N events" inspection
+    // (test-scenarios/run_tests.py:97: ORDER BY event_timestamp DESC
+    // LIMIT 10), tie-broken on event_id for determinism. A global
+    // top-k, not a global sort: Spark's TakeOrderedAndProject keeps
+    // k rows per partition and merges — no full-data sort/exchange.
+    "cdc_recent_events" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(10)),
+
     // Reconciliation — the README's source-vs-sink validation
     // (README.md:318-321: UNION ALL of node and relationship counts).
     // Each side is a metadata-only parquet count; the union is two
@@ -253,6 +265,9 @@ object CdcQueries extends QueryPack {
          FROM events
          WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') = '7'
          ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "cdc_recent_events" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         FROM events ORDER BY ts_us DESC, event_id DESC LIMIT 10""",
     "validate_counts" ->
       """SELECT 'Nodes' AS kind, count(*) AS cnt FROM customer
          UNION ALL
