@@ -31,6 +31,16 @@ object TextOps {
   def occurrences(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** BPE-style subword-ish tokenization: alphabetic runs, digit runs,
+    * and single non-alphanumeric marks as separate tokens (the
+    * word/number/punctuation split every BPE pre-tokenizer performs
+    * before merges — the right unit for token-count accounting when
+    * the real tokenizer isn't available engine-side).
+    * DuckDB mirror: `regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')`.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
   /** Distinct word n-gram shingles of the token array. Shingling (vs
     * unigram word sets) is what makes Jaccard discriminative on a
     * small vocabulary: contiguous n-grams capture ordering, so only

