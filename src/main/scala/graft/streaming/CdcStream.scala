@@ -112,20 +112,34 @@ object CdcStream {
     * deployment would add a watermark + state TTL for entity churn. */
   def latestState(events: Dataset[Ev]): Dataset[St] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[St]) =>
-          var cur = state.getOption.orNull
-          it.foreach { e =>
-            if (cur == null || e.ts_us > cur.ts_us ||
-                (e.ts_us == cur.ts_us && e.event_id > cur.event_id))
-              cur = St(uid, e.ts_us, e.event_id, e.event_type, e.value)
-          }
-          if (cur != null) { state.update(cur); Iterator.single(cur) }
-          else Iterator.empty
-      }
+    latestBy[Long, St](
+      events.map(e => St(e.user_id, e.ts_us, e.event_id, e.event_type, e.value)),
+      _.user_id,
+      newer = (a, b) =>
+        a.ts_us > b.ts_us || (a.ts_us == b.ts_us && a.event_id > b.event_id))
   }
+
+  /** Generic incremental keyed-latest operator: holds the winning
+    * record per key in `GroupState` (state O(|keys|), independent of
+    * stream length) and re-emits it whenever it changes. `newer`
+    * decides the replacement order — this is ReplacingMergeTree's
+    * version-column semantics as a reusable streaming combinator, so
+    * BOTH of the reference's CDC streams (nodes AND relationships,
+    * 01-init-tables.sql:23-37) run through one operator with their own
+    * record types. */
+  def latestBy[K, V](ds: Dataset[V], key: V => K, newer: (V, V) => Boolean)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[V], state: GroupState[V]) =>
+          var cur: Option[V] = state.getOption
+          it.foreach { e => if (cur.forall(newer(e, _))) cur = Some(e) }
+          cur match {
+            case Some(v) => state.update(v); Iterator.single(v)
+            case None    => Iterator.empty
+          }
+      }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized table. */

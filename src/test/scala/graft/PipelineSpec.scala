@@ -14,6 +14,11 @@ import graft.streaming.CdcStream
   * across MULTIPLE micro-batches to prove the state actually carries
   * over (the AvailableNow driver entry only sees one batch).
   */
+/** Relationship CDC record for the generic latest-state spec (top
+  * level: product encoders need a stable outer scope). */
+case class RelEv(rel_id: Long, ts_us: Long, edge_key: String,
+                 rel_type: String, op: String)
+
 class PipelineSpec extends SparkSpec {
 
   test("jdbc sink options: batched, isolation NONE, bounded connections") {
@@ -126,6 +131,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.select("day_us", "event_type", "cnt")
       .exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed.select("day_us", "event_type", "cnt")).count() == 0)
+  }
+
+  test("generic latestBy runs the relationship stream (second CDC stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RelEv]
+    val q = CdcStream.latestBy[String, RelEv](mem.toDS(), _.edge_key,
+        newer = (a, b) => a.ts_us > b.ts_us ||
+          (a.ts_us == b.ts_us && a.rel_id > b.rel_id))
+      .toDF()
+      .writeStream.format("memory").queryName("pipelinespec_rel")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(RelEv(1, 100, "c1->o1", "ORDERED", "CREATE"),
+                RelEv(2, 200, "c2->o2", "ORDERED", "CREATE"))
+    q.processAllAvailable()
+    // edge c1->o1 updated then deleted in a later batch; c2->o2's
+    // stale earlier event must NOT displace its current state
+    mem.addData(RelEv(3, 300, "c1->o1", "ORDERED", "DELETE"),
+                RelEv(4, 150, "c2->o2", "ORDERED", "UPDATE"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("pipelinespec_rel")
+      .groupBy("edge_key")
+      .agg(max_by(struct(col("ts_us"), col("rel_id"), col("op")),
+        struct(col("ts_us"), col("rel_id"))).as("st"))
+      .select(col("edge_key"), col("st.op").as("op"), col("st.ts_us").as("ts"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fin("c1->o1") == ("DELETE", 300L), "tombstone is the final state")
+    assert(fin("c2->o2") == ("CREATE", 200L), "stale event did not win")
   }
 
   test("watermarked append windows emit once closed and evict state") {
