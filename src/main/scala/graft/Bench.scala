@@ -34,6 +34,9 @@ object Bench {
       // min of two timed runs: single-run numbers on a 32-thread local
       // JVM carry multi-second GC/cleaner noise that would read as
       // phantom regressions round-over-round
+      // level the GC debt accrued by earlier queries so a query's
+      // number reflects its own work, not its predecessors' garbage
+      System.gc()
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -41,13 +41,19 @@ object SimilarityQueries extends QueryPack {
     // rows-only driver check; SketchSpec pins reconstruction error
     // and recall vs the exact result.
     "sim_quantized_topk" -> ((s, dir) => {
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          VectorFunctions.quantizeInt8(
-            VectorFunctions.asDouble(col("embedding"))).as("qv"))
-        .select(col("vec_id"),
-          VectorFunctions.dequantizeInt8(col("qv")).as("v"))
-        .withColumn("nrm", VectorFunctions.l2(col("v")))
+      // Par.widen's exchange sits AFTER the dequantize projection on
+      // purpose: it materializes the reconstructed vectors once per
+      // row, stopping CollapseProject from substituting the
+      // (interpreted, higher-order) quantize/dequantize expressions
+      // into the per-pair join arithmetic
+      val v = graft.operators.Par.widen(
+          Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"),
+              VectorFunctions.quantizeInt8(
+                VectorFunctions.asDouble(col("embedding"))).as("qv"))
+            .select(col("vec_id"),
+              VectorFunctions.dequantizeInt8(col("qv")).as("v"))
+            .withColumn("nrm", VectorFunctions.l2(col("v"))))
       val q = v.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val cos = VectorFunctions.cosinePre(
