@@ -49,16 +49,32 @@ object VectorFunctions {
     * needs no global statistics pass and bounds the per-component
     * error at scale/2 regardless of outlier vectors elsewhere.
     * Zero vectors get scale 0 and all-zero codes.
+    *
+    * Codes are computed against the FLOAT-rounded scale — the exact
+    * value dequantization will multiply by — so the scale/2 error
+    * bound genuinely holds; rounding against the double scale while
+    * reconstructing with the float one leaks up to 127·ulp extra
+    * error, enough to breach the bound. Codes are clamped to ±127
+    * because float-rounding the scale down can push max|x|/scale a
+    * hair past 127 (which an ANSI byte cast would turn into a crash).
+    *
+    * Note for bulk pipelines: the max|x| aggregate appears once in
+    * the struct and once inside the per-element lambda (higher-order
+    * lambdas are interpreted and not subexpression-eliminated), so
+    * stage the quantized column behind an exchange — as
+    * `sim_quantized_topk` does — rather than inlining this expression
+    * into wider per-pair arithmetic.
     */
   def quantizeInt8(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0d),
-      (acc, x) => greatest(acc, abs(x))) / lit(127.0d)
+    // float-rounded scale: quantize and dequantize share this value
+    val scale = (aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+      / lit(127.0d)).cast("float").cast("double")
     struct(
       scale.cast("float").as("scale"),
-      transform(v, x =>
-        when(scale === 0.0d, lit(0))
-          .otherwise(round(x / scale, 0).cast("int"))
-          .cast("byte")).as("q"))
+      when(scale === 0.0d, transform(v, _ => lit(0).cast("byte")))
+        .otherwise(transform(v, x =>
+          least(greatest(round(x / scale, 0), lit(-127.0d)), lit(127.0d))
+            .cast("int").cast("byte"))).as("q"))
   }
 
   /** Reconstruct an approximate double vector from [[quantizeInt8]]

@@ -21,6 +21,10 @@ import graft.streaming.CdcStream
   */
 object PipelineQueries extends QueryPack {
 
+  // staging dirs already written by THIS process (see stream_json_parse)
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
     "mm_binary_meta" -> ((s, dir) =>
@@ -64,12 +68,14 @@ object PipelineQueries extends QueryPack {
     // stand-in for the Kafka source; the parse/agg dataflow is
     // identical.
     "stream_json_parse" -> ((s, dir) => {
-      // staging dir keyed by source dir and written once per process:
+      // staging written once per JVM per source dir (in-memory guard,
+      // NOT an on-disk marker: /tmp outlives the process, and stale
+      // staged payloads would silently diverge from the live oracle):
       // the synthesized wire-format file set is test INPUT, not part
       // of the streamed work being exercised/measured
       val staging = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_stream_json_${math.abs(dir.hashCode)}"
-      if (!new java.io.File(s"$staging/_SUCCESS").exists()) {
+        s"graft_stream_json_${Integer.toHexString(dir.hashCode)}"
+      if (stagedDirs.add(staging)) {
         graft.sources.CdcJson
           .synthesizeNodeJson(Tables.load(s, dir, "events"))
           .write.mode("overwrite").text(staging)

@@ -19,52 +19,52 @@ object SimilarityQueries extends QueryPack {
     // is tiny and broadcast; the corpus side streams through one
     // nested-loop pass — the exact-search plan you'd also run at
     // scale for a small query batch.
-    "sim_bruteforce_topk" -> ((s, dir) => {
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", VectorFunctions.l2(col("v")))
-      val q = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cos = VectorFunctions.cosinePre(
-        VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
-      v.join(broadcast(q), col("q_id") =!= col("vec_id"))
-        .withColumn("cosine", cos)
-        .filter(col("cosine") >= 0.3)
-        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("q_id", "vec_id")
-    }),
+    "sim_bruteforce_topk" -> ((s, dir) =>
+      thresholdSearch(
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v"))))),
 
     // Quantized search path: corpus stored int8-quantized (4× smaller
     // than float32 — the storage play for a 100 TB embedding corpus),
-    // scored against dequantized vectors with the same threshold
-    // shape as E1. Quantization isn't cleanly SQL-expressible →
-    // rows-only driver check; SketchSpec pins reconstruction error
-    // and recall vs the exact result.
+    // scored against dequantized vectors with the same protocol as
+    // E1 (shared thresholdSearch — the spec's recall comparison is
+    // protocol-identical by construction). Quantization isn't cleanly
+    // SQL-expressible → rows-only driver check; SketchSpec pins
+    // reconstruction error and recall vs the exact result.
     "sim_quantized_topk" -> ((s, dir) => {
       // Par.widen's exchange sits AFTER the dequantize projection on
-      // purpose: it materializes the reconstructed vectors once per
-      // row, stopping CollapseProject from substituting the
+      // purpose: it materializes the reconstructed vectors + norms
+      // once per row, stopping CollapseProject from substituting the
       // (interpreted, higher-order) quantize/dequantize expressions
       // into the per-pair join arithmetic
-      val v = graft.operators.Par.widen(
-          Tables.load(s, dir, "embeddings")
-            .select(col("vec_id"),
-              VectorFunctions.quantizeInt8(
-                VectorFunctions.asDouble(col("embedding"))).as("qv"))
-            .select(col("vec_id"),
-              VectorFunctions.dequantizeInt8(col("qv")).as("v"))
-            .withColumn("nrm", VectorFunctions.l2(col("v"))))
-      val q = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cos = VectorFunctions.cosinePre(
-        VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
-      v.join(broadcast(q), col("q_id") =!= col("vec_id"))
-        .withColumn("cosine", cos)
-        .filter(col("cosine") >= 0.3)
-        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
-        .orderBy("q_id", "vec_id")
+      thresholdSearch(graft.operators.Par.widen(
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            VectorFunctions.quantizeInt8(
+              VectorFunctions.asDouble(col("embedding"))).as("qv"))
+          .select(col("vec_id"),
+            VectorFunctions.dequantizeInt8(col("qv")).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v")))))
     })
   )
+
+  /** Shared E1/E4 search protocol over a (vec_id, v, nrm) frame:
+    * queries = vec_id ≡ 0 mod 100 (broadcast), threshold cosine ≥ 0.3,
+    * deterministic ordering. One definition so exact and quantized
+    * runs are always comparing the same protocol. */
+  private def thresholdSearch(v: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+    v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= 0.3)
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "vec_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" ->

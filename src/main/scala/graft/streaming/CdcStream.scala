@@ -121,23 +121,27 @@ object CdcStream {
 
   /** Generic incremental keyed-latest operator: holds the winning
     * record per key in `GroupState` (state O(|keys|), independent of
-    * stream length) and re-emits it whenever it changes. `newer`
-    * decides the replacement order — this is ReplacingMergeTree's
-    * version-column semantics as a reusable streaming combinator, so
-    * BOTH of the reference's CDC streams (nodes AND relationships,
-    * 01-init-tables.sql:23-37) run through one operator with their own
-    * record types. */
+    * stream length) and emits it only when it CHANGES — a batch of
+    * entirely stale events for a key produces no output, so a
+    * downstream change-feed consumer never double-processes an
+    * unchanged record. `newer` decides the replacement order — this
+    * is ReplacingMergeTree's version-column semantics as a reusable
+    * streaming combinator, so BOTH of the reference's CDC streams
+    * (nodes AND relationships, 01-init-tables.sql:23-37) run through
+    * one operator with their own record types. */
   def latestBy[K, V](ds: Dataset[V], key: V => K, newer: (V, V) => Boolean)(
       implicit ke: org.apache.spark.sql.Encoder[K],
       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] =
     ds.groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: K, it: Iterator[V], state: GroupState[V]) =>
-          var cur: Option[V] = state.getOption
+          val prior: Option[V] = state.getOption
+          var cur = prior
           it.foreach { e => if (cur.forall(newer(e, _))) cur = Some(e) }
           cur match {
-            case Some(v) => state.update(v); Iterator.single(v)
-            case None    => Iterator.empty
+            case Some(v) if !prior.contains(v) =>
+              state.update(v); Iterator.single(v)
+            case _ => Iterator.empty
           }
       }
 
