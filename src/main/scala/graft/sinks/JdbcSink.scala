@@ -16,10 +16,14 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
   */
 object JdbcSink {
 
-  /** ClickHouse-flavored defaults; pure and unit-testable. */
+  /** ClickHouse-flavored defaults; pure and unit-testable. The driver
+    * class is a parameter so the same sink lands in any JDBC endpoint
+    * (the round-trip spec runs it against embedded Derby). */
   def options(url: String, table: String, user: String, password: String,
               batchSize: Int = 100000, numPartitions: Int = 16,
-              truncate: Boolean = false): Map[String, String] = Map(
+              truncate: Boolean = false,
+              driver: String = "com.clickhouse.jdbc.ClickHouseDriver")
+      : Map[String, String] = Map(
     "url" -> url,
     "dbtable" -> table,
     "user" -> user,
@@ -29,16 +33,27 @@ object JdbcSink {
     "truncate" -> truncate.toString,
     "isolationLevel" -> "NONE",
     "rewriteBatchedStatements" -> "true",
-    "driver" -> "com.clickhouse.jdbc.ClickHouseDriver")
+    "driver" -> driver)
 
   /** A configured writer; caller invokes `.save()` (kept separate so
-    * construction is testable without a live database). */
+    * construction is testable without a live database). `coalesce`
+    * never *increases* a partition count, so applying it
+    * unconditionally caps connections at the bound while leaving
+    * narrower inputs untouched — no partition-count probe needed. */
   def writer(df: DataFrame, opts: Map[String, String],
              repartitionTo: Option[Int] = None): DataFrameWriter[Row] = {
     val base = repartitionTo
       .orElse(opts.get("numPartitions").map(_.toInt))
-      .map(n => if (df.rdd.getNumPartitions > n) df.coalesce(n) else df)
+      .map(df.coalesce)
       .getOrElse(df)
     base.write.format("jdbc").options(opts).mode("append")
   }
+
+  /** Read a table back through the same option set (the verification
+    * side of a round trip; also the migration path's reverse
+    * direction — reference 03-bulk-import.py reads Neo4j, writes
+    * ClickHouse; a Spark pipeline can do either direction). */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           opts: Map[String, String]): DataFrame =
+    spark.read.format("jdbc").options(opts).load()
 }
