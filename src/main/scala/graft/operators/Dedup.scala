@@ -96,15 +96,20 @@ object Dedup {
   /** D5: exact embedding near-duplicate pairs (cosine ≥ tau).
     *
     * Definitionally all-pairs: this is the small-scale correctness
-    * baseline; at 100 TB use the LSH (Similarity.lshTopK) or IVF
-    * (Similarity.ivfTopK) candidate generators, which replace the
-    * cross join with bucketed equi-joins. Norms are computed once per
-    * row before the join, so the pair-level work is one fused
-    * zip_with/aggregate dot product.
+    * baseline; at 100 TB use [[embeddingPairsLsh]] (same output
+    * contract, bucketed candidates) or the Similarity.lshTopK/ivfTopK
+    * search shapes. The [[Guard]] refuses inputs above `maxRows`
+    * unless `allowAllPairs = true`, so the O(n²) join is opt-in, not
+    * a foot-gun a billion-row corpus hits unawares. Norms are computed
+    * once per row before the join, so the pair-level work is one fused
+    * dot product.
     */
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                     tau: Double): DataFrame = {
-    val v = Par.widen(vecs).select(col(idCol).as("id"),
+                     tau: Double, maxRows: Long = 100000L,
+                     allowAllPairs: Boolean = false): DataFrame = {
+    val guarded = Guard.allPairsBaseline(vecs, maxRows, allowAllPairs,
+      "Dedup.embeddingPairs", "Dedup.embeddingPairsLsh")
+    val v = Par.widen(guarded).select(col(idCol).as("id"),
                         VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.l2(col("v")))
     val a = v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
@@ -113,6 +118,44 @@ object Dedup {
       VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
     a.join(b, col("i") < col("j"))
       .withColumn("cosine", cos)
+      .filter(col("cosine") >= tau)
+      .select(col("i"), col("j"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** D5-at-scale: embedding near-duplicate pairs (cosine ≥ tau) with
+    * random-hyperplane LSH candidate generation — the scalable twin of
+    * [[embeddingPairs]] with the SAME output contract.
+    *
+    * Candidates come from an equi-join on (table, bucket) sign-hash
+    * keys (shared bucketing with Similarity.lshTopK), so the shuffle
+    * is O(n · tables) bucket rows instead of O(n²) pairs; exact cosine
+    * then verifies every candidate, which makes the result a strict
+    * subset of the exact baseline (precision 1.0 — the approximation
+    * only loses pairs whose buckets never collide, bounded by the
+    * (1-(1-p^bits)^tables) collision probability; recall asserted in
+    * SketchSpec). Pass `dim` when known to skip the one-row probe.
+    */
+  def embeddingPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                        tau: Double, tables: Int = 16, bits: Int = 4,
+                        seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(vecs.select(size(col(vecCol))).head().getInt(0))
+    val planes = Similarity.hyperplanes(tables, bits, d, seed)
+    val v = Par.widen(vecs).select(col(idCol).as("id"),
+        VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val keyed = v.select(col("id"), col("v"), col("nrm"),
+      explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))
+    val a = keyed.select(col("bk"), col("id").as("i"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("bk"), col("id").as("j"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cand = a.join(b, Seq("bk"))
+      .where(col("i") < col("j"))
+      .select("i", "j", "va", "na", "vb", "nb")
+      .distinct() // same pair can collide in several tables
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
+    cand.withColumn("cosine", cos)
       .filter(col("cosine") >= tau)
       .select(col("i"), col("j"), round(col("cosine"), 4).as("cosine"))
   }

@@ -31,8 +31,9 @@ object Similarity {
   }
 
   /** (table, bucket) key pairs for one vector column: bit i of the
-    * bucket in table t = sign of v · plane(t)(i). */
-  private def bucketKeys(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    * bucket in table t = sign of v · plane(t)(i). Shared with
+    * [[Dedup.embeddingPairsLsh]] so search and dedup bucket identically. */
+  private[graft] def bucketKeys(v: Column, planes: Array[Array[Array[Double]]]): Column =
     array(planes.indices.map { t =>
       val key = planes(t).indices.map { i =>
         when(VectorFunctions.dot(v, typedlit(planes(t)(i).toSeq)) > 0,

@@ -52,9 +52,16 @@ object SimilarityQueries extends QueryPack {
   /** Shared E1/E4 search protocol over a (vec_id, v, nrm) frame:
     * queries = vec_id ≡ 0 mod 100 (broadcast), threshold cosine ≥ 0.3,
     * deterministic ordering. One definition so exact and quantized
-    * runs are always comparing the same protocol. */
-  private def thresholdSearch(v: org.apache.spark.sql.DataFrame)
+    * runs are always comparing the same protocol. Like the D5
+    * baseline, the corpus-side nested-loop scan is guarded: above
+    * `maxRows` the exact scan is opt-in (the scale path is
+    * Similarity.lshTopK / ivfTopK). */
+  private def thresholdSearch(v0: org.apache.spark.sql.DataFrame,
+                              maxRows: Long = 100000L,
+                              allowAllPairs: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
+    val v = graft.operators.Guard.allPairsBaseline(v0, maxRows, allowAllPairs,
+      "SimilarityQueries.thresholdSearch", "Similarity.lshTopK/ivfTopK")
     val q = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cos = VectorFunctions.cosinePre(

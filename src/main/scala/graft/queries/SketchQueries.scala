@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Sketches, Similarity}
+import graft.operators.{Dedup, Sketches, Similarity}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.D3/D4/E2/E3 — hash-sketch dedup and approximate
@@ -33,7 +33,16 @@ object SketchQueries extends QueryPack {
     // E3: IVF ANN, 16 centroids × 2 Lloyd iterations, nprobe=4, top-10.
     "sim_ivf_ann" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("q_id", "rk"))
+        .orderBy("q_id", "rk")),
+
+    // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
+    // cosine verify — the scalable twin of dedup_embedding (every
+    // returned pair is exactly-scored; SketchSpec pins precision 1.0
+    // and recall vs the all-pairs baseline).
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", tau = 0.4)
+        .orderBy("i", "j"))
   )
 
   // Not SQL-expressible (hash sketches) → rows-only checks.

@@ -107,6 +107,34 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall $recall")
   }
 
+  test("embedding LSH dedup: exact-verified subset of D5, recall >= 0.8") {
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.4)
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.4)
+    // precision 1.0: every candidate is exactly scored, so the LSH
+    // result (ids AND cosine values) is a strict subset of the
+    // all-pairs baseline
+    assert(lsh.exceptAll(exact).count() == 0,
+      "LSH produced a pair/score absent from the exact baseline")
+    val t = exact.count().toDouble
+    assert(t > 0)
+    val recall = exact.select("i", "j")
+      .intersect(lsh.select("i", "j")).count() / t
+    assert(recall >= 0.8, s"embedding LSH dedup recall $recall")
+  }
+
+  test("all-pairs baselines refuse oversized inputs unless opted in") {
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.4, maxRows = 100)
+        .count()
+    }
+    assert(err.getMessage.contains("allowAllPairs"),
+      s"guard message should name the opt-in: ${err.getMessage}")
+    // explicit opt-in still runs the exact baseline
+    val n = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.4,
+      maxRows = 100, allowAllPairs = true).count()
+    assert(n > 0)
+  }
+
   test("ANN candidates report exact cosine values") {
     // every (q, vec) the LSH path returns must carry the same cosine
     // as direct computation — the approximation is only in WHICH
