@@ -20,7 +20,10 @@ object Guard {
                        op: String, alternative: String): DataFrame = {
     if (!allow) {
       val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
-      val probed = df.limit(cap + 1).count()
+      // probe a zero-column projection: column pruning strips every
+      // upstream expression (e.g. E4's quantize/dequantize chain), so
+      // the probe counts rows without paying the input's per-row work
+      val probed = df.select().limit(cap + 1).count()
       require(probed <= cap,
         s"$op is an exact all-pairs (O(n^2)) baseline and its input exceeds " +
           s"$maxRows rows. Use $alternative at scale, or pass " +

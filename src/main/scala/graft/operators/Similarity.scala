@@ -43,15 +43,17 @@ object Similarity {
     }: _*)
 
   /** E2: LSH-bucketed approximate top-k. Queries = rows where
-    * `idCol % queryMod == 0` (same convention as E1). */
+    * `idCol % queryMod == 0` (same convention as E1). Pass `dim` when
+    * known to skip the one-row dimensionality probe. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              tables: Int = 16, bits: Int = 4, seed: Long = 42L): DataFrame = {
+              tables: Int = 16, bits: Int = 4, seed: Long = 42L,
+              dim: Option[Int] = None): DataFrame = {
     val v = Par.widen(vecs).select(
         col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.l2(col("v")))
-    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(tables, bits, dim, seed)
+    val d = dim.getOrElse(vecs.select(size(col(vecCol))).head().getInt(0))
+    val planes = hyperplanes(tables, bits, d, seed)
     val keyed = v.select(col("id"), col("v"), col("nrm"),
       explode(bucketKeys(col("v"), planes)).as("bk"))
     val data = keyed.select(col("bk"), col("id"), col("v"), col("nrm"))
@@ -67,24 +69,49 @@ object Similarity {
 
   /** Fit k-means-lite centroids: deterministic init (lowest ids),
     * `iters` Lloyd steps. Returns k × dim centroid matrix (driver-side
-    * model metadata, k·dim doubles). */
+    * model metadata, k·dim doubles).
+    *
+    * `fitSamplePct` < 100 fits on a deterministic content-hash sample
+    * ([[PipelineOps.hashKeep]] — reproducible across runs and
+    * partitionings) instead of the full corpus: centroid quality is a
+    * statistical property of the distribution, not the row count, so a
+    * sample fit yields statistically equivalent centroids at a
+    * fraction of the scan cost — at 100 TB this is the difference
+    * between Lloyd passes over terabytes and over a cached sample. The
+    * sample is cached for the duration of the fit (init + `iters`
+    * assignment/mean passes read it, not the source). Falls back to
+    * the full corpus when the sample can't seed k centroids. */
   def fitCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): Array[Array[Double]] = {
-    val v = vecs.select(col(idCol).as("id"),
+                   k: Int, iters: Int,
+                   fitSamplePct: Int = 100): Array[Array[Double]] = {
+    val full = vecs.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"))
-    var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
-        .collect().map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1).toArray).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i.toLong, centroids(i))).toArray
-    }
-    centroids
+    val sampled =
+      if (fitSamplePct >= 100) full
+      else full.filter(PipelineOps.hashKeep(col("id"), lit(fitSamplePct)))
+    val v = sampled.cache()
+    try {
+      var init: Array[Array[Double]] = v.orderBy("id").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      // degenerate sample (fewer rows than centroids): fit on everything
+      val fitOn = if (init.length < k) {
+        init = full.orderBy("id").limit(k)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        full
+      } else v
+      var centroids = init
+      for (_ <- 0 until iters) {
+        val assigned = fitOn.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
+          .collect().map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1).toArray).toMap
+        centroids = centroids.indices.map(i => means.getOrElse(i.toLong, centroids(i))).toArray
+      }
+      centroids
+    } finally v.unpersist(blocking = false)
   }
 
   /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an
@@ -102,11 +129,16 @@ object Similarity {
 
   /** E3: IVF approximate top-k — data assigned to its nearest
     * centroid, queries probe the `nprobe` nearest centroid partitions;
-    * exact cosine within the probed partitions only. */
+    * exact cosine within the probed partitions only. The centroid fit
+    * runs on a 10% hash-sample by default (see [[fitCentroids]]) —
+    * the search join is unchanged; only the model-fitting scans
+    * shrink. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 6): DataFrame = {
-    val centroids = fitCentroids(vecs, idCol, vecCol, nCentroids, iters)
+              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 6,
+              fitSamplePct: Int = 10): DataFrame = {
+    val centroids = fitCentroids(vecs, idCol, vecCol, nCentroids, iters,
+      fitSamplePct)
     val v = Par.widen(vecs).select(
         col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.l2(col("v")))

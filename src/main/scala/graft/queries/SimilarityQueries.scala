@@ -21,7 +21,7 @@ object SimilarityQueries extends QueryPack {
     // scale for a small query batch.
     "sim_bruteforce_topk" -> ((s, dir) =>
       thresholdSearch(
-        Tables.load(s, dir, "embeddings")
+        guardCorpus(Tables.load(s, dir, "embeddings"), "sim_bruteforce_topk")
           .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v"))))),
 
@@ -39,7 +39,7 @@ object SimilarityQueries extends QueryPack {
       // (interpreted, higher-order) quantize/dequantize expressions
       // into the per-pair join arithmetic
       thresholdSearch(graft.operators.Par.widen(
-        Tables.load(s, dir, "embeddings")
+        guardCorpus(Tables.load(s, dir, "embeddings"), "sim_quantized_topk")
           .select(col("vec_id"),
             VectorFunctions.quantizeInt8(
               VectorFunctions.asDouble(col("embedding"))).as("qv"))
@@ -49,19 +49,22 @@ object SimilarityQueries extends QueryPack {
     })
   )
 
+  /** The D5-style size guard on the RAW corpus table — probed before
+    * any per-row vector work, so the guard costs a zero-column scan,
+    * not an extra pass through quantize/dequantize/norm chains. */
+  private def guardCorpus(t: org.apache.spark.sql.DataFrame, op: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Guard.allPairsBaseline(t, maxRows = 100000L,
+      allow = false, op, "Similarity.lshTopK/ivfTopK")
+
   /** Shared E1/E4 search protocol over a (vec_id, v, nrm) frame:
     * queries = vec_id ≡ 0 mod 100 (broadcast), threshold cosine ≥ 0.3,
     * deterministic ordering. One definition so exact and quantized
-    * runs are always comparing the same protocol. Like the D5
-    * baseline, the corpus-side nested-loop scan is guarded: above
-    * `maxRows` the exact scan is opt-in (the scale path is
-    * Similarity.lshTopK / ivfTopK). */
-  private def thresholdSearch(v0: org.apache.spark.sql.DataFrame,
-                              maxRows: Long = 100000L,
-                              allowAllPairs: Boolean = false)
+    * runs are always comparing the same protocol. Callers guard the
+    * corpus with [[guardCorpus]]: the nested-loop scan is the exact
+    * baseline, opt-out above 100k rows (scale path: Similarity LSH/IVF). */
+  private def thresholdSearch(v: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val v = graft.operators.Guard.allPairsBaseline(v0, maxRows, allowAllPairs,
-      "SimilarityQueries.thresholdSearch", "Similarity.lshTopK/ivfTopK")
     val q = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cos = VectorFunctions.cosinePre(
