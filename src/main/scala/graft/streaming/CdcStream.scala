@@ -52,6 +52,59 @@ object CdcStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Spark option map for a Kafka CDC source, mirroring the
+    * reference's ClickHouse Kafka-engine table settings
+    * (clickhouse/init/01-init-tables.sql:40-61): broker list
+    * (`kafka_broker_list`), topic (`kafka_topic_list`), consumer group
+    * (`kafka_group_name`), and a per-trigger row bound
+    * (`maxOffsetsPerTrigger` — the Structured Streaming form of
+    * `kafka_max_block_size`: it caps rows per micro-batch so a restart
+    * against a deep backlog replays in bounded batches instead of one
+    * giant catch-up trigger). `failOnDataLoss=false` matches the
+    * connector's `errors.tolerance=all` stance
+    * (kafka-connect/neo4j-cdc-nodes-source.json): aged-out offsets log
+    * and continue rather than kill a perpetual pipeline. Keys with the
+    * `kafka.` prefix pass through to the underlying consumer. */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+                         groupId: String,
+                         startingOffsets: String = "earliest",
+                         maxOffsetsPerTrigger: Long = 1048576L,
+                         failOnDataLoss: Boolean = false): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "kafka.group.id" -> groupId,
+      "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      "failOnDataLoss" -> failOnDataLoss.toString)
+
+  /** A configured Kafka stream reader — the production binding for the
+    * same dataflow the file-source entries run. Calling `.load()`
+    * requires the spark-sql-kafka connector jar on the cluster
+    * classpath (standard on any Spark-with-Kafka deployment; not in
+    * this sandbox, so specs assert construction + the wire decode path
+    * separately). */
+  def readKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+                groupId: String,
+                startingOffsets: String = "earliest",
+                maxOffsetsPerTrigger: Long = 1048576L,
+                failOnDataLoss: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topic, groupId,
+        startingOffsets, maxOffsetsPerTrigger, failOnDataLoss))
+
+  /** Kafka wire format → the single raw-string column the reference's
+    * JSONAsString queue tables model (`raw String`,
+    * 01-init-tables.sql:41): the Kafka source delivers `value` as
+    * binary; decode UTF-8 and hand the result to the SAME
+    * CdcJson.parseNodes/parseRels columns the batch and file-stream
+    * paths use. Works on any frame with a binary `value` column, so
+    * the decode+parse pipeline is testable without a broker. */
+  def fromKafkaValue(df: DataFrame): DataFrame =
+    df.select(col("value").cast("string").as("raw"))
+
   /** H1: tumbling 1-day windowed counts per event type — the
     * streaming twin of cdc_monthly_counts/cdc_event_type_counts; with
     * AvailableNow over a static file set the result equals the batch
