@@ -1,6 +1,10 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.time.YearMonth
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.I2 — month-partitioned parquet sink: the storage layout
@@ -49,6 +53,84 @@ object ParquetSink {
     writeMonthly(
       graft.operators.CurrentState.latest(events, entityCol, orderCols),
       tsCol, path, mode)
+
+  /** Month partition values present under a monthly-partitioned tree
+    * (directory listing only — no data read). */
+  def listMonths(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("month="))
+      .map(_.stripPrefix("month="))
+      .sorted
+  }
+
+  /** Retention by partition drop — the reference's `ALTER TABLE ...
+    * DROP PARTITION` against `PARTITION BY toYYYYMM`
+    * (01-init-tables.sql:19) as a Spark-layout operation: months
+    * strictly before `beforeMonth` (yyyyMM) are deleted as whole
+    * directories. Metadata-only — no row is ever read, which is what
+    * makes retention O(months) instead of O(data) at 100 TB. Returns
+    * the dropped months. */
+  def dropMonths(spark: SparkSession, path: String,
+                 beforeMonth: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = listMonths(spark, path).filter(_ < beforeMonth)
+    drop.foreach(m => fs.delete(new Path(p, s"month=$m"), true))
+    drop
+  }
+
+  private val monthFmt = DateTimeFormatter.ofPattern("yyyyMM")
+
+  /** Time-range delete (SURVEY §1 item 6): remove rows with
+    * `fromTs <= tsCol < untilTs`, touching only the partitions the
+    * range overlaps — months fully inside the range are dropped as
+    * directories (no read, like [[dropMonths]]); the at-most-two
+    * boundary months are rewritten (read ONLY that month's directory,
+    * filter, write to a staging dir, swap via rename), and every other
+    * partition's files are left bit-for-bit untouched. That bounds the
+    * rewrite cost at two months of data regardless of table size — a
+    * delete-by-query over the whole table would be O(table).
+    * Timestamps are ISO strings interpreted in the session time zone.
+    * Returns (droppedMonths, rewrittenMonths). */
+  def deleteTimeRange(spark: SparkSession, path: String, tsCol: String,
+                      fromTs: String, untilTs: String)
+      : (Seq[String], Seq[String]) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
+    val until = java.time.LocalDateTime.parse(untilTs.replace(' ', 'T'))
+    val inRange = col(tsCol) >= lit(fromTs).cast("timestamp") &&
+      col(tsCol) < lit(untilTs).cast("timestamp")
+    val affected = listMonths(spark, path).flatMap { m =>
+      val ym = YearMonth.parse(m, monthFmt)
+      val mStart = ym.atDay(1).atStartOfDay()
+      val mEnd = ym.plusMonths(1).atDay(1).atStartOfDay()
+      if (!mEnd.isAfter(from) || !mStart.isBefore(until)) None // untouched
+      else Some(m -> (!mStart.isBefore(from) && !mEnd.isAfter(until)))
+    }
+    val (full, boundary) = affected.partition(_._2)
+    full.foreach { case (m, _) => fs.delete(new Path(root, s"month=$m"), true) }
+    val rewritten = boundary.map(_._1).filter { m =>
+      val dir = new Path(root, s"month=$m")
+      // dot-prefixed staging is invisible to Spark's file listing, so
+      // concurrent readers of the tree never see a half-written month
+      val tmp = new Path(root, s".graft_rewrite_month_$m")
+      fs.delete(tmp, true)
+      spark.read.parquet(dir.toString)
+        .filter(!inRange)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      val keptAny = fs.globStatus(new Path(tmp, "part-*")).exists(_.getLen > 0)
+      if (keptAny) fs.rename(tmp, dir) else fs.delete(tmp, true)
+      keptAny
+    }
+    (full.map(_._1) ++ boundary.map(_._1).diff(rewritten), rewritten)
+  }
 
   /** Bucketed layout for co-located joins: tables bucketed AND sorted
     * on the same join key join with zero shuffle and zero sort (the
