@@ -22,9 +22,15 @@ object PipelineOps {
     */
   /** 0–99 hash bucket of a column's string form — the one bucketing
     * expression shared by splitting and sampling (its DuckDB oracle
-    * mirror is `('0x' || substr(md5(x), 1, 8))::BIGINT % 100`). */
+    * mirror is `('0x' || substr(md5(x), 1, 8))::BIGINT % 100`).
+    * A NULL key buckets as the empty string rather than propagating
+    * NULL: md5(NULL) would make the keep-predicate NULL → silently
+    * dropped rows, under-sampling any tier with null keys at every
+    * pct — including 100 (observed-risk from review; now nulls are
+    * deterministically assigned like any other value). */
   private def hashBucket(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    conv(substring(md5(coalesce(c.cast("string"), lit(""))), 1, 8), 16, 10)
+      .cast("long") % 100
 
   def splitAssign(contentCol: String,
                   pctTrain: Int = 80, pctVal: Int = 10): Column = {
@@ -43,6 +49,17 @@ object PipelineOps {
     */
   def hashKeep(keyCol: Column, pct: Column): Column =
     hashBucket(keyCol) < pct
+
+  /** The reference's `ORDER BY rand() LIMIT n` sampling
+    * (04-optimize-tables.sql:124-131), seeded. Physically this is
+    * TakeOrderedAndProject — each partition keeps its top-n by the
+    * seeded draw and the driver merges n·partitions candidate rows —
+    * so there is no global sort and no full shuffle at any scale.
+    * `rand(seed)` is deterministic per (partition, row position):
+    * reproducible for a fixed input layout; for layout-independent
+    * sampling use [[hashKeep]] (content-keyed). */
+  def sampleRand(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
 
   /** Decontamination: flag training documents sharing ≥ `minShared`
     * distinct word n-grams with any document of the eval set
@@ -82,18 +99,31 @@ object PipelineOps {
     * shallow; the driver loop stops at the fixpoint, detected by the
     * strictly-decreasing label sum).
     */
+  /** @param checkpointDir when set, iteration state is written to this
+    *   RELIABLE checkpoint location (HDFS/S3 on a cluster) instead of
+    *   `localCheckpoint`: local checkpoints pin blocks to executors,
+    *   so one executor loss mid-iteration kills the job — fine on a
+    *   laptop, not across a 1000-executor fleet where some loss is
+    *   routine. Reliable checkpoints survive executor churn at the
+    *   cost of a write per truncation. Default stays local (tests,
+    *   single-node). */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
-                    maxIters: Int = 20): DataFrame = {
+                    maxIters: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // materialize the edge list ONCE — it participates in every
     // iteration's join, and without truncation each iteration would
     // re-run the (expensive) upstream pair-generation pipeline
-    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
-      .localCheckpoint()
-    var labels = edges.groupBy("a")
+    val edges = ck(pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b"))))
+    var labels = ck(edges.groupBy("a")
       .agg(min(least(col("a"), col("b"))).as("lbl"))
-      .select(col("a").as("n"), col("lbl"))
-      .localCheckpoint()
+      .select(col("a").as("n"), col("lbl")))
     var converged = false
     var iter = 0
     var prevSum = labels.agg(sum("lbl")).head().getLong(0)
@@ -102,11 +132,10 @@ object PipelineOps {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("n", "b"), "b")
         .groupBy(col("a").as("n")).agg(min(col("lbl")).as("nlbl"))
-      // localCheckpoint truncates the per-iteration lineage (standard
+      // checkpointing truncates the per-iteration lineage (standard
       // for iterative graph algorithms) so plan size stays constant
-      val next = labels.join(viaNeighbors, "n")
-        .select(col("n"), least(col("lbl"), col("nlbl")).as("lbl"))
-        .localCheckpoint()
+      val next = ck(labels.join(viaNeighbors, "n")
+        .select(col("n"), least(col("lbl"), col("nlbl")).as("lbl")))
       val sumNow = next.agg(sum("lbl")).head().getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow

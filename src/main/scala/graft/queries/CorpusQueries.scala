@@ -51,6 +51,16 @@ object CorpusQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // the reference's `ORDER BY rand() LIMIT n` spot-check sampling
+    // (04-optimize-tables.sql:124-131), seeded. Rows-only: DuckDB's
+    // rand() stream can't equal Spark's; determinism + size + subset
+    // invariants live in CorpusSpec.
+    "sample_rand" -> ((s, dir) =>
+      PipelineOps.sampleRand(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        n = 20, seed = 7L)
+        .orderBy("doc_id")),
+
     // corpus token-count distribution per language — the shape/mixing
     // stats a data-curation run reports. Exact interpolated
     // percentiles (both engines use linear interpolation); one

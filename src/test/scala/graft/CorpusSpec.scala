@@ -43,6 +43,32 @@ class CorpusSpec extends SparkSpec {
     assert(got.count() == 12)
   }
 
+  test("dedup clusters: reliable-checkpoint mode yields identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val reliable = PipelineOps.dedupClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the reliable mode actually wrote checkpoint data
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty,
+      "checkpoint dir should contain written state")
+  }
+
+  test("sampleRand: seeded, fixed size, subset of the source") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id")
+    def run(seed: Long): Seq[Long] =
+      PipelineOps.sampleRand(docs, 20, seed)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val a = run(7L)
+    assert(a.size == 20 && a.distinct.size == 20)
+    assert(a == run(7L), "same seed, same layout -> same sample")
+    assert(a != run(8L), "different seed -> different sample")
+    val ids = docs.collect().map(_.getLong(0)).toSet
+    assert(a.forall(ids), "sample rows come from the source")
+  }
+
   test("decontaminate flags only cross-set overlap") {
     // doc 1 (train) copies eval doc 100's text -> flagged;
     // doc 2 (train) is unique -> clean
