@@ -23,8 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default driver heap degrades with the machine: min(24g, half of
+// physical RAM), floor 4g — a laptop gets a heap its RAM can hold
+// instead of a failed JVM start; the bench box still gets 24g.
+// SPARK_DRIVER_MEM overrides either way.
+val defaultHeapGb: Int =
+  try {
+    val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong)
+      .getOrElse(16L * 1024 * 1024)
+    math.max(4, math.min(24, (kb / (2L * 1024 * 1024)).toInt))
+  } catch { case _: Throwable => 8 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -47,8 +47,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       err.foreach(m => errors ::= (name -> m))
-      name -> times.min
-    }
+      // a failed query gets NO timing row: time-to-exception is near
+      // zero and would read as the fastest query in the bench JSON
+      if (err.isEmpty) Some(name -> times.min) else None
+    }.flatten
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

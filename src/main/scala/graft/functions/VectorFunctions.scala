@@ -58,17 +58,29 @@ object VectorFunctions {
     * because float-rounding the scale down can push max|x|/scale a
     * hair past 127 (which an ANSI byte cast would turn into a crash).
     *
-    * Note for bulk pipelines: the max|x| aggregate appears once in
-    * the struct and once inside the per-element lambda (higher-order
-    * lambdas are interpreted and not subexpression-eliminated), so
-    * stage the quantized column behind an exchange — as
-    * `sim_quantized_topk` does — rather than inlining this expression
-    * into wider per-pair arithmetic.
+    * Prefer the two-argument form with [[int8Scale]] computed in its
+    * OWN projection: the inlined one-argument form substitutes the
+    * max|x| aggregate into the per-element transform lambda
+    * (higher-order lambdas are interpreted and not
+    * subexpression-eliminated), making each row O(d²). With the scale
+    * staged as a column, the lambda references a per-row attribute —
+    * evaluated once per row — and CollapseProject will not re-inline
+    * it (it refuses to duplicate non-cheap expressions used more than
+    * once).
     */
-  def quantizeInt8(v: Column): Column = {
+  def quantizeInt8(v: Column): Column = quantizeInt8(v, int8Scale(v))
+
+  /** The per-vector quantization scale, float-rounded: max|x| / 127.
+    * Compute this in a separate projection and pass it to
+    * [[quantizeInt8]](v, scale) so the aggregate runs once per row. */
+  def int8Scale(v: Column): Column =
+    (aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+      / lit(127.0d)).cast("float")
+
+  /** [[quantizeInt8]] with a precomputed [[int8Scale]] column. */
+  def quantizeInt8(v: Column, scaleF: Column): Column = {
     // float-rounded scale: quantize and dequantize share this value
-    val scale = (aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
-      / lit(127.0d)).cast("float").cast("double")
+    val scale = scaleF.cast("float").cast("double")
     struct(
       scale.cast("float").as("scale"),
       when(scale === 0.0d, transform(v, _ => lit(0).cast("byte")))

@@ -21,9 +21,19 @@ import graft.streaming.CdcStream
   */
 object PipelineQueries extends QueryPack {
 
-  // staging dirs already written by THIS process (see stream_json_parse)
+  // source dir -> fully-written staging path (see stream_json_parse).
+  // Keyed on the md5 of the FULL source path (32-bit String.hashCode
+  // could collide two dataset dirs and silently stream the wrong
+  // staged payloads), and populated inside computeIfAbsent so the
+  // path is published only after the write completes — a concurrent
+  // second caller blocks until the first finishes (happens-before via
+  // the map's internal lock) instead of reading a half-written dir.
   private val stagedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
@@ -73,13 +83,14 @@ object PipelineQueries extends QueryPack {
       // staged payloads would silently diverge from the live oracle):
       // the synthesized wire-format file set is test INPUT, not part
       // of the streamed work being exercised/measured
-      val staging = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_stream_json_${Integer.toHexString(dir.hashCode)}"
-      if (stagedDirs.add(staging)) {
+      val staging = stagedDirs.computeIfAbsent(dir, d => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_stream_json_${md5Hex(d)}"
         graft.sources.CdcJson
-          .synthesizeNodeJson(Tables.load(s, dir, "events"))
-          .write.mode("overwrite").text(staging)
-      }
+          .synthesizeNodeJson(Tables.load(s, d, "events"))
+          .write.mode("overwrite").text(p)
+        p
+      })
       val raw = s.readStream
         .schema(new org.apache.spark.sql.types.StructType()
           .add("value", org.apache.spark.sql.types.StringType))

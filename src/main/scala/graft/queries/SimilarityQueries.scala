@@ -41,8 +41,13 @@ object SimilarityQueries extends QueryPack {
       thresholdSearch(graft.operators.Par.widen(
         guardCorpus(Tables.load(s, dir, "embeddings"), "sim_quantized_topk")
           .select(col("vec_id"),
-            VectorFunctions.quantizeInt8(
-              VectorFunctions.asDouble(col("embedding"))).as("qv"))
+            VectorFunctions.asDouble(col("embedding")).as("v0"))
+          // scale staged in its own projection (split API): the
+          // max|x| aggregate runs once per row, not once per element
+          .select(col("vec_id"), col("v0"),
+            VectorFunctions.int8Scale(col("v0")).as("sc"))
+          .select(col("vec_id"),
+            VectorFunctions.quantizeInt8(col("v0"), col("sc")).as("qv"))
           .select(col("vec_id"),
             VectorFunctions.dequantizeInt8(col("qv")).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))))
