@@ -20,8 +20,18 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     B.column(DotProduct(B.expression(a), B.expression(b)))
 
-  /** L2 norm. */
-  def l2(v: Column): Column = sqrt(dot(v, v))
+  /** L2 norm — deliberately NON-NULLABLE (null vector → 0.0, which
+    * downstream try_divide turns into the same null cosine a null
+    * norm would). Nullability here is a plan-shape issue, not a
+    * semantics one: a nullable norm column referenced in a join/filter
+    * condition makes InferFiltersFromConstraints add an
+    * `isnotnull(nrm)` predicate, and predicate pushdown then expands
+    * the norm's ENTIRE defining expression into a pre-projection
+    * filter — for the quantized search path that re-computed the full
+    * quantize→dequantize→norm chain once per row just to null-check
+    * it (measured ~2× on E4). A non-nullable column generates no
+    * isnotnull constraint at all. */
+  def l2(v: Column): Column = coalesce(sqrt(dot(v, v)), lit(0.0d))
 
   /** Cosine similarity of two double arrays. NULL (not an error) for
     * a zero-norm vector: Spark 4 runs ANSI mode by default, where a

@@ -198,6 +198,58 @@ object CdcStream {
           }
       }
 
+  /** [[latestBy]] with event-time state TTL — the "watermark + state
+    * TTL for entity churn" deployment shape: a perpetual CDC stream
+    * accretes one state row per entity EVER SEEN, so at 100 TB/year of
+    * churning entities (ephemeral sessions, short-lived edges) the
+    * state store grows without bound unless idle keys age out. Keys
+    * whose newest event falls `ttl` behind the watermark are evicted
+    * (silently — eviction is GC, not a data change; a later event for
+    * an evicted key simply re-creates it like a first sighting).
+    *
+    * The input stream MUST carry a watermark (`withWatermark`) —
+    * EventTimeTimeout requires one, and Spark also uses it to drop
+    * late events, which is what makes eviction safe: an event that
+    * could out-version an evicted key is by definition older than the
+    * watermark and never reaches the operator. The timeout lease is
+    * re-armed from each key's newest event time, clamped above the
+    * current watermark (a timestamp at-or-below it would be rejected).
+    */
+  def latestByExpiring[K, V](ds: Dataset[V], key: V => K,
+                             newer: (V, V) => Boolean,
+                             eventTimeUs: V => Long, ttlMs: Long)(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, it: Iterator[V], state: GroupState[V]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior: Option[V] = state.getOption
+            var cur = prior
+            var maxTsUs = Long.MinValue
+            it.foreach { e =>
+              maxTsUs = math.max(maxTsUs, eventTimeUs(e))
+              if (cur.forall(newer(e, _))) cur = Some(e)
+            }
+            val lease = math.max(maxTsUs / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L)
+            cur match {
+              case Some(v) if !prior.contains(v) =>
+                state.update(v)
+                state.setTimeoutTimestamp(lease)
+                Iterator.single(v)
+              case Some(_) =>
+                // stale batch: no emission, but activity re-arms the lease
+                state.setTimeoutTimestamp(lease)
+                Iterator.empty
+              case None => Iterator.empty
+            }
+          }
+      }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized table. */
   def runToMemory(df: DataFrame, outputMode: OutputMode): DataFrame = {

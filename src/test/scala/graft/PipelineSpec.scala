@@ -19,6 +19,11 @@ import graft.streaming.CdcStream
 case class RelEv(rel_id: Long, ts_us: Long, edge_key: String,
                  rel_type: String, op: String)
 
+/** Event with a real timestamp field for the TTL spec (EventTimeTimeout
+  * needs a watermark on an event-time column of the typed record). */
+case class TtlEv(entity: Long, ts: java.sql.Timestamp, ver: Long,
+                 payload: String)
+
 class PipelineSpec extends SparkSpec {
 
   test("jdbc sink options: batched, isolation NONE, bounded connections") {
@@ -198,6 +203,44 @@ class PipelineSpec extends SparkSpec {
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     assert(stateRows <= 2, s"closed-window state not evicted: $stateRows rows")
     q.stop()
+  }
+
+  test("latestByExpiring evicts idle keys past the TTL, live keys survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[TtlEv]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds")
+    val q = CdcStream.latestByExpiring[Long, TtlEv](withWm, _.entity,
+        newer = (a, b) => a.ts.getTime > b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.ver > b.ver),
+        eventTimeUs = _.ts.getTime * 1000L,
+        ttlMs = 50000L) // 50 s of idleness allowed
+      .toDF()
+      .writeStream.format("memory").queryName("pipelinespec_ttl")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: entities 7 and 8 at t=100s (leases run to 150s)
+    mem.addData(TtlEv(7, ts(100), 1, "a"), TtlEv(8, ts(100), 1, "b"))
+    q.processAllAvailable()
+    // batch 2 advances the watermark to 1000s; batch 3 triggers the
+    // timeout pass under the new watermark — 7 and 8 age out, 9 lives
+    mem.addData(TtlEv(9, ts(1000), 1, "c"))
+    q.processAllAvailable()
+    mem.addData(TtlEv(9, ts(1001), 2, "c2"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1,
+      s"idle entities should be evicted, live one kept: $stateRows state rows")
+    // an evicted entity's next event re-creates it like a first sighting
+    mem.addData(TtlEv(7, ts(1002), 2, "back"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("pipelinespec_ttl")
+      .filter(col("entity") === 7).select("payload")
+      .collect().map(_.getString(0)).toSeq
+    assert(emitted == Seq("a", "back"), s"re-sighting emits again: $emitted")
+    assert(spark.table("pipelinespec_ttl")
+      .filter(col("entity") === 9).count() == 2, "live entity kept updating")
   }
 
   test("foreachBatch sink lands every row through the batch writer") {

@@ -86,4 +86,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("lang"), "dedup_exact must not read lang/source")
   }
+
+  test("dedup_embedding_lsh generates candidates via equi-join, never a loop join") {
+    // without the bucket keys this degenerates to the D5 nested-loop
+    // shape — the whole point of the operator is that it does not
+    val plan = staticPlan("dedup_embedding_lsh")
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty,
+      s"LSH dedup must join on bucket keys, found ${loops.size} loop joins")
+  }
+
+  test("sample_rand is a bounded top-n, not a global sort") {
+    val plan = formatted("sample_rand")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy(rand).limit must plan as per-partition top-n + merge")
+  }
+
+  test("quantized search computes the scale aggregate exactly once per side") {
+    // two regressions collapse into this count: (1) the inlined
+    // quantize form substitutes the max|x| aggregate into per-element
+    // lambdas (the split int8Scale API prevents it); (2) a NULLABLE
+    // norm column lets InferFiltersFromConstraints add isnotnull(nrm),
+    // whose pushdown re-expands the whole dequantize chain into a
+    // per-row filter (non-nullable l2 prevents it). Either failure
+    // multiplies the occurrence count well past 2 (corpus + query side).
+    val plan = SparkEntry.queries("sim_quantized_topk")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val occurrences = "aggregate\\(".r.findAllIn(plan).size
+    assert(occurrences <= 2,
+      s"max-abs aggregate appears $occurrences times - scale duplicated")
+  }
 }
