@@ -159,6 +159,31 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Land a stream into the monthly-partitioned parquet layout — the
+    * streaming twin of [[graft.sinks.ParquetSink.writeMonthly]], so a
+    * CDC stream's landing zone is born with the reference's MergeTree
+    * partition layout (01-init-tables.sql:19): time-range queries
+    * prune month directories immediately, and retention
+    * ([[graft.sinks.ParquetSink.dropMonths]] / `deleteTimeRange`)
+    * operates on it directly. Append-mode foreachBatch: replays after
+    * a restart re-append, and the downstream latest-state collapse
+    * (CurrentState) absorbs duplicates — the same at-least-once
+    * stance as the JDBC landing. */
+  def landMonthly(df: DataFrame, tsCol: String, path: String,
+                  checkpointDir: String,
+                  maxRecordsPerFile: Long = 5000000L): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.ParquetSink.writeMonthly(batch.toDF(), tsCol, path,
+          mode = "append", maxRecordsPerFile = maxRecordsPerFile)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** H2: incremental ReplacingMergeTree FINAL — newest event per
     * entity held in `GroupState`, re-emitted on update. State is one
     * row per entity (bounded by |entities|, not |events|); a Kafka

@@ -61,6 +61,52 @@ class RetentionSpec extends SparkSpec {
     assert(fileState(s"$out/month=202603") == marchBefore)
   }
 
+  test("deleteTimeRange == plain anti-filter on randomized ranges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 200L).map { id =>
+      val month = 1 + rnd.nextInt(6)
+      val day = 1 + rnd.nextInt(28)
+      val hour = rnd.nextInt(24)
+      (id, f"2026-$month%02d-$day%02d $hour%02d:00:00")
+    }
+    val df = rows.toDF("id", "ts_s")
+      .select(col("id"), to_timestamp(col("ts_s")).as("ts"))
+    (1 to 5).foreach { _ =>
+      val m1 = 1 + rnd.nextInt(6); val d1 = 1 + rnd.nextInt(28)
+      val m2 = m1 + rnd.nextInt(7 - m1); val d2 = 1 + rnd.nextInt(28)
+      val (from, until) = {
+        val a = f"2026-$m1%02d-$d1%02d 00:00:00"
+        val b = f"2026-$m2%02d-$d2%02d 12:00:00"
+        if (a <= b) (a, b) else (b, a)
+      }
+      val out = Files.createTempDirectory("graft_trdel_rand").toString
+      ParquetSink.writeMonthly(df, "ts", out, mode = "overwrite")
+      ParquetSink.deleteTimeRange(spark, out, "ts", from, until)
+      val got = ParquetSink.readMonthly(spark, out)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = df.filter(!(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(until).cast("timestamp")))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"range [$from, $until): " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("streaming landMonthly writes the retention-ready layout") {
+    val out = Files.createTempDirectory("graft_land").toString
+    val ckpt = Files.createTempDirectory("graft_land_ckpt").toString
+    val stream = graft.streaming.CdcStream.readEvents(spark, sfDir)
+    graft.streaming.CdcStream.landMonthly(stream, "ts", out, ckpt)
+    val events = Tables.load(spark, sfDir, "events")
+    val back = ParquetSink.readMonthly(spark, out)
+    assert(back.count() == events.count(), "every streamed row landed")
+    val wantMonths = events
+      .select(ParquetSink.monthKey(col("ts"))).distinct().count()
+    assert(ParquetSink.listMonths(spark, out).size == wantMonths,
+      "landing zone carries the month partition layout")
+  }
+
   test("deleteTimeRange: boundary month emptied entirely becomes a drop") {
     val out = Files.createTempDirectory("graft_trdel2").toString
     threeMonths(out)
