@@ -145,14 +145,19 @@ object Dedup {
       .withColumn("nrm", VectorFunctions.l2(col("v")))
     val keyed = v.select(col("id"), col("v"), col("nrm"),
       explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))
-    val a = keyed.select(col("bk"), col("id").as("i"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = keyed.select(col("bk"), col("id").as("j"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val cand = a.join(b, Seq("bk"))
-      .where(col("i") < col("j"))
-      .select("i", "j", "va", "na", "vb", "nb")
+    // candidate pairs carry ONLY ids through the bucket join and the
+    // multi-table dedup: the distinct shuffles 16-byte (i, j) pairs,
+    // not per-candidate vector payloads (at corpus scale candidates
+    // outnumber rows — shuffling arrays per candidate would dominate
+    // the whole job). Vectors re-attach by two id equi-joins after.
+    val ids = keyed.select(col("bk"), col("id"))
+    val pairs = ids.join(ids.withColumnRenamed("id", "j"), "bk")
+      .where(col("id") < col("j"))
+      .select(col("id").as("i"), col("j"))
       .distinct() // same pair can collide in several tables
+    val cand = pairs
+      .join(v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
+      .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
     cand.withColumn("cosine", cos)

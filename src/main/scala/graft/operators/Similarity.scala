@@ -56,14 +56,20 @@ object Similarity {
     val planes = hyperplanes(tables, bits, d, seed)
     val keyed = v.select(col("id"), col("v"), col("nrm"),
       explode(bucketKeys(col("v"), planes)).as("bk"))
-    val data = keyed.select(col("bk"), col("id"), col("v"), col("nrm"))
-    val queries = keyed.filter(col("id") % queryMod === 0)
-      .select(col("bk"), col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cand = queries.join(data, "bk")
+    // the bucket join and multi-table distinct move ONLY id pairs;
+    // vectors re-attach by id equi-joins afterwards — the distinct's
+    // shuffle is 16 bytes per candidate instead of two embedding
+    // payloads per candidate (see Dedup.embeddingPairsLsh)
+    val ids = keyed.select(col("bk"), col("id"))
+    val pairs = ids.filter(col("id") % queryMod === 0)
+      .withColumnRenamed("id", "q_id")
+      .join(ids, "bk")
       .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
-              col("v"), col("nrm"))
+      .select(col("q_id"), col("id").as("vec_id"))
       .distinct() // same pair can collide in several tables
+    val cand = pairs
+      .join(v.select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(v.select(col("id").as("vec_id"), col("v"), col("nrm")), "vec_id")
     topK(cand, k)
   }
 
