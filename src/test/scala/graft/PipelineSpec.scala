@@ -205,6 +205,44 @@ class PipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("latestBy final state is independent of micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 60).map { i =>
+      CdcStream.Ev(i.toLong, rnd.nextInt(1000).toLong,
+        (1 + rnd.nextInt(5)).toLong, s"t${rnd.nextInt(3)}", rnd.nextDouble())
+    }
+    // ground truth: newest (ts, id) per user, batching-independent
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      u -> es.maxBy(e => (e.ts_us, e.event_id)).event_id
+    }
+    (1 to 3).foreach { trial =>
+      // random batch boundaries over the SAME ordered event stream
+      val batches = events.foldLeft(List(List.empty[CdcStream.Ev])) {
+        (acc, e) =>
+          if (acc.head.nonEmpty && rnd.nextDouble() < 0.2)
+            List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      val mem = MemoryStream[CdcStream.Ev]
+      val name = s"pipelinespec_split_$trial"
+      val q = CdcStream.latestState(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      }
+      q.stop()
+      val got = spark.table(name)
+        .groupBy("user_id")
+        .agg(max_by(col("event_id"), struct(col("ts_us"), col("event_id")))
+          .as("event_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (batching ${batches.map(_.size)})")
+    }
+  }
+
   test("latestByExpiring evicts idle keys past the TTL, live keys survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
