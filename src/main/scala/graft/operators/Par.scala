@@ -13,6 +13,10 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd here is a deliberate partition-count probe: it plans the
+    // input physically (no job runs — RDDs are lazy) so already-wide
+    // inputs skip the exchange entirely. The planning cost is paid
+    // once per query build and only on the operators that opt in.
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }
