@@ -58,7 +58,24 @@ object GraphQueries extends QueryPack {
           col("event_type"),
           concat(lit("u"), (col("user_id") % 10).cast("string")))).as("label"))
         .groupBy("label").agg(count(lit(1)).as("cnt"))
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // B5: per-label storage footprint — the reference's "nodes by
+    // label" statistics with sum(length(properties_after))
+    // (04-optimize-tables.sql:146-165). Top-20 by count with a
+    // deterministic tie-break; the top-k is a TakeOrderedAndProject
+    // over the tiny label rollup, not a global sort of events.
+    "graph_label_storage" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(explode(array(
+          col("event_type"),
+          concat(lit("u"), (col("user_id") % 10).cast("string")))).as("label"),
+          col("props"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+             sum(length(col("props"))).cast("long").as("props_bytes"))
+        .orderBy(col("cnt").desc, col("label"))
+        .limit(20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +93,12 @@ object GraphQueries extends QueryPack {
     "graph_label_counts" ->
       """SELECT label, count(*) AS cnt FROM (
            SELECT unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS label FROM events)
-         GROUP BY label ORDER BY label"""
+         GROUP BY label ORDER BY label""",
+    "graph_label_storage" ->
+      """SELECT label, count(*) AS cnt,
+                CAST(sum(length(props)) AS BIGINT) AS props_bytes
+         FROM (SELECT unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS label, props
+               FROM events)
+         GROUP BY label ORDER BY cnt DESC, label LIMIT 20"""
   )
 }
