@@ -124,9 +124,15 @@ object ParquetSink {
       spark.read.parquet(dir.toString)
         .filter(!inRange)
         .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dir, true)
       val keptAny = fs.globStatus(new Path(tmp, "part-*")).exists(_.getLen > 0)
-      if (keptAny) fs.rename(tmp, dir) else fs.delete(tmp, true)
+      fs.delete(dir, true)
+      if (keptAny) {
+        // rename reports failure via its return value, not an
+        // exception — losing a month partition silently is the one
+        // outcome retention must never have
+        require(fs.rename(tmp, dir),
+          s"failed to publish rewritten partition month=$m from $tmp")
+      } else fs.delete(tmp, true)
       keptAny
     }
     (full.map(_._1) ++ boundary.map(_._1).diff(rewritten), rewritten)
