@@ -9,10 +9,14 @@ import org.apache.spark.sql.DataFrame
   * `maxRows` are refused with a pointer to the scalable alternative
   * unless the caller opts in with `allowAllPairs = true`.
   *
-  * The size probe is `limit(maxRows + 1).count()` — an early-stopping
-  * scan that reads at most one partition past the threshold, never the
-  * full input, so the guard itself costs O(maxRows) even on a
-  * petabyte table.
+  * The size probe is `take(maxRows + 1)` over a zero-column
+  * projection: `take` scans partitions incrementally (one partition,
+  * then a scaled-up batch, per `spark.sql.limit.scaleUpFactor`), so
+  * on an oversized input it stops after a bounded prefix rather than
+  * scheduling a task on every partition. The probe is one extra small
+  * job at query-construction time — apply the guard to the RAW table,
+  * before expensive projections, so the probe's rows are free to
+  * produce (see SimilarityQueries.guardCorpus).
   */
 object Guard {
 
@@ -20,10 +24,9 @@ object Guard {
                        op: String, alternative: String): DataFrame = {
     if (!allow) {
       val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
-      // probe a zero-column projection: column pruning strips every
-      // upstream expression (e.g. E4's quantize/dequantize chain), so
-      // the probe counts rows without paying the input's per-row work
-      val probed = df.select().limit(cap + 1).count()
+      // zero-column projection: column pruning strips every upstream
+      // expression, so the probe counts rows without per-row work
+      val probed = df.select().take(cap + 1).length
       require(probed <= cap,
         s"$op is an exact all-pairs (O(n^2)) baseline and its input exceeds " +
           s"$maxRows rows. Use $alternative at scale, or pass " +

@@ -22,7 +22,9 @@ object PipelineOps {
     */
   /** 0–99 hash bucket of a column's string form — the one bucketing
     * expression shared by splitting and sampling (its DuckDB oracle
-    * mirror is `('0x' || substr(md5(x), 1, 8))::BIGINT % 100`).
+    * mirror is `('0x' || substr(md5(coalesce(x, '')), 1, 8))::BIGINT
+    * % 100` — the oracles carry the same coalesce so the two engines
+    * agree on null keys too).
     * A NULL key buckets as the empty string rather than propagating
     * NULL: md5(NULL) would make the keep-predicate NULL → silently
     * dropped rows, under-sampling any tier with null keys at every
@@ -100,20 +102,44 @@ object PipelineOps {
     * strictly-decreasing label sum).
     */
   /** @param checkpointDir when set, iteration state is written to this
-    *   RELIABLE checkpoint location (HDFS/S3 on a cluster) instead of
-    *   `localCheckpoint`: local checkpoints pin blocks to executors,
-    *   so one executor loss mid-iteration kills the job — fine on a
-    *   laptop, not across a 1000-executor fleet where some loss is
-    *   routine. Reliable checkpoints survive executor churn at the
-    *   cost of a write per truncation. Default stays local (tests,
+    *   RELIABLE location (HDFS/S3 on a cluster) as parquet round-trips
+    *   instead of `localCheckpoint`: local checkpoints pin blocks to
+    *   executors, so one executor loss mid-iteration kills the job —
+    *   fine on a laptop, not across a 1000-executor fleet where some
+    *   loss is routine. Parquet round-trips (rather than RDD
+    *   `checkpoint()`) keep the cost bounded and under our control:
+    *   no global `setCheckpointDir` mutation of the host application,
+    *   and each label iteration's files are DELETED as soon as the
+    *   next iteration is fully written, so the directory holds at
+    *   most the edge list + two label iterations — not one copy per
+    *   iteration accumulating forever (review finding). The edge list
+    *   and the final iteration remain on disk because the returned
+    *   DataFrame reads from them; delete the directory after
+    *   consuming the result. Default stays local (tests,
     *   single-node). */
   def dedupClusters(pairs: DataFrame, iCol: String = "i", jCol: String = "j",
                     maxIters: Int = 20,
                     checkpointDir: Option[String] = None): DataFrame = {
     val ck: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
+        val spark = pairs.sparkSession
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var step = 0
+        var prevLabels: Option[org.apache.hadoop.fs.Path] = None
+        df => {
+          val p = new org.apache.hadoop.fs.Path(root, s"iter_$step")
+          val isEdges = step == 0 // the edge list joins in EVERY
+          step += 1               // iteration — never delete it
+          df.write.mode("overwrite").parquet(p.toString)
+          if (!isEdges) {
+            // the previous labels were input to what was just fully
+            // written — safe to reclaim now
+            prevLabels.foreach(fs.delete(_, true))
+            prevLabels = Some(p)
+          }
+          spark.read.parquet(p.toString)
+        }
       case None => df => df.localCheckpoint()
     }
     // materialize the edge list ONCE — it participates in every

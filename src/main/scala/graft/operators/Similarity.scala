@@ -92,10 +92,15 @@ object Similarity {
                    fitSamplePct: Int = 100): Array[Array[Double]] = {
     val full = vecs.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"))
+    // cache ONLY the sampled fit input: at pct=100 the "sample" is the
+    // whole corpus, and pinning the full vector table into executor
+    // storage is a new cost the caller never asked for (review
+    // finding) — the pre-sampling behavior (re-scan per pass) stands
+    val doCache = fitSamplePct < 100
     val sampled =
-      if (fitSamplePct >= 100) full
+      if (!doCache) full
       else full.filter(PipelineOps.hashKeep(col("id"), lit(fitSamplePct)))
-    val v = sampled.cache()
+    val v = if (doCache) sampled.cache() else sampled
     try {
       var init: Array[Array[Double]] = v.orderBy("id").limit(k)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
@@ -117,7 +122,7 @@ object Similarity {
         centroids = centroids.indices.map(i => means.getOrElse(i.toLong, centroids(i))).toArray
       }
       centroids
-    } finally v.unpersist(blocking = false)
+    } finally if (doCache) v.unpersist(blocking = false)
   }
 
   /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an

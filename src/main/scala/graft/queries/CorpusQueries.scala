@@ -122,8 +122,8 @@ object CorpusQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "split_assign" ->
-      """SELECT CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                     WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      """SELECT CASE WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split,
                 lang, count(*) AS n_docs
          FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
@@ -147,7 +147,7 @@ object CorpusQueries extends QueryPack {
           ORDER BY doc_id""",
     "sample_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents
-         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+         WHERE ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT % 100 <
                CASE WHEN source = 'src0' THEN 100
                     WHEN source IN ('src1','src2') THEN 60
                     ELSE 25 END
@@ -165,8 +165,8 @@ object CorpusQueries extends QueryPack {
                       (1.0 - len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks)) >= 0.3),
           d AS (SELECT * FROM f
                 QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-          s AS (SELECT *, CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                               WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+          s AS (SELECT *, CASE WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                               WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 90 THEN 'val'
                                ELSE 'test' END AS split FROM d)
           SELECT split, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
           FROM s GROUP BY split ORDER BY split""",

@@ -117,23 +117,29 @@ object ParquetSink {
     full.foreach { case (m, _) => fs.delete(new Path(root, s"month=$m"), true) }
     val rewritten = boundary.map(_._1).filter { m =>
       val dir = new Path(root, s"month=$m")
-      // dot-prefixed staging is invisible to Spark's file listing, so
-      // concurrent readers of the tree never see a half-written month
-      val tmp = new Path(root, s".graft_rewrite_month_$m")
-      fs.delete(tmp, true)
-      spark.read.parquet(dir.toString)
-        .filter(!inRange)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val keptAny = fs.globStatus(new Path(tmp, "part-*")).exists(_.getLen > 0)
-      fs.delete(dir, true)
-      if (keptAny) {
+      val kept = spark.read.parquet(dir.toString).filter(!inRange)
+      // row-level emptiness check, NOT a file-size check: Spark always
+      // writes a footer-only parquet part for partition 0, so "any
+      // part file > 0 bytes" is true even for zero surviving rows
+      // (review finding) — an emptied boundary month must become a
+      // partition DROP, not a published empty directory
+      if (kept.isEmpty) {
+        fs.delete(dir, true)
+        false
+      } else {
+        // dot-prefixed staging is invisible to Spark's file listing,
+        // so concurrent readers never see a half-written month
+        val tmp = new Path(root, s".graft_rewrite_month_$m")
+        fs.delete(tmp, true)
+        kept.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dir, true)
         // rename reports failure via its return value, not an
         // exception — losing a month partition silently is the one
         // outcome retention must never have
         require(fs.rename(tmp, dir),
           s"failed to publish rewritten partition month=$m from $tmp")
-      } else fs.delete(tmp, true)
-      keptAny
+        true
+      }
     }
     (full.map(_._1) ++ boundary.map(_._1).diff(rewritten), rewritten)
   }

@@ -254,22 +254,28 @@ object CdcStream {
           } else {
             val prior: Option[V] = state.getOption
             var cur = prior
-            var maxTsUs = Long.MinValue
-            it.foreach { e =>
-              maxTsUs = math.max(maxTsUs, eventTimeUs(e))
-              if (cur.forall(newer(e, _))) cur = Some(e)
-            }
-            val lease = math.max(maxTsUs / 1000L + ttlMs,
-              state.getCurrentWatermarkMs() + 1L)
+            it.foreach { e => if (cur.forall(newer(e, _))) cur = Some(e) }
             cur match {
-              case Some(v) if !prior.contains(v) =>
-                state.update(v)
-                state.setTimeoutTimestamp(lease)
-                Iterator.single(v)
-              case Some(_) =>
-                // stale batch: no emission, but activity re-arms the lease
-                state.setTimeoutTimestamp(lease)
-                Iterator.empty
+              case Some(v) =>
+                // the lease derives from the RETAINED newest event —
+                // not the batch's max event time: a batch of stale
+                // events must not SHORTEN a live key's lease (review
+                // finding; early eviction would let a later lower-
+                // version event regress the entity's state). Clamped
+                // above the watermark: a timestamp at-or-below it
+                // would be rejected, and such a key is due anyway.
+                val lease = math.max(eventTimeUs(v) / 1000L + ttlMs,
+                  state.getCurrentWatermarkMs() + 1L)
+                if (!prior.contains(v)) {
+                  state.update(v) // timeout requires defined state
+                  state.setTimeoutTimestamp(lease)
+                  Iterator.single(v)
+                } else {
+                  // stale batch: state already defined; the lease is
+                  // re-armed to the same value (newest event unchanged)
+                  state.setTimeoutTimestamp(lease)
+                  Iterator.empty
+                }
               case None => Iterator.empty
             }
           }

@@ -281,6 +281,43 @@ class PipelineSpec extends SparkSpec {
       .filter(col("entity") === 9).count() == 2, "live entity kept updating")
   }
 
+  test("latestByExpiring: a stale batch must not shorten a live key's lease") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[TtlEv]
+    // 500s watermark delay lets an event that is older than a key's
+    // retained newest (but above the watermark) reach the operator
+    val withWm = mem.toDS().withWatermark("ts", "500 seconds")
+    val q = CdcStream.latestByExpiring[Long, TtlEv](withWm, _.entity,
+        newer = (a, b) => a.ts.getTime > b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.ver > b.ver),
+        eventTimeUs = _.ts.getTime * 1000L,
+        ttlMs = 50000L)
+      .toDF()
+      .writeStream.format("memory").queryName("pipelinespec_ttl_stale")
+      .outputMode(OutputMode.Update()).start()
+    // A's newest is t=1000 (lease 1050); B at t=100 (lease 150);
+    // watermark after this batch: 1000-500 = 500
+    mem.addData(TtlEv(1, ts(1000), 1, "a"), TtlEv(2, ts(100), 1, "b"))
+    q.processAllAvailable()
+    // stale event for A at t=600 (above wm 500, older than A's
+    // newest): with the lease computed from the batch max this would
+    // cut A's lease to 650; from the RETAINED event it stays 1050
+    mem.addData(TtlEv(1, ts(600), 0, "a-stale"))
+    q.processAllAvailable()
+    // advance the watermark to 700 (1200-500), then trigger the
+    // timeout pass: B (lease 150) ages out; A must survive
+    mem.addData(TtlEv(3, ts(1200), 1, "c"))
+    q.processAllAvailable()
+    mem.addData(TtlEv(3, ts(1250), 2, "c2"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 2,
+      s"A (stale batch) + C must hold state, B evicted: $stateRows rows")
+  }
+
   test("foreachBatch sink lands every row through the batch writer") {
     val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
     var seenOpts: Map[String, String] = Map.empty

@@ -107,6 +107,21 @@ class RetentionSpec extends SparkSpec {
       "landing zone carries the month partition layout")
   }
 
+  test("deleteTimeRange: PARTIAL boundary month emptied becomes a drop too") {
+    val out = Files.createTempDirectory("graft_trdel3").toString
+    threeMonths(out)
+    // [Jan 2, Feb 1): Jan is a true boundary month (range starts
+    // mid-month) but BOTH its rows fall in range — the rewrite finds
+    // zero survivors and must drop the directory, not publish an
+    // empty partition (footer-only part files must not count as data)
+    val (droppedM, rewrittenM) = ParquetSink.deleteTimeRange(
+      spark, out, "ts", "2026-01-02 00:00:00", "2026-02-01 00:00:00")
+    assert(droppedM == Seq("202601"), s"dropped=$droppedM")
+    assert(rewrittenM.isEmpty, s"rewritten=$rewrittenM")
+    assert(ParquetSink.listMonths(spark, out) == Seq("202602", "202603"))
+    assert(ParquetSink.readMonthly(spark, out).count() == 4)
+  }
+
   test("deleteTimeRange: boundary month emptied entirely becomes a drop") {
     val out = Files.createTempDirectory("graft_trdel2").toString
     threeMonths(out)
