@@ -46,6 +46,56 @@ object Multimodal {
       features = hist)
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** G3: frame sampling — every `everyNth` fixed-size chunk of the
+    * payload emitted as a "frame" row (the deterministic stub of a
+    * video keyframe iterator; a real implementation swaps the chunker
+    * for ffmpeg and nothing else changes). The Spark shape is the real
+    * thing: a typed flatMap exploding one media row into its sampled
+    * frames, which downstream operators treat as first-class media —
+    * at 100 TB the explosion stays partition-local (no shuffle) and
+    * frame count is bounded by payload size / frameBytes / everyNth.
+    */
+  def sampleFrames(media: Dataset[Media], frameBytes: Int = 4096,
+                   everyNth: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nChunks = (m.bytes.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, nChunks).filter(_ % everyNth == 0).map { c =>
+        val from = c * frameBytes
+        val until = math.min(from + frameBytes, m.bytes.length)
+        Frame(m.doc_id, c, java.util.Arrays.copyOfRange(m.bytes, from, until))
+      }
+    }
+  }
+
+  /** The stubbed resizer: deterministic byte-stride subsampling to a
+    * target budget (a real impl calls libvips/ffmpeg scale here).
+    * Payloads already under budget pass through untouched. */
+  private[graft] def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val stride = (bytes.length + targetBytes - 1) / targetBytes
+      val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+      out
+    }
+
+  /** G4: resize — batch-shaped like [[extractFeatures]] (codec setup
+    * amortized per batch), typed Media in/out so it composes with
+    * [[sampleFrames]] and [[extractFeatures]] in either order. */
+  def resize(media: Dataset[Media], targetBytes: Int = 1024,
+             batchSize: Int = 64): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(m => Media(m.doc_id, resizeStub(m.bytes, targetBytes)))
+      }
+    }
+  }
+
   /** G2: partition-parallel, batch-shaped feature extraction.
     * `mapPartitions` + `grouped(batchSize)` mirrors how a real decoder
     * amortizes model/codec setup over a batch (the mapInPandas batch

@@ -60,6 +60,24 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // G3: frame sampling — every 2nd 4KiB chunk as a frame row; the
+    // per-doc frame count and first-frame size are pure arithmetic in
+    // payload length, so this typed-flatMap pipeline is ORACLE-checked
+    // end to end (empty payloads emit no frames; none exist in the
+    // corpus, and the oracle filters the same way).
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[Multimodal.Media]
+      Multimodal.sampleFrames(media, frameBytes = 4096, everyNth = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min(when(col("frame_idx") === 0, length(col("bytes"))))
+            .cast("long").as("f0_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // H1: streaming windowed counts == batch aggregation (AvailableNow
     // over the static file set).
     "stream_event_counts" -> ((s, dir) => {
@@ -137,6 +155,13 @@ object PipelineQueries extends QueryPack {
                 lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
                 md5(text) AS payload_md5
          FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+                CAST(ceil(ceil(octet_length(encode(text)) / 4096.0) / 2.0) AS BIGINT) AS n_frames,
+                CAST(least(octet_length(encode(text)), 4096) AS BIGINT) AS f0_bytes
+         FROM documents
+         WHERE octet_length(encode(text)) > 0
+         ORDER BY doc_id""",
     "stream_json_parse" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
                      WHEN event_type IN ('click','view','purchase') THEN 'UPDATE'

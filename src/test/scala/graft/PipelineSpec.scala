@@ -370,6 +370,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling and resize: chunk arithmetic, budget, determinism") {
+    import spark.implicits._
+    val media = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[Multimodal.Media]
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyNth = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.bytes.length <= 100), "frame size bounded")
+    assert(frames.forall(_.frame_idx % 2 == 0), "only every 2nd chunk sampled")
+    // frame 0 is byte-for-byte the payload's first chunk
+    val payloads = media.collect().map(m => m.doc_id -> m.bytes).toMap
+    frames.filter(_.frame_idx == 0).take(20).foreach { f =>
+      val want = payloads(f.doc_id).take(100)
+      assert(f.bytes.toSeq == want.toSeq, s"frame 0 of doc ${f.doc_id}")
+    }
+    // resize: under budget, deterministic, pass-through when small
+    val resized = Multimodal.resize(media, targetBytes = 256).collect()
+    assert(resized.forall(_.bytes.length <= 256), "resize budget held")
+    val again = Multimodal.resize(media, targetBytes = 256).collect()
+      .map(m => m.doc_id -> m.bytes.toSeq).toMap
+    resized.foreach(m => assert(again(m.doc_id) == m.bytes.toSeq))
+    val small = Multimodal.resize(media, targetBytes = 1 << 20).collect()
+      .map(m => m.doc_id -> m.bytes.toSeq).toMap
+    payloads.foreach { case (id, b) =>
+      assert(small(id) == b.toSeq, "under-budget payloads pass through")
+    }
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
