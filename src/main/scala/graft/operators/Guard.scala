@@ -9,14 +9,15 @@ import org.apache.spark.sql.DataFrame
   * `maxRows` are refused with a pointer to the scalable alternative
   * unless the caller opts in with `allowAllPairs = true`.
   *
-  * The size probe is `take(maxRows + 1)` over a zero-column
-  * projection: `take` scans partitions incrementally (one partition,
-  * then a scaled-up batch, per `spark.sql.limit.scaleUpFactor`), so
-  * on an oversized input it stops after a bounded prefix rather than
-  * scheduling a task on every partition. The probe is one extra small
-  * job at query-construction time — apply the guard to the RAW table,
-  * before expensive projections, so the probe's rows are free to
-  * produce (see SimilarityQueries.guardCorpus).
+  * The size probe is a distributed `limit(maxRows + 1).count()` over
+  * a zero-column projection: the per-partition LocalLimit caps each
+  * task at maxRows+1 rows, so the probe's work is bounded per
+  * partition and NOTHING is collected to the driver (a `take` of
+  * maxRows+1 rows would materialize that many Row objects driver-side
+  * — an OOM for a caller passing a large threshold). One extra small
+  * job at query-construction time — apply the guard to the RAW
+  * table, before expensive projections, so the probe's rows are free
+  * to produce (see SimilarityQueries.guardCorpus).
   */
 object Guard {
 
@@ -26,7 +27,7 @@ object Guard {
       val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
       // zero-column projection: column pruning strips every upstream
       // expression, so the probe counts rows without per-row work
-      val probed = df.select().take(cap + 1).length
+      val probed = df.select().limit(cap + 1).count()
       require(probed <= cap,
         s"$op is an exact all-pairs (O(n^2)) baseline and its input exceeds " +
           s"$maxRows rows. Use $alternative at scale, or pass " +

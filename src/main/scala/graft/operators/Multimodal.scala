@@ -59,6 +59,8 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[Media], frameBytes: Int = 4096,
                    everyNth: Int = 2): Dataset[Frame] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val nChunks = (m.bytes.length + frameBytes - 1) / frameBytes
@@ -84,10 +86,12 @@ object Multimodal {
     }
 
   /** G4: resize — batch-shaped like [[extractFeatures]] (codec setup
-    * amortized per batch), typed Media in/out so it composes with
-    * [[sampleFrames]] and [[extractFeatures]] in either order. */
+    * amortized per batch), typed Media in/out: chain it BEFORE
+    * [[sampleFrames]] (which explodes Media into Frame rows) or
+    * before/after [[extractFeatures]]'s input. */
   def resize(media: Dataset[Media], targetBytes: Int = 1024,
              batchSize: Int = 64): Dataset[Media] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>

@@ -117,28 +117,32 @@ object ParquetSink {
     full.foreach { case (m, _) => fs.delete(new Path(root, s"month=$m"), true) }
     val rewritten = boundary.map(_._1).filter { m =>
       val dir = new Path(root, s"month=$m")
-      val kept = spark.read.parquet(dir.toString).filter(!inRange)
-      // row-level emptiness check, NOT a file-size check: Spark always
-      // writes a footer-only parquet part for partition 0, so "any
-      // part file > 0 bytes" is true even for zero surviving rows
-      // (review finding) — an emptied boundary month must become a
-      // partition DROP, not a published empty directory
-      if (kept.isEmpty) {
-        fs.delete(dir, true)
-        false
-      } else {
-        // dot-prefixed staging is invisible to Spark's file listing,
-        // so concurrent readers never see a half-written month
-        val tmp = new Path(root, s".graft_rewrite_month_$m")
-        fs.delete(tmp, true)
-        kept.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dir, true)
+      // dot-prefixed staging is invisible to Spark's file listing,
+      // so concurrent readers never see a half-written month
+      val tmp = new Path(root, s".graft_rewrite_month_$m")
+      fs.delete(tmp, true)
+      // ONE data scan: write survivors to staging, then decide from
+      // the staged output's row count — a zero-column count over the
+      // staged parquet reads only row-group metadata, so checking
+      // emptiness costs no second pass over the month. Row-level, NOT
+      // file-size: Spark always writes a footer-only part for
+      // partition 0, so "any part file > 0 bytes" is true even for
+      // zero surviving rows — an emptied boundary month must become
+      // a partition DROP, not a published empty directory.
+      spark.read.parquet(dir.toString).filter(!inRange)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val keptRows = spark.read.parquet(tmp.toString).count()
+      fs.delete(dir, true)
+      if (keptRows > 0L) {
         // rename reports failure via its return value, not an
         // exception — losing a month partition silently is the one
         // outcome retention must never have
         require(fs.rename(tmp, dir),
           s"failed to publish rewritten partition month=$m from $tmp")
         true
+      } else {
+        fs.delete(tmp, true)
+        false
       }
     }
     (full.map(_._1) ++ boundary.map(_._1).diff(rewritten), rewritten)

@@ -254,17 +254,26 @@ object CdcStream {
           } else {
             val prior: Option[V] = state.getOption
             var cur = prior
-            it.foreach { e => if (cur.forall(newer(e, _))) cur = Some(e) }
+            var maxTsUs = Long.MinValue
+            it.foreach { e =>
+              maxTsUs = math.max(maxTsUs, eventTimeUs(e))
+              if (cur.forall(newer(e, _))) cur = Some(e)
+            }
             cur match {
               case Some(v) =>
-                // the lease derives from the RETAINED newest event —
-                // not the batch's max event time: a batch of stale
-                // events must not SHORTEN a live key's lease (review
-                // finding; early eviction would let a later lower-
-                // version event regress the entity's state). Clamped
-                // above the watermark: a timestamp at-or-below it
-                // would be rejected, and such a key is due anyway.
-                val lease = math.max(eventTimeUs(v) / 1000L + ttlMs,
+                // the lease derives from max(retained newest event,
+                // batch max event time): the retained term means a
+                // batch of OLDER events can never SHORTEN a live
+                // key's lease (early eviction would let a later
+                // lower-version event regress the state), and the
+                // batch term means ANY activity extends it — under a
+                // version-ordered `newer` (not monotone in event
+                // time) a key receiving a stream of recent-but-lower-
+                // version events is active and must not expire.
+                // Clamped above the watermark: a timestamp at-or-
+                // below it would be rejected, and such a key is due.
+                val newestUs = math.max(eventTimeUs(v), maxTsUs)
+                val lease = math.max(newestUs / 1000L + ttlMs,
                   state.getCurrentWatermarkMs() + 1L)
                 if (!prior.contains(v)) {
                   state.update(v) // timeout requires defined state
