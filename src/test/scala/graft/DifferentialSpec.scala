@@ -59,6 +59,86 @@ class DifferentialSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("quantizeInt8 == plain-Scala reference (float-rounded scale, HALF_UP, clamp)") {
+    val vecs = (0 until 50).map { i =>
+      // include a zero vector and outlier-heavy vectors
+      val v = if (i == 0) Array.fill(8)(0.0)
+              else Array.fill(8)(rnd.nextDouble() * 20 - 10)
+      (i.toLong, v)
+    }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), VectorFunctions.quantizeInt8(col("v")).as("qv"))
+      .select(col("id"), col("qv.scale"), col("qv.q"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getFloat(1), r.getSeq[Byte](2).toSeq)))
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val scaleF = (v.map(math.abs).max / 127.0).toFloat
+      val scaleD = scaleF.toDouble
+      val codes: Seq[Byte] =
+        if (scaleD == 0.0) v.map(_ => 0.toByte).toSeq
+        else v.map { x =>
+          val r = BigDecimal(x / scaleD)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.max(-127.0, math.min(127.0, r)).toInt.toByte
+        }.toSeq
+      assert(got(id)._1 == scaleF, s"vec $id scale")
+      assert(got(id)._2 == codes, s"vec $id codes")
+    }
+  }
+
+  test("minhash signatures == driver-side min over per-shingle hashes") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 8
+    val got = graft.operators.Sketches
+      .minhashSignatures(df, "doc_id", "text", n = 3, k = k)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until k).map(s => r.getLong(1 + s)))
+      .toMap
+    // reference: per-shingle hashes computed via the same Spark hash
+    // COLUMN (isolating the aggregation/pipeline logic), min'd on the
+    // driver per seed
+    val perShingle = df
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("tok"))
+      .select(col("doc_id") +:
+        (0 until k).map(s => xxhash64(lit(s), col("tok")).as(s"h$s")): _*)
+      .collect()
+    val want = perShingle.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> (0 until k).map(s => rows.map(_.getLong(1 + s)).min)
+    }
+    assert(got == want)
+  }
+
+  test("simhash sketch == driver-side sign-sum over per-token hashes") {
+    val vocab = Vector("one", "two", "three", "four")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.Sketches.simhashSketch(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // duplicates COUNT (bag semantics): tokens, not distinct shingles
+    val perToken = df
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = perToken.groupBy(_._1).map { case (id, rows) =>
+      id -> (0 until 64).map { b =>
+        val s = rows.map(r => if (((r._2 >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.sum
+    }
+    assert(got == want)
+  }
+
   test("splitAssign depends only on content (random ids, dup contents)") {
     val contents = Vector.fill(10)(rnd.alphanumeric.take(20).mkString)
     val rows = (0 until 100).map(i => (rnd.nextLong(), contents(i % 10)))
