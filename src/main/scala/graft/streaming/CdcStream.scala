@@ -159,6 +159,22 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup — the D1 content-hash dedup as a stream
+    * operator, with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * holds a key only until the watermark passes its event time plus
+    * the delay, so the dedup window is explicit and state is
+    * O(keys within the watermark horizon), not O(keys ever seen)
+    * (plain streaming dropDuplicates accretes state forever — the
+    * same unbounded-state trap latestByExpiring exists to avoid).
+    * Exactly the at-least-once absorber the reference relies on
+    * ReplacingMergeTree for: redelivered payloads inside the horizon
+    * are suppressed; beyond it, downstream CurrentState collapses
+    * them. `fpCol` is typically md5/xxhash of the payload. */
+  def dedupExactStream(df: DataFrame, fpCol: String, tsCol: String,
+                       delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   /** Land a stream into the monthly-partitioned parquet layout — the
     * streaming twin of [[graft.sinks.ParquetSink.writeMonthly]], so a
     * CDC stream's landing zone is born with the reference's MergeTree

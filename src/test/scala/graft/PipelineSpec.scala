@@ -370,6 +370,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupExactStream suppresses redeliveries, evicts state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[TtlEv]
+    val stream = mem.toDS().toDF()
+      .withColumn("fp", md5(col("payload")))
+    val q = CdcStream.dedupExactStream(stream, "fp", "ts", "30 seconds")
+      .writeStream.format("memory").queryName("pipelinespec_dedup")
+      .outputMode(OutputMode.Append()).start()
+    // original + in-horizon redelivery (same payload): one row out
+    mem.addData(TtlEv(1, ts(100), 1, "payload-A"), TtlEv(2, ts(105), 1, "payload-A"),
+                TtlEv(3, ts(100), 1, "payload-B"))
+    q.processAllAvailable()
+    // redelivery in a later batch, still within the horizon
+    mem.addData(TtlEv(4, ts(110), 1, "payload-A"))
+    q.processAllAvailable()
+    // advance the watermark far past the horizon, then check eviction
+    mem.addData(TtlEv(5, ts(1000), 1, "payload-C"))
+    q.processAllAvailable()
+    mem.addData(TtlEv(6, ts(1010), 1, "payload-D"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val out = spark.table("pipelinespec_dedup")
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("payload-A", "payload-B", "payload-C", "payload-D"),
+      s"each payload exactly once: $out")
+    // A and B (t~100) are far behind the watermark (~970): evicted
+    assert(stateRows <= 2, s"horizon-expired dedup state not evicted: $stateRows")
+  }
+
   test("frame sampling and resize: chunk arithmetic, budget, determinism") {
     import spark.implicits._
     val media = Tables.load(spark, sfDir, "documents")
