@@ -87,7 +87,25 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
-  test("minhash signatures == driver-side min over per-shingle hashes") {
+  /** Pure-JVM replica of Spark's `xxhash64(...)` column semantics
+    * (seed 42, each argument's hash chaining into the next seed;
+    * integers hash via hashInt, strings via their UTF-8 bytes) — so
+    * the sketch references below share NO Spark expression with the
+    * implementation under test. */
+  private def jvmXxhash64(parts: Seq[Either[Int, String]],
+                          seed: Long = 42L): Long =
+    parts.foldLeft(seed) {
+      case (s, Left(i)) =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, s)
+      case (s, Right(str)) =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str), s)
+    }
+
+  private def naiveTokens(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("minhash signatures == fully independent JVM reference (tokens+hash+min)") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
     val docs = (0 until 30).map { i =>
       (i.toLong, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
@@ -100,22 +118,16 @@ class DifferentialSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> (0 until k).map(s => r.getLong(1 + s)))
       .toMap
-    // reference: per-shingle hashes computed via the same Spark hash
-    // COLUMN (isolating the aggregation/pipeline logic), min'd on the
-    // driver per seed
-    val perShingle = df
-      .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("tok"))
-      .select(col("doc_id") +:
-        (0 until k).map(s => xxhash64(lit(s), col("tok")).as(s"h$s")): _*)
-      .collect()
-    val want = perShingle.groupBy(_.getLong(0)).map { case (id, rows) =>
-      id -> (0 until k).map(s => rows.map(_.getLong(1 + s)).min)
-    }
+    val want = docs.map { case (id, text) =>
+      val shingles = naiveTokens(text).sliding(3).map(_.mkString(" "))
+        .toSeq.distinct
+      id -> (0 until k).map(s =>
+        shingles.map(sh => jvmXxhash64(Seq(Left(s), Right(sh)))).min)
+    }.toMap
     assert(got == want)
   }
 
-  test("simhash sketch == driver-side sign-sum over per-token hashes") {
+  test("simhash sketch == fully independent JVM reference (bag-of-token sign-sum)") {
     val vocab = Vector("one", "two", "three", "four")
     val docs = (0 until 30).map { i =>
       (i.toLong, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
@@ -125,17 +137,13 @@ class DifferentialSpec extends SparkSpec {
     val got = graft.operators.Sketches.simhashSketch(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // duplicates COUNT (bag semantics): tokens, not distinct shingles
-    val perToken = df
-      .select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val want = perToken.groupBy(_._1).map { case (id, rows) =>
+    val want = docs.map { case (id, text) =>
+      val hashes = naiveTokens(text).map(t => jvmXxhash64(Seq(Right(t))))
       id -> (0 until 64).map { b =>
-        val s = rows.map(r => if (((r._2 >> b) & 1L) == 1L) 1 else -1).sum
+        val s = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
         if (s > 0) 1L << b else 0L
       }.sum
-    }
+    }.toMap
     assert(got == want)
   }
 

@@ -26,6 +26,9 @@ case class TtlEv(entity: Long, ts: java.sql.Timestamp, ver: Long,
 
 class PipelineSpec extends SparkSpec {
 
+  /** epoch seconds -> Timestamp (shared by the streaming specs). */
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
   test("jdbc sink options: batched, isolation NONE, bounded connections") {
     val o = JdbcSink.options("jdbc:clickhouse://host:8123/cdc", "nodes_cdc",
       "u", "p", batchSize = 50000, numPartitions = 8)
@@ -246,7 +249,6 @@ class PipelineSpec extends SparkSpec {
   test("latestByExpiring evicts idle keys past the TTL, live keys survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val mem = MemoryStream[TtlEv]
     val withWm = mem.toDS().withWatermark("ts", "0 seconds")
     val q = CdcStream.latestByExpiring[Long, TtlEv](withWm, _.entity,
@@ -284,7 +286,6 @@ class PipelineSpec extends SparkSpec {
   test("latestByExpiring: a stale batch must not shorten a live key's lease") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val mem = MemoryStream[TtlEv]
     // 500s watermark delay lets an event that is older than a key's
     // retained newest (but above the watermark) reach the operator
@@ -373,7 +374,6 @@ class PipelineSpec extends SparkSpec {
   test("dedupExactStream suppresses redeliveries, evicts state past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val mem = MemoryStream[TtlEv]
     val stream = mem.toDS().toDF()
       .withColumn("fp", md5(col("payload")))
@@ -399,7 +399,10 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq("payload-A", "payload-B", "payload-C", "payload-D"),
       s"each payload exactly once: $out")
     // A and B (t~100) are far behind the watermark (~970): evicted
-    assert(stateRows <= 2, s"horizon-expired dedup state not evicted: $stateRows")
+    // deterministic: C (t=1000) and D (t=1010) are inside the horizon
+    // (expiry 1030/1040 > watermark ~980), A/B are far past it — an
+    // exact equality also catches OVER-eviction of live dedup state
+    assert(stateRows == 2, s"dedup state should hold exactly C+D: $stateRows")
   }
 
   test("frame sampling and resize: chunk arithmetic, budget, determinism") {
