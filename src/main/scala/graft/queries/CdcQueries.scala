@@ -208,6 +208,26 @@ object CdcQueries extends QueryPack {
           round(get_json_object(col("properties_after"), "$.c_acctbal")
             .cast("double"), 2).as("acctbal"))
         .orderBy("entity_id")
+    }),
+
+    // I3b: ORC snapshot path end-to-end — same round-trip contract as
+    // snapshot_csv through Spark's native ORC reader (the other
+    // columnar warehouse-export format); oracle checks against the
+    // original table.
+    "snapshot_orc" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val staging = s"${System.getProperty("java.io.tmpdir")}/graft_staging_orc"
+      src.write.mode("overwrite").orc(staging)
+      graft.sources.Snapshot.fromOrc(s, staging,
+          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
+        .select(col("entity_id").cast("long").as("entity_id"),
+          col("event_type"), col("labels")(0).as("label0"),
+          get_json_object(col("properties_after"), "$.c_name").as("name"),
+          round(get_json_object(col("properties_after"), "$.c_acctbal")
+            .cast("double"), 2).as("acctbal"))
+        .orderBy("entity_id")
     })
   )
 
@@ -277,6 +297,11 @@ object CdcQueries extends QueryPack {
       """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'SNAPSHOT' AS event_type, c_mktsegment AS label0
          FROM customer ORDER BY entity_id""",
     "snapshot_csv" ->
+      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
+                c_mktsegment AS label0, c_name AS name,
+                round(c_acctbal, 2) AS acctbal
+         FROM customer ORDER BY entity_id""",
+    "snapshot_orc" ->
       """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
                 c_mktsegment AS label0, c_name AS name,
                 round(c_acctbal, 2) AS acctbal

@@ -60,4 +60,13 @@ object Snapshot {
     fromTable(
       spark.read.option("header", "true").schema(schema).csv(path),
       entityCol, labelCols, asOf)
+
+  /** ORC snapshot reader — the other columnar format Spark reads
+    * natively (an export from a Hive-era warehouse arrives as ORC as
+    * often as parquet). ORC embeds its schema, so no explicit schema
+    * argument is needed; the SNAPSHOT transform is identical. */
+  def fromOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+              entityCol: String, labelCols: Seq[String],
+              asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame =
+    fromTable(spark.read.orc(path), entityCol, labelCols, asOf)
 }
