@@ -210,6 +210,35 @@ object CdcQueries extends QueryPack {
         .orderBy("entity_id")
     }),
 
+    // I1-as-oracle: the engine's stated purpose — "DataFrame reads +
+    // JDBC writes" — as one ORACLE-CHECKED round trip: land the table
+    // in a real JDBC store (embedded Derby; same writer surface as
+    // ClickHouse, only url/driver options differ), read it back over
+    // JDBC, and emit SNAPSHOT records whose hash must match the
+    // original table. Overwrite mode keeps the entry idempotent
+    // across bench/verify re-runs.
+    "snapshot_jdbc" -> ((s, dir) => {
+      // keep derby.log out of whatever cwd the driver runs in
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
+      val src = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val opts = graft.sinks.JdbcSink.options(
+        "jdbc:derby:memory:graftq;create=true", "snapshot_src", "app", "app",
+        numPartitions = 4, driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sinks.JdbcSink.writer(src, opts).mode("overwrite").save()
+      val back = graft.sinks.JdbcSink.read(s, opts)
+      graft.sources.Snapshot.fromTable(back,
+          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
+        .select(col("entity_id").cast("long").as("entity_id"),
+          col("event_type"), col("labels")(0).as("label0"),
+          get_json_object(col("properties_after"), "$.c_name").as("name"),
+          round(get_json_object(col("properties_after"), "$.c_acctbal")
+            .cast("double"), 2).as("acctbal"))
+        .orderBy("entity_id")
+    }),
+
     // I3b: ORC snapshot path end-to-end — same round-trip contract as
     // snapshot_csv through Spark's native ORC reader (the other
     // columnar warehouse-export format); oracle checks against the
@@ -302,6 +331,11 @@ object CdcQueries extends QueryPack {
                 round(c_acctbal, 2) AS acctbal
          FROM customer ORDER BY entity_id""",
     "snapshot_orc" ->
+      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
+                c_mktsegment AS label0, c_name AS name,
+                round(c_acctbal, 2) AS acctbal
+         FROM customer ORDER BY entity_id""",
+    "snapshot_jdbc" ->
       """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
                 c_mktsegment AS label0, c_name AS name,
                 round(c_acctbal, 2) AS acctbal
