@@ -189,76 +189,85 @@ object CdcQueries extends QueryPack {
       nodes.unionAll(rels).orderBy("kind")
     }),
 
-    // I3: CSV snapshot path end-to-end — export customer to the
-    // staging CSV shape the reference's initial load reads
-    // (03-bulk-import.py nodes CSV), read it back with an explicit
-    // schema, and emit SNAPSHOT records. Oracle checks against the
-    // original table, so the whole CSV round-trip is validated.
+    // I3/I3b/I1-as-oracle: snapshot round trips through THREE real
+    // transports — staged CSV (the reference's initial-load shape,
+    // 03-bulk-import.py nodes CSV), native ORC, and a REAL JDBC store
+    // (embedded Derby; same writer surface as ClickHouse, only
+    // url/driver options differ). Each lands the customer table,
+    // reads it back through the transport, emits SNAPSHOT records,
+    // and must hash-match the original table. NOTE: unlike the other
+    // entries these builders run eager side-effecting IO (staging
+    // writes / a JDBC table overwrite) — keep them out of plan-only
+    // tooling like Plans.scala's headline list.
     "snapshot_csv" -> ((s, dir) => {
-      val src = Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-      val staging = s"${System.getProperty("java.io.tmpdir")}/graft_staging_csv"
+      val src = snapshotSource(s, dir)
+      val staging = stagingPath("csv", dir)
       src.write.mode("overwrite").option("header", "true").csv(staging)
-      graft.sources.Snapshot.fromCsv(s, staging, src.schema,
-          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
-          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
-        .select(col("entity_id").cast("long").as("entity_id"),
-          col("event_type"), col("labels")(0).as("label0"),
-          get_json_object(col("properties_after"), "$.c_name").as("name"),
-          round(get_json_object(col("properties_after"), "$.c_acctbal")
-            .cast("double"), 2).as("acctbal"))
-        .orderBy("entity_id")
+      snapshotProjection(graft.sources.Snapshot.fromCsv(s, staging, src.schema,
+        entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+        asOf = snapshotAsOf))
     }),
 
-    // I1-as-oracle: the engine's stated purpose — "DataFrame reads +
-    // JDBC writes" — as one ORACLE-CHECKED round trip: land the table
-    // in a real JDBC store (embedded Derby; same writer surface as
-    // ClickHouse, only url/driver options differ), read it back over
-    // JDBC, and emit SNAPSHOT records whose hash must match the
-    // original table. Overwrite mode keeps the entry idempotent
-    // across bench/verify re-runs.
     "snapshot_jdbc" -> ((s, dir) => {
-      // keep derby.log out of whatever cwd the driver runs in
+      // keep derby.log out of whatever cwd the driver runs in (takes
+      // effect only if Derby hasn't booted yet in this JVM — true in
+      // the Verify/Bench processes, where only this entry uses Derby)
       System.setProperty("derby.system.home",
         System.getProperty("java.io.tmpdir"))
-      val src = Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
       val opts = graft.sinks.JdbcSink.options(
         "jdbc:derby:memory:graftq;create=true", "snapshot_src", "app", "app",
         numPartitions = 4, driver = "org.apache.derby.jdbc.EmbeddedDriver")
-      graft.sinks.JdbcSink.writer(src, opts).mode("overwrite").save()
-      val back = graft.sinks.JdbcSink.read(s, opts)
-      graft.sources.Snapshot.fromTable(back,
-          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
-          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
-        .select(col("entity_id").cast("long").as("entity_id"),
-          col("event_type"), col("labels")(0).as("label0"),
-          get_json_object(col("properties_after"), "$.c_name").as("name"),
-          round(get_json_object(col("properties_after"), "$.c_acctbal")
-            .cast("double"), 2).as("acctbal"))
-        .orderBy("entity_id")
+      // overwrite keeps the entry idempotent across verify/bench re-runs
+      graft.sinks.JdbcSink.writer(snapshotSource(s, dir), opts)
+        .mode("overwrite").save()
+      snapshotProjection(graft.sources.Snapshot.fromTable(
+        graft.sinks.JdbcSink.read(s, opts),
+        entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+        asOf = snapshotAsOf))
     }),
 
-    // I3b: ORC snapshot path end-to-end — same round-trip contract as
-    // snapshot_csv through Spark's native ORC reader (the other
-    // columnar warehouse-export format); oracle checks against the
-    // original table.
     "snapshot_orc" -> ((s, dir) => {
-      val src = Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-      val staging = s"${System.getProperty("java.io.tmpdir")}/graft_staging_orc"
-      src.write.mode("overwrite").orc(staging)
-      graft.sources.Snapshot.fromOrc(s, staging,
-          entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
-          asOf = to_timestamp(lit("2026-01-01 00:00:00")))
-        .select(col("entity_id").cast("long").as("entity_id"),
-          col("event_type"), col("labels")(0).as("label0"),
-          get_json_object(col("properties_after"), "$.c_name").as("name"),
-          round(get_json_object(col("properties_after"), "$.c_acctbal")
-            .cast("double"), 2).as("acctbal"))
-        .orderBy("entity_id")
+      val staging = stagingPath("orc", dir)
+      snapshotSource(s, dir).write.mode("overwrite").orc(staging)
+      snapshotProjection(graft.sources.Snapshot.fromOrc(s, staging,
+        entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
+        asOf = snapshotAsOf))
     })
   )
+
+  private def snapshotSource(s: org.apache.spark.sql.SparkSession,
+                             dir: String) =
+    Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+  private def snapshotAsOf = to_timestamp(lit("2026-01-01 00:00:00"))
+
+  /** Staging path derived from the SOURCE dir and the process id: two
+    * scale factors never collide, and two concurrent driver processes
+    * (e.g. Verify and Bench) never race one directory with
+    * overwrite-while-scanning. */
+  private def stagingPath(kind: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_staging_${kind}_" +
+      s"${h}_${ProcessHandle.current().pid()}"
+  }
+
+  /** The shared round-trip output contract (one definition, three
+    * transports — csv/orc/jdbc all hash against [[snapshotOracleSql]]). */
+  private def snapshotProjection(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("entity_id").cast("long").as("entity_id"),
+        col("event_type"), col("labels")(0).as("label0"),
+        get_json_object(col("properties_after"), "$.c_name").as("name"),
+        round(get_json_object(col("properties_after"), "$.c_acctbal")
+          .cast("double"), 2).as("acctbal"))
+      .orderBy("entity_id")
+
+  private val snapshotOracleSql =
+    """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
+              c_mktsegment AS label0, c_name AS name,
+              round(c_acctbal, 2) AS acctbal
+       FROM customer ORDER BY entity_id"""
 
   val oracles: Map[String, String] = Map(
     "cdc_event_type_counts" ->
@@ -325,20 +334,8 @@ object CdcQueries extends QueryPack {
     "snapshot_load" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS entity_id, 'SNAPSHOT' AS event_type, c_mktsegment AS label0
          FROM customer ORDER BY entity_id""",
-    "snapshot_csv" ->
-      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
-                c_mktsegment AS label0, c_name AS name,
-                round(c_acctbal, 2) AS acctbal
-         FROM customer ORDER BY entity_id""",
-    "snapshot_orc" ->
-      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
-                c_mktsegment AS label0, c_name AS name,
-                round(c_acctbal, 2) AS acctbal
-         FROM customer ORDER BY entity_id""",
-    "snapshot_jdbc" ->
-      """SELECT c_custkey AS entity_id, 'SNAPSHOT' AS event_type,
-                c_mktsegment AS label0, c_name AS name,
-                round(c_acctbal, 2) AS acctbal
-         FROM customer ORDER BY entity_id"""
+    "snapshot_csv" -> snapshotOracleSql,
+    "snapshot_orc" -> snapshotOracleSql,
+    "snapshot_jdbc" -> snapshotOracleSql
   )
 }
