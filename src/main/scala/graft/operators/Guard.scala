@@ -24,13 +24,20 @@ object Guard {
   def allPairsBaseline(df: DataFrame, maxRows: Long, allow: Boolean,
                        op: String, alternative: String): DataFrame = {
     if (!allow) {
+      // limit() takes an Int, so thresholds above ~2.1B clamp to the
+      // Int ceiling — the refusal message reports the EFFECTIVE bound
+      // so a caller with a larger maxRows is not told their own limit
+      // was exceeded when it wasn't probed that far.
       val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
       // zero-column projection: column pruning strips every upstream
       // expression, so the probe counts rows without per-row work
       val probed = df.select().limit(cap + 1).count()
       require(probed <= cap,
         s"$op is an exact all-pairs (O(n^2)) baseline and its input exceeds " +
-          s"$maxRows rows. Use $alternative at scale, or pass " +
+          s"$cap rows" +
+          (if (cap < maxRows) s" (maxRows=$maxRows clamped to the Int limit)"
+           else "") +
+          s". Use $alternative at scale, or pass " +
           "allowAllPairs = true to run the exact baseline anyway.")
     }
     df

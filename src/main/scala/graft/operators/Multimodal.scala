@@ -34,15 +34,18 @@ object Multimodal {
     * a real decoder (libjpeg/ffmpeg/ONNX) without touching the
     * pipeline around it. */
   private[graft] def decodeStub(m: Media): MediaFeatures = {
+    // null payload decodes like an empty one (zero histogram) instead
+    // of NPE-ing the task — a real decoder would do the same triage
+    val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
     val hist = new Array[Float](16)
     var i = 0
-    while (i < m.bytes.length) { hist((m.bytes(i) & 0xFF) % 16) += 1f; i += 1 }
-    val n = math.max(m.bytes.length, 1)
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) % 16) += 1f; i += 1 }
+    val n = math.max(bytes.length, 1)
     var b = 0
     while (b < 16) { hist(b) /= n.toFloat; b += 1 }
-    MediaFeatures(m.doc_id, m.bytes.length,
-      width = 64 + (m.bytes.length % 1024),
-      height = 64 + ((m.bytes.length / 7) % 1024),
+    MediaFeatures(m.doc_id, bytes.length,
+      width = 64 + (bytes.length % 1024),
+      height = 64 + ((bytes.length / 7) % 1024),
       features = hist)
   }
 
@@ -63,11 +66,17 @@ object Multimodal {
     require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val nChunks = (m.bytes.length + frameBytes - 1) / frameBytes
-      Iterator.range(0, nChunks).filter(_ % everyNth == 0).map { c =>
-        val from = c * frameBytes
-        val until = math.min(from + frameBytes, m.bytes.length)
-        Frame(m.doc_id, c, java.util.Arrays.copyOfRange(m.bytes, from, until))
+      // a null payload samples to no frames — the same skip the
+      // mm_frame_sample oracle's octet_length filter applies, and the
+      // behavior a null media column should have (not a task failure)
+      if (m.bytes == null) Iterator.empty
+      else {
+        val nChunks = (m.bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nChunks).filter(_ % everyNth == 0).map { c =>
+          val from = c * frameBytes
+          val until = math.min(from + frameBytes, m.bytes.length)
+          Frame(m.doc_id, c, java.util.Arrays.copyOfRange(m.bytes, from, until))
+        }
       }
     }
   }
@@ -76,7 +85,8 @@ object Multimodal {
     * target budget (a real impl calls libvips/ffmpeg scale here).
     * Payloads already under budget pass through untouched. */
   private[graft] def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
-    if (bytes.length <= targetBytes) bytes
+    if (bytes == null) null // null payload passes through (1:1 op)
+    else if (bytes.length <= targetBytes) bytes
     else {
       val stride = (bytes.length + targetBytes - 1) / targetBytes
       val out = new Array[Byte]((bytes.length + stride - 1) / stride)

@@ -242,16 +242,10 @@ object CdcQueries extends QueryPack {
 
   private def snapshotAsOf = to_timestamp(lit("2026-01-01 00:00:00"))
 
-  /** Staging path derived from the SOURCE dir and the process id: two
-    * scale factors never collide, and two concurrent driver processes
-    * (e.g. Verify and Bench) never race one directory with
-    * overwrite-while-scanning. */
-  private def stagingPath(kind: String, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_staging_${kind}_" +
-      s"${h}_${ProcessHandle.current().pid()}"
-  }
+  /** (kind, source-dir, pid)-keyed staging with exit-time cleanup —
+    * see [[Staging]]. */
+  private def stagingPath(kind: String, dir: String): String =
+    Staging.path(kind, dir)
 
   /** The shared round-trip output contract (one definition, three
     * transports — csv/orc/jdbc all hash against [[snapshotOracleSql]]). */

@@ -24,16 +24,15 @@ object PipelineQueries extends QueryPack {
   // source dir -> fully-written staging path (see stream_json_parse).
   // Keyed on the md5 of the FULL source path (32-bit String.hashCode
   // could collide two dataset dirs and silently stream the wrong
-  // staged payloads), and populated inside computeIfAbsent so the
-  // path is published only after the write completes — a concurrent
-  // second caller blocks until the first finishes (happens-before via
-  // the map's internal lock) instead of reading a half-written dir.
+  // staged payloads) PLUS the process id (a concurrent second driver
+  // process must not overwrite the dir this process is mid-stream
+  // over — Staging registers it for exit-time cleanup), and populated
+  // inside computeIfAbsent so the path is published only after the
+  // write completes — a concurrent second caller in THIS process
+  // blocks until the first finishes (happens-before via the map's
+  // internal lock) instead of reading a half-written dir.
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
@@ -102,8 +101,9 @@ object PipelineQueries extends QueryPack {
       // the synthesized wire-format file set is test INPUT, not part
       // of the streamed work being exercised/measured
       val staging = stagedDirs.computeIfAbsent(dir, d => {
-        val p = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_stream_json_${md5Hex(d)}"
+        val p = Staging.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_stream_json_" +
+            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
         graft.sources.CdcJson
           .synthesizeNodeJson(Tables.load(s, d, "events"))
           .write.mode("overwrite").text(p)

@@ -55,7 +55,13 @@ object ParquetSink {
       tsCol, path, mode)
 
   /** Month partition values present under a monthly-partitioned tree
-    * (directory listing only — no data read). */
+    * (directory listing only — no data read). Only well-formed yyyyMM
+    * values are returned: a null-timestamp row lands under
+    * `month=__HIVE_DEFAULT_PARTITION__`, which is NOT a month — it
+    * must never be parsed by retention date math (it would abort the
+    * whole operation) nor silently dropped as "old" (it is not
+    * comparable to any cutoff). Retention deliberately never touches
+    * the null partition. */
   def listMonths(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,6 +71,7 @@ object ParquetSink {
       .map(_.getPath.getName)
       .filter(_.startsWith("month="))
       .map(_.stripPrefix("month="))
+      .filter(m => m.length == 6 && m.forall(_.isDigit))
       .sorted
   }
 
@@ -102,6 +109,19 @@ object ParquetSink {
       : (Seq[String], Seq[String]) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover any swap a previous run left half-done (see the rewrite
+    // protocol below): backup present + live dir missing means the
+    // crash hit between the two renames — restore the original so the
+    // month is visible again and this run re-processes it; backup
+    // present + live dir present means the publish succeeded and only
+    // the backup cleanup was lost — finish it.
+    fs.globStatus(new Path(root, "_graft_replaced_month=*")).foreach { st =>
+      val m = st.getPath.getName.stripPrefix("_graft_replaced_month=")
+      val live = new Path(root, s"month=$m")
+      if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+        s"failed to restore interrupted rewrite of month=$m")
+      else fs.delete(st.getPath, true)
+    }
     val from = java.time.LocalDateTime.parse(fromTs.replace(' ', 'T'))
     val until = java.time.LocalDateTime.parse(untilTs.replace(' ', 'T'))
     val inRange = col(tsCol) >= lit(fromTs).cast("timestamp") &&
@@ -132,16 +152,27 @@ object ParquetSink {
       spark.read.parquet(dir.toString).filter(!inRange)
         .write.mode("overwrite").parquet(tmp.toString)
       val keptRows = spark.read.parquet(tmp.toString).count()
-      fs.delete(dir, true)
+      // crash-safe swap: the live dir is RENAMED to a visible
+      // underscore-prefixed backup (Spark readers ignore it; humans
+      // and the recovery sweep above can find it), then the staged
+      // rewrite renamed in, then the backup deleted. At no instant do
+      // the surviving rows exist only in a hidden staging dir — a
+      // kill between any two steps is recovered by the sweep at the
+      // top of this method. rename reports failure via its return
+      // value, not an exception; losing a month partition silently is
+      // the one outcome retention must never have.
+      val backup = new Path(root, s"_graft_replaced_month=$m")
+      fs.delete(backup, true)
+      require(fs.rename(dir, backup),
+        s"failed to stage original partition month=$m for replacement")
       if (keptRows > 0L) {
-        // rename reports failure via its return value, not an
-        // exception — losing a month partition silently is the one
-        // outcome retention must never have
         require(fs.rename(tmp, dir),
           s"failed to publish rewritten partition month=$m from $tmp")
+        fs.delete(backup, true)
         true
       } else {
         fs.delete(tmp, true)
+        fs.delete(backup, true)
         false
       }
     }

@@ -260,51 +260,55 @@ object CdcStream {
                              newer: (V, V) => Boolean,
                              eventTimeUs: V => Long, ttlMs: Long)(
       implicit ke: org.apache.spark.sql.Encoder[K],
-      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] =
+      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
+    // state = (winning record, max event time EVER SEEN for the key).
+    // The max is PERSISTED, not recomputed per batch: a lease armed
+    // from only (retained ts, current-batch max) could be re-armed
+    // DOWNWARD by a later stale batch whose max undercuts an earlier
+    // stale batch's, reopening the premature-eviction window this
+    // operator exists to close. With the persisted max the lease is
+    // monotone in everything the key has ever seen.
+    implicit val stEnc: org.apache.spark.sql.Encoder[(V, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        ve, org.apache.spark.sql.Encoders.scalaLong)
     ds.groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (_: K, it: Iterator[V], state: GroupState[V]) =>
+        (_: K, it: Iterator[V], state: GroupState[(V, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val prior: Option[V] = state.getOption
-            var cur = prior
-            var maxTsUs = Long.MinValue
+            val prior: Option[(V, Long)] = state.getOption
+            var cur: Option[V] = prior.map(_._1)
+            var maxTsUs = prior.map(_._2).getOrElse(Long.MinValue)
             it.foreach { e =>
               maxTsUs = math.max(maxTsUs, eventTimeUs(e))
               if (cur.forall(newer(e, _))) cur = Some(e)
             }
             cur match {
               case Some(v) =>
-                // the lease derives from max(retained newest event,
-                // batch max event time): the retained term means a
-                // batch of OLDER events can never SHORTEN a live
+                // lease = monotone max(all event times seen) + ttl: a
+                // batch of OLDER events can never shorten a live
                 // key's lease (early eviction would let a later
-                // lower-version event regress the state), and the
-                // batch term means ANY activity extends it — under a
-                // version-ordered `newer` (not monotone in event
-                // time) a key receiving a stream of recent-but-lower-
-                // version events is active and must not expire.
-                // Clamped above the watermark: a timestamp at-or-
-                // below it would be rejected, and such a key is due.
+                // lower-version event regress the state), and ANY
+                // activity extends it — under a version-ordered
+                // `newer` (not monotone in event time) a key fed
+                // recent-but-lower-version events is active and must
+                // not expire. Clamped above the watermark: a
+                // timestamp at-or-below it would be rejected, and
+                // such a key is due anyway.
                 val newestUs = math.max(eventTimeUs(v), maxTsUs)
                 val lease = math.max(newestUs / 1000L + ttlMs,
                   state.getCurrentWatermarkMs() + 1L)
-                if (!prior.contains(v)) {
-                  state.update(v) // timeout requires defined state
-                  state.setTimeoutTimestamp(lease)
-                  Iterator.single(v)
-                } else {
-                  // stale batch: state already defined; the lease is
-                  // re-armed to the same value (newest event unchanged)
-                  state.setTimeoutTimestamp(lease)
-                  Iterator.empty
-                }
+                state.update((v, newestUs))
+                state.setTimeoutTimestamp(lease)
+                if (!prior.map(_._1).contains(v)) Iterator.single(v)
+                else Iterator.empty
               case None => Iterator.empty
             }
           }
       }
+  }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized table. */

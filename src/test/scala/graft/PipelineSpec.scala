@@ -434,6 +434,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal operators tolerate null payloads (no task NPE)") {
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(1L, "abcdef".getBytes("UTF-8")),
+                    Multimodal.Media(2L, null)).toDS()
+    // null samples to zero frames (the oracle's octet_length skip)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 1)
+      .collect()
+    assert(frames.map(_.doc_id).toSet == Set(1L))
+    // resize passes the null through 1:1
+    val resized = Multimodal.resize(media, targetBytes = 4).collect()
+      .map(m => m.doc_id -> m.bytes).toMap
+    assert(resized(2L) == null && resized(1L).length <= 4)
+    // feature extraction decodes null like an empty payload
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.n_bytes).toMap
+    assert(feats(2L) == 0 && feats(1L) == 6)
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")

@@ -122,6 +122,44 @@ class RetentionSpec extends SparkSpec {
     assert(ParquetSink.readMonthly(spark, out).count() == 4)
   }
 
+  test("deleteTimeRange recovers an interrupted swap before processing") {
+    val out = Files.createTempDirectory("graft_trdel_rec").toString
+    threeMonths(out)
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames: the live month
+    // was moved to its visible backup and the rewrite never published
+    assert(fs.rename(new Path(out, "month=202601"),
+      new Path(out, "_graft_replaced_month=202601")))
+    assert(ParquetSink.listMonths(spark, out) == Seq("202602", "202603"))
+    // ANY later retention run must first restore the stranded month
+    val (dropped, rewritten) = ParquetSink.deleteTimeRange(
+      spark, out, "ts", "2027-01-01 00:00:00", "2027-02-01 00:00:00")
+    assert(dropped.isEmpty && rewritten.isEmpty)
+    assert(ParquetSink.listMonths(spark, out) ==
+      Seq("202601", "202602", "202603"), "interrupted month restored")
+    assert(ParquetSink.readMonthly(spark, out).count() == 6)
+  }
+
+  test("retention never touches the null partition") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_nullpart").toString
+    val df = Seq((1L, Some("2026-01-05 01:00:00")), (2L, None))
+      .toDF("id", "ts_s")
+      .select(col("id"), to_timestamp(col("ts_s")).as("ts"))
+    ParquetSink.writeMonthly(df, "ts", out, mode = "overwrite")
+    // the null-ts row lands under month=__HIVE_DEFAULT_PARTITION__;
+    // it is not a month and must be invisible to retention date math
+    assert(ParquetSink.listMonths(spark, out) == Seq("202601"))
+    assert(ParquetSink.dropMonths(spark, out, "999999") == Seq("202601"))
+    // deleteTimeRange must not throw on the remaining null partition
+    val (d, r) = ParquetSink.deleteTimeRange(
+      spark, out, "ts", "2026-01-01 00:00:00", "2026-02-01 00:00:00")
+    assert(d.isEmpty && r.isEmpty)
+    assert(ParquetSink.readMonthly(spark, out).count() == 1,
+      "null-timestamp row survives retention untouched")
+  }
+
   test("deleteTimeRange: boundary month emptied entirely becomes a drop") {
     val out = Files.createTempDirectory("graft_trdel2").toString
     threeMonths(out)
