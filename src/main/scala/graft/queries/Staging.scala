@@ -18,6 +18,28 @@ private[queries] object Staging {
     created.forEach(p => deleteRecursively(new java.io.File(p)))
   }
 
+  // self-healing sweep: a SIGKILL'd driver never runs its shutdown
+  // hook, so whenever any graft driver starts, prune staging dirs
+  // whose owning process is no longer alive (the pid suffix makes
+  // ownership checkable). Worst case a recycled pid keeps a dir one
+  // round longer — it is re-swept next start.
+  locally {
+    val pidSuffix = ".*_([0-9]+)$".r
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val candidates = tmp.listFiles((_, n) =>
+      n.startsWith("graft_staging_") || n.startsWith("graft_stream_json_"))
+    if (candidates != null) candidates.foreach { f =>
+      f.getName match {
+        case pidSuffix(pid) =>
+          val alive = ProcessHandle.of(pid.toLong)
+            .map[Boolean](_.isAlive).orElse(false)
+          if (!alive) deleteRecursively(f)
+        case _ => // pre-pid legacy name: no owner, safe to prune
+          deleteRecursively(f)
+      }
+    }
+  }
+
   def path(kind: String, dir: String): String =
     register(s"${System.getProperty("java.io.tmpdir")}/graft_staging_" +
       s"${kind}_${md5Hex(dir)}_${ProcessHandle.current().pid()}")
