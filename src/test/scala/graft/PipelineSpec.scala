@@ -319,6 +319,48 @@ class PipelineSpec extends SparkSpec {
       s"A (stale batch) + C must hold state, B evicted: $stateRows rows")
   }
 
+  test("latestByExpiring: a later stale batch cannot arm the lease DOWN") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TtlEv]
+    val withWm = mem.toDS().withWatermark("ts", "900 seconds")
+    // VERSION-ordered newer: event time is deliberately not monotone
+    // with the version, so stale (lower-version) events can carry any
+    // event time — the shape that exposed the down-arming hazard
+    val q = CdcStream.latestByExpiring[Long, TtlEv](withWm, _.entity,
+        newer = (a, b) => a.ver > b.ver,
+        eventTimeUs = _.ts.getTime * 1000L,
+        ttlMs = 50000L)
+      .toDF()
+      .writeStream.format("memory").queryName("pipelinespec_ttl_mono")
+      .outputMode(OutputMode.Update()).start()
+    // retained winner: ver=5 at t=1000s (wm after batch: 100s)
+    mem.addData(TtlEv(1, ts(1000), 5, "v5"))
+    q.processAllAvailable()
+    // stale batch A at t=2000s: lease must extend to 2050s
+    mem.addData(TtlEv(1, ts(2000), 1, "v1"))
+    q.processAllAvailable()
+    // stale batch B at t=1100s: the max EVER seen (2000s) is in
+    // state, so the lease must NOT re-arm down to 1150s
+    mem.addData(TtlEv(1, ts(1100), 2, "v2"))
+    q.processAllAvailable()
+    // advance the watermark to ~1300s (2200-900), between the buggy
+    // lease (1150) and the correct one (2050), and run a timeout pass
+    mem.addData(TtlEv(9, ts(2200), 1, "other"))
+    q.processAllAvailable()
+    mem.addData(TtlEv(9, ts(2210), 2, "other2"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 2,
+      s"entity 1 must survive (lease 2050s > wm ~1300s): $stateRows rows")
+    // and the retained value never regressed below ver=5
+    val emitted = spark.table("pipelinespec_ttl_mono")
+      .filter(col("entity") === 1).select("ver")
+      .collect().map(_.getLong(0)).toSeq
+    assert(emitted == Seq(5L), s"stale versions must never emit: $emitted")
+  }
+
   test("foreachBatch sink lands every row through the batch writer") {
     val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
     var seenOpts: Map[String, String] = Map.empty
