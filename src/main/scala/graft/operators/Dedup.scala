@@ -48,7 +48,9 @@ object Dedup {
     *              (both sides of the Jaccard stay consistent). This
     *              bounds the join fan-out of degenerate "stop
     *              shingles" — the classic quadratic-bucket skew killer
-    *              at corpus scale. The oracle applies the same cap.
+    *              at corpus scale — AND (via the two-pass count-then-
+    *              collect below) the per-key aggregation buffer. The
+    *              oracle applies the same cap.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double, dfCap: Long): DataFrame = {
@@ -60,14 +62,26 @@ object Dedup {
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("tok"))
-    // ONE shuffle on the shingle key produces the per-token posting
-    // list; the df cap is a size filter on it. Shingling runs once —
-    // downstream branches (pair generation + set sizes) both hang off
-    // this aggregation, so its exchange is computed once and reused,
-    // instead of re-scanning/re-shingling per branch.
-    val postings = sh.groupBy("tok")
+    // TWO-PASS df cap: count each token's document frequency FIRST
+    // (a long-typed hash-agg with map-side partial aggregation — no
+    // per-key buffer growth), drop tokens over the cap, and collect
+    // posting lists only for the survivors via a semi-join. The
+    // single-pass form (collect the full list, then filter on its
+    // size) bounds the join FAN-OUT but not the aggregation BUFFER: a
+    // stop-shingle appearing in 10^8 documents would materialize an
+    // ~800 MB single-key collect_list buffer before the filter ever
+    // ran — an executor OOM at exactly the corpus sizes the cap
+    // exists for. With the semi-join first, every collect_list buffer
+    // is bounded by dfCap rows by construction. Both branches shuffle
+    // `sh` on the same key, so the exchange is computed once and
+    // reused (ReusedExchange), and the semi-join output is already
+    // partitioned by tok — the posting aggregation adds no exchange.
+    val kept = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("tok")
+    val postings = sh.join(kept, Seq("tok"), "left_semi")
+      .groupBy("tok")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= dfCap)
       .select("ds")
     // capped set size per doc (the Jaccard denominator must use the
     // same capped universe as the intersection counts)

@@ -82,13 +82,26 @@ object PipelineOps {
       col(idCol).as("doc_id"), isEval.as("is_eval"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
       .select(col("doc_id"), col("is_eval"), xxhash64(col("s")).as("tok"))
-    val postings = sh.groupBy("tok").agg(
-        collect_set(when(col("is_eval"), col("doc_id"))).as("eval_ds"),
-        collect_set(when(!col("is_eval"), col("doc_id"))).as("train_ds"))
-      .filter(size(col("eval_ds")) > 0 && size(col("train_ds")) > 0 &&
-              (size(col("eval_ds")) + size(col("train_ds"))) <= dfCap)
-    postings
-      .select(explode(col("train_ds")).as("doc_id"))
+    // TWO-PASS df cap, and no posting list at all: the shared-shingle
+    // count per train doc only needs each token's eval/train presence
+    // counts, never the member lists. Pass 1 counts both sides per
+    // token (pure long aggregates, map-side partial agg — constant
+    // per-key state, unlike the collect_set buffers the single-pass
+    // form materialized BEFORE its cap filter: a stop-shingle in 10^8
+    // docs is a ~GB single-key buffer, the same executor-OOM hazard as
+    // the Jaccard posting lists). Shingles are array_distinct per doc,
+    // so a count over (doc, tok) rows equals the distinct-doc set size
+    // the collect_set form measured. Pass 2 semi-joins the train-side
+    // token stream against surviving tokens and counts per doc —
+    // identical output, bounded state at any corpus size.
+    val kept = sh.groupBy("tok").agg(
+        count(when(col("is_eval"), lit(1))).as("n_eval"),
+        count(when(!col("is_eval"), lit(1))).as("n_train"))
+      .filter(col("n_eval") > 0 && col("n_train") > 0 &&
+              (col("n_eval") + col("n_train")) <= dfCap)
+      .select("tok")
+    sh.filter(!col("is_eval"))
+      .join(kept, Seq("tok"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

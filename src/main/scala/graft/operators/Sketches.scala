@@ -40,10 +40,22 @@ object Sketches {
     * band key become a candidate pair. Output: (i, j, sig_sim) where
     * sig_sim = fraction of agreeing signature components (the MinHash
     * estimate of Jaccard similarity), filtered at `minSigSim`.
+    *
+    * @param maxBucket degenerate-corpus guard: band buckets larger
+    *   than this are dropped BEFORE their posting list is collected
+    *   (two-pass count + semi-join, like the Jaccard df cap), bounding
+    *   both the aggregation buffer and the in-bucket pair explosion —
+    *   a mass-identical corpus (every doc the same) makes one bucket
+    *   hold the whole corpus and its pair output quadratic. Pairs
+    *   confined to over-cap buckets are lost; a bucket that large
+    *   means near-identical mass that exact dedup ([[Dedup.exact]])
+    *   should collapse FIRST — this operator's contract is the
+    *   long-tail of near-dups, not the exact-dup spike.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 16, bands: Int = 4,
-                 minSigSim: Double = 0.5): DataFrame = {
+                 minSigSim: Double = 0.5,
+                 maxBucket: Long = 10000L): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
@@ -54,8 +66,15 @@ object Sketches {
         xxhash64(lit(b) +: (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)
         .as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bk"))
-    // posting list per band key -> in-bucket pairs, deduped across bands
-    val cand = banded.groupBy("bk")
+    // two-pass bucket cap, then posting list per surviving band key ->
+    // in-bucket pairs, deduped across bands (collect_list buffers are
+    // bounded by maxBucket by construction; both branches reuse the
+    // same exchange on bk)
+    val keptBk = banded.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("bk")
+    val cand = banded.join(keptBk, Seq("bk"), "left_semi")
+      .groupBy("bk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(col("ds")).as("i"), col("ds"))
       .select(col("i"), explode(col("ds")).as("j"))
@@ -98,9 +117,15 @@ object Sketches {
     * touch at most 3 of the 4 bands), so banded candidates are
     * LOSSLESS for maxHamming ≤ 3; candidates are then verified with an
     * exact popcount of the XOR. Output: (i, j, hamming) ≤ maxHamming.
+    *
+    * @param maxBucket degenerate-corpus guard (see [[minhashLsh]]):
+    *   band buckets above the cap are dropped before collection, so
+    *   losslessness holds for corpora whose band buckets stay under
+    *   `maxBucket` — a bucket beyond it is the exact-dup spike that
+    *   [[Dedup.exact]] must collapse first, not near-dup long-tail.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     val sk = simhashSketch(docs, idCol, textCol)
     val banded = sk.select(
       col("doc_id"),
@@ -109,7 +134,13 @@ object Sketches {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bits"))
-    val cand = banded.groupBy("band", "bits")
+    // two-pass bucket cap (bounded collect_list buffers; same pattern
+    // and rationale as minhashLsh / the Jaccard df cap)
+    val keptBk = banded.groupBy("band", "bits").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "bits")
+    val cand = banded.join(keptBk, Seq("band", "bits"), "left_semi")
+      .groupBy("band", "bits")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(col("ds")).as("i"), col("ds"))
       .select(col("i"), explode(col("ds")).as("j"))
