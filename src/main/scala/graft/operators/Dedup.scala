@@ -148,34 +148,64 @@ object Dedup {
     * only loses pairs whose buckets never collide, bounded by the
     * (1-(1-p^bits)^tables) collision probability; recall asserted in
     * SketchSpec). Pass `dim` when known to skip the one-row probe.
+    * `bits` defaults to [[Similarity.autoBits]] of the corpus size so
+    * bucket capacity tracks the corpus (candidate volume stays
+    * ~n·targetBucket per table instead of n²/2^bits); `maxBucket`
+    * drops degenerate identical-vector buckets before pairing.
     */
   def embeddingPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-                        tau: Double, tables: Int = 16, bits: Int = 4,
-                        seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
-    val d = dim.getOrElse(vecs.select(size(col(vecCol))).head().getInt(0))
-    val planes = Similarity.hyperplanes(tables, bits, d, seed)
-    val v = Par.widen(vecs).select(col(idCol).as("id"),
+                        tau: Double, tables: Int = 16,
+                        bits: Option[Int] = None,
+                        seed: Long = 42L, dim: Option[Int] = None,
+                        targetBucket: Long = 64L,
+                        maxBucket: Long = 10000L): DataFrame =
+    Similarity.probeDim(vecs, vecCol) match {
+      case None => // empty / all-null input: empty result, same schema
+        vecs.limit(0).select(col(idCol).as("i"), col(idCol).as("j"),
+          lit(0.0).as("cosine"))
+      case Some(probed) =>
+        val v = Par.widen(vecs).select(col(idCol).as("id"),
+            VectorFunctions.asDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v")))
+        val pairs = lshCandidatePairs(vecs, idCol, vecCol, tables, bits,
+          seed, dim.getOrElse(probed), targetBucket, maxBucket)
+        val cand = pairs
+          .join(v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
+          .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
+        val cos = VectorFunctions.cosinePre(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
+        cand.withColumn("cosine", cos)
+          .filter(col("cosine") >= tau)
+          .select(col("i"), col("j"), round(col("cosine"), 4).as("cosine"))
+    }
+
+  /** The candidate stage of [[embeddingPairsLsh]]: distinct (i, j) id
+    * pairs sharing ≥1 capped (table, bucket) key. Exposed for the
+    * scale spec, which asserts candidate volume grows ~linearly with
+    * the corpus under [[Similarity.autoBits]] (quadratic growth here
+    * is exactly the failure mode the auto-scaling prevents). */
+  private[graft] def lshCandidatePairs(vecs: DataFrame, idCol: String,
+                                       vecCol: String, tables: Int,
+                                       bits: Option[Int], seed: Long, dim: Int,
+                                       targetBucket: Long,
+                                       maxBucket: Long): DataFrame = {
+    val b = bits.getOrElse(Similarity.autoBits(vecs.count(), targetBucket))
+    val planes = Similarity.hyperplanes(tables, b, dim, seed)
+    val keyed = Par.widen(vecs).select(col(idCol).as("id"),
         VectorFunctions.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.l2(col("v")))
-    val keyed = v.select(col("id"), col("v"), col("nrm"),
-      explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))
+      .select(col("id"), explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))
     // candidate pairs carry ONLY ids through the bucket join and the
     // multi-table dedup: the distinct shuffles 16-byte (i, j) pairs,
     // not per-candidate vector payloads (at corpus scale candidates
     // outnumber rows — shuffling arrays per candidate would dominate
     // the whole job). Vectors re-attach by two id equi-joins after.
-    val ids = keyed.select(col("bk"), col("id"))
-    val pairs = ids.join(ids.withColumnRenamed("id", "j"), "bk")
+    // Degenerate buckets (identical-vector spikes) are dropped by the
+    // two-pass cap BEFORE the in-bucket self-join can go quadratic.
+    val ids = Similarity.capBuckets(keyed.select(col("bk"), col("id")),
+      maxBucket, Seq("bk"))
+    ids.join(ids.withColumnRenamed("id", "j"), "bk")
       .where(col("id") < col("j"))
       .select(col("id").as("i"), col("j"))
       .distinct() // same pair can collide in several tables
-    val cand = pairs
-      .join(v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
-      .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb"))
-    cand.withColumn("cosine", cos)
-      .filter(col("cosine") >= tau)
-      .select(col("i"), col("j"), round(col("cosine"), 4).as("cosine"))
   }
 }

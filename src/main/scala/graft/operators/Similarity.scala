@@ -30,6 +30,43 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** Hash width for ~`targetBucket` expected rows per LSH bucket:
+    * the smallest `bits` with `2^bits >= n / targetBucket`, clamped to
+    * [2, 24]. This is the contract that keeps in-bucket candidate
+    * generation LINEAR in corpus size: per table the expected pair
+    * count is Σ|bucket|²/2 ≈ n²/2^(bits+1) ≤ n·targetBucket/2, so
+    * growing n grows `bits` with log₂(n) and the per-table candidate
+    * volume stays ~n·targetBucket — a FIXED bits (the r3 default,
+    * bits=4 ⇒ 16 buckets forever) makes the "scale path" quietly
+    * quadratic at 10⁹ rows (docs/SCALE.md §LSH). */
+  private[graft] def autoBits(n: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket))
+    math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** Dimensionality of the first non-null vector, or None for an
+    * empty/all-null input — callers short-circuit to an empty result
+    * instead of throwing on the head() of nothing (ADVICE r3). The
+    * probe reads one row, not a scan. */
+  private[graft] def probeDim(vecs: DataFrame, vecCol: String): Option[Int] =
+    vecs.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .limit(1).collect().headOption.map(_.getInt(0))
+
+  /** Two-pass degenerate-bucket guard over (bk, id) rows: buckets
+    * holding more than `maxBucket` members are dropped BEFORE any
+    * in-bucket pairing (semi-join on surviving keys — the same
+    * count-then-use pattern as the Jaccard df cap). A bucket that
+    * large is an identical-vector spike (candidate output within it is
+    * genuinely quadratic); exact dedup owns that mass. */
+  private[graft] def capBuckets(ids: DataFrame, maxBucket: Long,
+                                keyCols: Seq[String]): DataFrame = {
+    val kept = ids.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(keyCols.map(col): _*)
+    ids.join(kept, keyCols, "left_semi")
+  }
+
   /** (table, bucket) key pairs for one vector column: bit i of the
     * bucket in table t = sign of v · plane(t)(i). Shared with
     * [[Dedup.embeddingPairsLsh]] so search and dedup bucket identically. */
@@ -44,34 +81,49 @@ object Similarity {
 
   /** E2: LSH-bucketed approximate top-k. Queries = rows where
     * `idCol % queryMod == 0` (same convention as E1). Pass `dim` when
-    * known to skip the one-row dimensionality probe. */
+    * known to skip the one-row dimensionality probe.
+    *
+    * `bits` defaults to [[autoBits]] of the corpus row count (one
+    * metadata-cheap count job at build time), so bucket capacity
+    * scales with the corpus instead of freezing at an sf0.1 constant;
+    * pass it explicitly to pin a layout. `maxBucket` drops degenerate
+    * buckets (identical-vector spikes) before in-bucket pairing — a
+    * query whose every bucket is degenerate loses those candidates,
+    * the documented trade for refusing quadratic blowup. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              tables: Int = 16, bits: Int = 4, seed: Long = 42L,
-              dim: Option[Int] = None): DataFrame = {
-    val v = Par.widen(vecs).select(
-        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.l2(col("v")))
-    val d = dim.getOrElse(vecs.select(size(col(vecCol))).head().getInt(0))
-    val planes = hyperplanes(tables, bits, d, seed)
-    val keyed = v.select(col("id"), col("v"), col("nrm"),
-      explode(bucketKeys(col("v"), planes)).as("bk"))
-    // the bucket join and multi-table distinct move ONLY id pairs;
-    // vectors re-attach by id equi-joins afterwards — the distinct's
-    // shuffle is 16 bytes per candidate instead of two embedding
-    // payloads per candidate (see Dedup.embeddingPairsLsh)
-    val ids = keyed.select(col("bk"), col("id"))
-    val pairs = ids.filter(col("id") % queryMod === 0)
-      .withColumnRenamed("id", "q_id")
-      .join(ids, "bk")
-      .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id").as("vec_id"))
-      .distinct() // same pair can collide in several tables
-    val cand = pairs
-      .join(v.select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
-      .join(v.select(col("id").as("vec_id"), col("v"), col("nrm")), "vec_id")
-    topK(cand, k)
-  }
+              tables: Int = 16, bits: Option[Int] = None, seed: Long = 42L,
+              dim: Option[Int] = None, targetBucket: Long = 64L,
+              maxBucket: Long = 10000L): DataFrame =
+    dim.orElse(probeDim(vecs, vecCol)) match {
+      case None => // empty / all-null input: empty result, same schema
+        vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
+          lit(0.0).as("cosine"), lit(0L).as("rk"))
+      case Some(d) =>
+        val b = bits.getOrElse(autoBits(vecs.count(), targetBucket))
+        val v = Par.widen(vecs).select(
+            col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v")))
+        val planes = hyperplanes(tables, b, d, seed)
+        val keyed = v.select(col("id"), col("v"), col("nrm"),
+          explode(bucketKeys(col("v"), planes)).as("bk"))
+        // the bucket join and multi-table distinct move ONLY id pairs;
+        // vectors re-attach by id equi-joins afterwards — the distinct's
+        // shuffle is 16 bytes per candidate instead of two embedding
+        // payloads per candidate (see Dedup.embeddingPairsLsh)
+        val ids = capBuckets(keyed.select(col("bk"), col("id")),
+          maxBucket, Seq("bk"))
+        val pairs = ids.filter(col("id") % queryMod === 0)
+          .withColumnRenamed("id", "q_id")
+          .join(ids, "bk")
+          .where(col("q_id") =!= col("id"))
+          .select(col("q_id"), col("id").as("vec_id"))
+          .distinct() // same pair can collide in several tables
+        val cand = pairs
+          .join(v.select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+          .join(v.select(col("id").as("vec_id"), col("v"), col("nrm")), "vec_id")
+        topK(cand, k)
+    }
 
   /** Fit k-means-lite centroids: deterministic init (lowest ids),
     * `iters` Lloyd steps. Returns k × dim centroid matrix (driver-side
@@ -138,31 +190,56 @@ object Similarity {
     transform(slice(reverse(array_sort(scored)), 1, nprobe), p => p.getField("c"))
   }
 
+  /** Centroid count toward √n (clamped [4, 4096]): with k ≈ √n and a
+    * fixed nprobe, the probed corpus fraction is nprobe/√n — it
+    * SHRINKS as the corpus grows, where a fixed k (the r3 default 16,
+    * nprobe 6 ⇒ 37% probed forever) makes every query approach a full
+    * scan in expectation at 10⁹ rows (docs/SCALE.md §IVF). */
+  private[graft] def autoCentroids(n: Long): Int =
+    math.min(4096, math.max(4, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
+  /** Fit-sample percentage sized to hold ~max(10k, 50·k) rows — enough
+    * to seed and stabilize k centroids, a vanishing fraction of a
+    * growing corpus (the fit cost is O(sample), not O(n)). */
+  private[graft] def autoFitPct(n: Long, k: Int): Int = {
+    val target = math.max(10000L, 50L * k)
+    if (n <= target) 100
+    else math.min(100, math.max(1, math.ceil(100.0 * target / n).toInt))
+  }
+
   /** E3: IVF approximate top-k — data assigned to its nearest
     * centroid, queries probe the `nprobe` nearest centroid partitions;
-    * exact cosine within the probed partitions only. The centroid fit
-    * runs on a 10% hash-sample by default (see [[fitCentroids]]) —
-    * the search join is unchanged; only the model-fitting scans
-    * shrink. */
+    * exact cosine within the probed partitions only. `nCentroids`
+    * defaults to [[autoCentroids]] (√n) and `fitSamplePct` to
+    * [[autoFitPct]], both derived from one metadata-cheap count job —
+    * the search join is unchanged; only the model size and the
+    * model-fitting scans are tuned to the corpus. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              nCentroids: Int = 16, iters: Int = 2, nprobe: Int = 6,
-              fitSamplePct: Int = 10): DataFrame = {
-    val centroids = fitCentroids(vecs, idCol, vecCol, nCentroids, iters,
-      fitSamplePct)
-    val v = Par.widen(vecs).select(
-        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.l2(col("v")))
-    val data = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
-    val queries = v.filter(col("id") % queryMod === 0)
-      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(nearestCentroid(col("v"), centroids, nprobe)).as("cid"))
-    val cand = queries.join(data, "cid")
-      .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
-              col("v"), col("nrm"))
-    topK(cand, k)
-  }
+              nCentroids: Option[Int] = None, iters: Int = 2, nprobe: Int = 6,
+              fitSamplePct: Option[Int] = None): DataFrame =
+    probeDim(vecs, vecCol) match {
+      case None => // empty / all-null input: empty result, same schema
+        vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
+          lit(0.0).as("cosine"), lit(0L).as("rk"))
+      case Some(_) =>
+        lazy val n = vecs.count()
+        val kc = nCentroids.getOrElse(autoCentroids(n))
+        val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
+        val centroids = fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
+        val v = Par.widen(vecs).select(
+            col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v")))
+        val data = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
+        val queries = v.filter(col("id") % queryMod === 0)
+          .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+            explode(nearestCentroid(col("v"), centroids, math.min(nprobe, kc))).as("cid"))
+        val cand = queries.join(data, "cid")
+          .where(col("q_id") =!= col("id"))
+          .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+                  col("v"), col("nrm"))
+        topK(cand, k)
+    }
 
   /** Exact cosine over a candidate set + deterministic per-query
     * top-k (rank by cosine desc, id asc). */

@@ -112,6 +112,66 @@ class ScaleGuardSpec extends SparkSpec {
     assert(mh.indexOf("collect_list") < mh.indexOf("LeftSemi"), mh)
   }
 
+  test("autoBits keeps per-table LSH candidate volume ~n·targetBucket at any n") {
+    import graft.operators.Similarity.autoBits
+    val target = 64L
+    // the contract: 2^bits is the smallest power of two >= n/target,
+    // so expected per-table pair volume n²/2^(bits+1) lands in
+    // [n·target/4, n·target/2] — linear in n — across 9 orders of
+    // magnitude (clamp regions excluded: it saturates at 24 bits)
+    for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L)) {
+      val b = autoBits(n, target)
+      val vol = n.toDouble * n.toDouble / math.pow(2, b + 1)
+      assert(vol <= n * target / 2.0, s"n=$n bits=$b")
+      assert(vol >= n * target / 4.0, s"n=$n bits=$b")
+    }
+    assert(autoBits(10L, target) == 2)        // floor clamp
+    assert(autoBits(Long.MaxValue, 1L) == 24) // ceiling clamp
+    import graft.operators.Similarity.{autoCentroids, autoFitPct}
+    assert(autoCentroids(1000000L) == 1000)   // √n
+    assert(autoCentroids(0L) == 4)
+    assert(autoFitPct(1000L, 32) == 100)      // small corpus: fit on all
+    assert(autoFitPct(1000000000L, 31623) == 1) // huge corpus: 1% sample
+  }
+
+  test("LSH candidate count grows ~linearly on a 10x corpus under autoBits") {
+    // dim must comfortably exceed the hash width: b hyperplanes in d
+    // dimensions only carve ~b^d/d! sign cells, so low-dim vectors
+    // make the extra bits redundant and collisions stay near-flat —
+    // real embedding corpora are dim 100+; 32 suffices for ≤10 bits
+    val rnd = new Random(123)
+    def vecs(n: Int) = (1L to n.toLong)
+      .map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatePairs(df, "vec_id", "embedding", tables = 4,
+        bits = None, seed = 42L, dim = 32, targetBucket = 64L,
+        maxBucket = 10000L).count()
+    val c1 = cands(vecs(2000))   // the sf0.1 default-tuning scale
+    val c2 = cands(vecs(20000))  // 10x
+    // linear scaling: ~10x the candidates for 10x the rows. A fixed
+    // bits=4 (the r3 default) saturates toward all-pairs here (~100x).
+    assert(c2 <= 25L * c1, s"c1=$c1 c2=$c2")
+    assert(c2 <= 4L * 20000L * 64L, s"c2=$c2 exceeds tables*n*targetBucket")
+  }
+
+  test("empty and all-null vector inputs short-circuit to empty results") {
+    import graft.operators.Similarity
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    for (df <- Seq(empty, allNull)) {
+      assert(Dedup.embeddingPairsLsh(df, "vec_id", "embedding", 0.4).count() == 0)
+      assert(Similarity.lshTopK(df, "vec_id", "embedding").count() == 0)
+      assert(Similarity.ivfTopK(df, "vec_id", "embedding").count() == 0)
+    }
+    // schema is preserved for downstream unions
+    assert(Similarity.lshTopK(empty, "vec_id", "embedding").columns.toSeq
+      == Seq("q_id", "vec_id", "cosine", "rk"))
+    assert(Dedup.embeddingPairsLsh(empty, "vec_id", "embedding", 0.4)
+      .columns.toSeq == Seq("i", "j", "cosine"))
+  }
+
   test("sketch band buckets over maxBucket are dropped, under it kept") {
     // mass-identical corpus: every doc hashes to the same band buckets
     val docs = (1L to 12L).map(i => (i, "same exact text every time"))
