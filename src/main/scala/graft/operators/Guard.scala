@@ -21,6 +21,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Guard {
 
+  /** Environment opt-in for the exact baselines: a benchmark run on a
+    * corpus past the default cap sets `SPARK_GRAFT_ALLOW_ALLPAIRS=true`
+    * (or raises `SPARK_GRAFT_ALLPAIRS_MAXROWS`) instead of editing
+    * query-pack code — the operator-level `allowAllPairs` flag wasn't
+    * reachable from driver entries (ADVICE r3). */
+  def envAllow: Boolean =
+    sys.env.get("SPARK_GRAFT_ALLOW_ALLPAIRS").exists(_.equalsIgnoreCase("true"))
+
+  def envMaxRows(default: Long = 100000L): Long =
+    sys.env.get("SPARK_GRAFT_ALLPAIRS_MAXROWS").map(_.trim.toLong)
+      .getOrElse(default)
+
   def allPairsBaseline(df: DataFrame, maxRows: Long, allow: Boolean,
                        op: String, alternative: String): DataFrame = {
     if (!allow) {

@@ -241,6 +241,29 @@ object Similarity {
         topK(cand, k)
     }
 
+  /** E1 as an operator: exact brute-force top-k — every query vector
+    * (`idCol % queryMod == 0`) scored against the whole corpus, the
+    * correctness baseline the approximate paths are measured against
+    * (the *_check driver entries compute recall against it). Same
+    * [[Guard]] stance as the exact pair baseline: O(|queries|·n)
+    * scoring is opt-in above `maxRows`. */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 10, queryMod: Int = 100,
+                     maxRows: Long = 100000L,
+                     allowAllPairs: Boolean = false): DataFrame = {
+    val guarded = Guard.allPairsBaseline(vecs, maxRows, allowAllPairs,
+      "Similarity.bruteForceTopK", "Similarity.lshTopK/ivfTopK")
+    val v = Par.widen(guarded).select(
+        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val q = v.filter(col("id") % queryMod === 0)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = v.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+              col("v"), col("nrm"))
+    topK(cand, k)
+  }
+
   /** Exact cosine over a candidate set + deterministic per-query
     * top-k (rank by cosine desc, id asc). */
   private def topK(cand: DataFrame, k: Int): DataFrame = {

@@ -56,11 +56,16 @@ object SimilarityQueries extends QueryPack {
 
   /** The D5-style size guard on the RAW corpus table — probed before
     * any per-row vector work, so the guard costs a zero-column scan,
-    * not an extra pass through quantize/dequantize/norm chains. */
-  private def guardCorpus(t: org.apache.spark.sql.DataFrame, op: String)
+    * not an extra pass through quantize/dequantize/norm chains.
+    * Opt-in for larger-SF benchmark runs comes from the environment
+    * (`SPARK_GRAFT_ALLOW_ALLPAIRS=true` / `SPARK_GRAFT_ALLPAIRS_MAXROWS`)
+    * — the operator-level flag isn't reachable from driver entries. */
+  private[queries] def guardCorpus(t: org.apache.spark.sql.DataFrame, op: String)
       : org.apache.spark.sql.DataFrame =
-    graft.operators.Guard.allPairsBaseline(t, maxRows = 100000L,
-      allow = false, op, "Similarity.lshTopK/ivfTopK")
+    graft.operators.Guard.allPairsBaseline(t,
+      maxRows = graft.operators.Guard.envMaxRows(),
+      allow = graft.operators.Guard.envAllow, op,
+      "Similarity.lshTopK/ivfTopK")
 
   /** Shared E1/E4 search protocol over a (vec_id, v, nrm) frame:
     * queries = vec_id ≡ 0 mod 100 (broadcast), threshold cosine ≥ 0.3,

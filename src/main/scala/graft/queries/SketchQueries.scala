@@ -1,15 +1,22 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 import graft.Tables
 import graft.operators.{Dedup, Sketches, Similarity}
-import org.apache.spark.sql.functions._
 
 /** SURVEY §2.D3/D4/E2/E3 — hash-sketch dedup and approximate
   * similarity search. The signatures (xxhash64-based) are not
-  * expressible in DuckDB SQL, so these are rows-only driver entries;
-  * their quality invariants (lossless hamming bands, recall vs the
-  * exact baselines) are asserted in SketchSpec on sf0.001.
-  */
+  * expressible in DuckDB SQL, so the raw operators are rows-only
+  * driver entries; their quality invariants (lossless hamming bands,
+  * recall vs the exact baselines) are asserted in SketchSpec on
+  * sf0.001 — AND the `*_check` entries below turn the subset/recall
+  * contracts into ORACLE-CHECKED rows: Spark computes the violation
+  * count and recall verdict against the exact baseline, DuckDB
+  * computes the exact baseline's cardinality plus the literal
+  * expectations (0 violations, recall over threshold), and the
+  * driver's hash compare fails iff the contract is broken. */
 object SketchQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
@@ -42,9 +49,98 @@ object SketchQueries extends QueryPack {
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", tau = 0.4)
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // D6 contract check (oracle-backed): every LSH pair must appear in
+    // the exact all-pairs baseline with the SAME exact cosine
+    // (precision 1.0 — bad_pairs 0), and recall ≥ 0.8. DuckDB derives
+    // exact_pairs from the data; bad_pairs/recall_ok are literal
+    // expectations that only hash-match when the contract holds.
+    "dedup_embedding_lsh_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.4)
+      val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.4,
+        maxRows = graft.operators.Guard.envMaxRows(),
+        allowAllPairs = graft.operators.Guard.envAllow)
+      checkRow(
+        bad = lsh.join(exact, Seq("i", "j", "cosine"), "left_anti"),
+        got = lsh, want = exact, minRecall = 0.8, exactCountCol = "exact_pairs")
+    }),
+
+    // E2 contract check: recall@10 of the LSH ANN vs the exact
+    // brute-force top-k under the identical ranking protocol; every
+    // approx row must also BE an exact-scored (q_id, vec_id, cosine)
+    // the baseline agrees with when it ranks that neighbor.
+    "sim_lsh_ann_check" -> ((s, dir) => annCheck(s, dir,
+      emb => Similarity.lshTopK(emb, "vec_id", "embedding"),
+      minRecall = 0.6)),
+
+    // E3 contract check: IVF ANN recall@10 vs the same baseline.
+    "sim_ivf_ann_check" -> ((s, dir) => annCheck(s, dir,
+      emb => Similarity.ivfTopK(emb, "vec_id", "embedding"),
+      minRecall = 0.5))
   )
 
-  // Not SQL-expressible (hash sketches) → rows-only checks.
-  val oracles: Map[String, String] = Map.empty
+  /** One-row contract verdict: (bad_pairs, recall_ok, <exactCount>).
+    * All three aggregates are tiny; the cross joins are 1×1×1. */
+  private def checkRow(bad: DataFrame, got: DataFrame, want: DataFrame,
+                       minRecall: Double, exactCountCol: String): DataFrame =
+    bad.agg(count(lit(1)).as("bad_pairs"))
+      .crossJoin(got.agg(count(lit(1)).as("got_n")))
+      .crossJoin(want.agg(count(lit(1)).as(exactCountCol)))
+      .select(col("bad_pairs"),
+        (col("got_n").cast("double") >= col(exactCountCol) * lit(minRecall))
+          .as("recall_ok"),
+        col(exactCountCol))
+
+  /** Recall check shared by the ANN paths: hits = approx rows whose
+    * (q_id, vec_id) the exact top-k also ranks; recall = hits /
+    * |exact|. `bad_pairs` counts approx rows the baseline ranks with a
+    * DIFFERENT cosine — exact-scoring means there are none. */
+  private def annCheck(s: org.apache.spark.sql.SparkSession, dir: String,
+                       approx: DataFrame => DataFrame,
+                       minRecall: Double): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      maxRows = graft.operators.Guard.envMaxRows(),
+      allowAllPairs = graft.operators.Guard.envAllow)
+    val got = approx(emb)
+    val hits = got.join(exact, Seq("q_id", "vec_id", "cosine"), "left_semi")
+    val mismatched = got.join(exact.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_semi")
+      .join(exact, Seq("q_id", "vec_id", "cosine"), "left_anti")
+    mismatched.agg(count(lit(1)).as("bad_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("hits")))
+      .crossJoin(exact.agg(count(lit(1)).as("exact_n"),
+        count_distinct(col("q_id")).as("n_queries")))
+      .select(col("bad_pairs"),
+        (col("hits").cast("double") >= col("exact_n") * lit(minRecall))
+          .as("recall_ok"),
+        col("n_queries"))
+  }
+
+  // The raw sketch operators are not SQL-expressible (xxhash64 /
+  // sign-hash signatures) → rows-only; the *_check entries are the
+  // oracle surface for their contracts. DuckDB recomputes the
+  // data-derived column (exact cardinality / query count) and pins
+  // the literal expectations.
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding_lsh_check" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         ex AS (SELECT a.vec_id AS i, b.vec_id AS j
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+         SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
+                count(*) AS exact_pairs
+         FROM ex""",
+    "sim_lsh_ann_check" ->
+      """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
+                count(*) AS n_queries
+         FROM embeddings WHERE vec_id % 100 = 0""",
+    "sim_ivf_ann_check" ->
+      """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
+                count(*) AS n_queries
+         FROM embeddings WHERE vec_id % 100 = 0"""
+  )
 }
