@@ -4,8 +4,9 @@ import java.time.YearMonth
 import java.time.format.DateTimeFormatter
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** SURVEY §2.I2 — month-partitioned parquet sink: the storage layout
   * of the reference's MergeTree tables (`PARTITION BY
@@ -73,6 +74,47 @@ object ParquetSink {
       .map(_.stripPrefix("month="))
       .filter(m => m.length == 6 && m.forall(_.isDigit))
       .sorted
+  }
+
+  /** Per-month storage statistics — the reference's `system.parts`
+    * disk-usage rollup (README.md:575-580: sum(rows), sum bytes, part
+    * counts per table) for the monthly parquet layout, METADATA-ONLY:
+    * file counts and byte sizes come from the directory listing, row
+    * counts from one zero-data-column Spark job whose parquet scan
+    * reads footers/row-group counts, never column pages — so the cost
+    * is O(files), not O(data), at any table size. Output:
+    * (month, files, bytes, rows), months ascending; the null-timestamp
+    * `__HIVE_DEFAULT_PARTITION__` is excluded like everywhere else in
+    * the retention/stats surface. */
+  def statsMonthly(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val months = listMonths(spark, path)
+    val fileStats = months.map { m =>
+      val data = fs.listStatus(new Path(root, s"month=$m")).toSeq
+        .filter(_.isFile)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      Row(m, data.length.toLong, data.map(_.getLen).sum)
+    }
+    val listed = spark.createDataFrame(
+      spark.sparkContext.parallelize(fileStats, 1),
+      StructType(Seq(
+        StructField("month", StringType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false))))
+    if (months.isEmpty) return listed.withColumn("rows", lit(0L))
+    // partition-value inference may type `month` as int — normalize to
+    // the listing's string form for the join
+    val rowCounts = spark.read.parquet(path)
+      .groupBy(col("month").cast("string").as("month"))
+      .agg(count(lit(1)).as("rows"))
+    listed.join(rowCounts, Seq("month"), "left")
+      .select(col("month"), col("files"), col("bytes"),
+        coalesce(col("rows"), lit(0L)).as("rows"))
+      .orderBy("month")
   }
 
   /** Retention by partition drop — the reference's `ALTER TABLE ...

@@ -173,4 +173,24 @@ class RetentionSpec extends SparkSpec {
     assert(ParquetSink.readMonthly(spark, out)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L, 6L))
   }
+
+  test("statsMonthly reports files/bytes/rows per month from metadata") {
+    val out = Files.createTempDirectory("graft_stats").toString
+    threeMonths(out) // 2 rows in each of 202601..202603
+    val stats = ParquetSink.statsMonthly(spark, out).collect()
+      .map(r => r.getAs[String]("month") ->
+        (r.getAs[Long]("files"), r.getAs[Long]("bytes"), r.getAs[Long]("rows")))
+    assert(stats.map(_._1).toSeq == Seq("202601", "202602", "202603"))
+    stats.foreach { case (m, (files, bytes, rows)) =>
+      assert(rows == 2L, s"month $m rows")
+      assert(files >= 1L, s"month $m files")
+      // bytes must equal the actual data-file footprint on disk
+      assert(bytes == fileState(s"$out/month=$m").toSeq
+        .filterNot(f => f._1.startsWith("_") || f._1.startsWith("."))
+        .map(_._2).sum, s"month $m bytes")
+    }
+    // empty tree: no months, no rows, no job failures
+    val empty = Files.createTempDirectory("graft_stats_empty").toString
+    assert(ParquetSink.statsMonthly(spark, empty).count() == 0)
+  }
 }
