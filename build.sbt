@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` output through raw instead of via the sbt logger:
+// Bench/Verify emit machine-parsed lines (the one-line bench JSON) and
+// the "[info] " prefix broke the driver's bench parser in r2/r3.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

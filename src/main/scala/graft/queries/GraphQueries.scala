@@ -62,9 +62,13 @@ object GraphQueries extends QueryPack {
 
     // B5: per-label storage footprint — the reference's "nodes by
     // label" statistics with sum(length(properties_after))
-    // (04-optimize-tables.sql:146-165). Top-20 by count with a
-    // deterministic tie-break; the top-k is a TakeOrderedAndProject
-    // over the tiny label rollup, not a global sort of events.
+    // (04-optimize-tables.sql:146-165). BYTE length (octet_length),
+    // not character length: the reference's ClickHouse length() counts
+    // bytes, and a storage-footprint stat that counted characters
+    // would under-report non-ASCII payloads (ADVICE r3; the oracle
+    // measures octets too). Top-20 by count with a deterministic
+    // tie-break; the top-k is a TakeOrderedAndProject over the tiny
+    // label rollup, not a global sort of events.
     "graph_label_storage" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .select(explode(array(
@@ -73,7 +77,7 @@ object GraphQueries extends QueryPack {
           col("props"))
         .groupBy("label")
         .agg(count(lit(1)).as("cnt"),
-             sum(length(col("props"))).cast("long").as("props_bytes"))
+             sum(octet_length(col("props"))).cast("long").as("props_bytes"))
         .orderBy(col("cnt").desc, col("label"))
         .limit(20))
   )
@@ -96,7 +100,7 @@ object GraphQueries extends QueryPack {
          GROUP BY label ORDER BY label""",
     "graph_label_storage" ->
       """SELECT label, count(*) AS cnt,
-                CAST(sum(length(props)) AS BIGINT) AS props_bytes
+                CAST(sum(octet_length(encode(props))) AS BIGINT) AS props_bytes
          FROM (SELECT unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS label, props
                FROM events)
          GROUP BY label ORDER BY cnt DESC, label LIMIT 20"""

@@ -145,7 +145,18 @@ object ParquetSink {
     * rewrite cost at two months of data regardless of table size — a
     * delete-by-query over the whole table would be O(table).
     * Timestamps are ISO strings interpreted in the session time zone.
-    * Returns (droppedMonths, rewrittenMonths). */
+    * Returns (droppedMonths, rewrittenMonths).
+    *
+    * ISOLATION: crash-SAFE but not reader-ATOMIC. Like the reference's
+    * `ALTER TABLE ... DROP PARTITION`, retention assumes an exclusive
+    * writer and no concurrent readers of the affected months: between
+    * the two renames of a boundary-month swap the month is briefly
+    * absent, so a concurrent reader of the whole table can transiently
+    * miss that month's surviving rows (it never sees a HALF-written
+    * month — staging is dot-hidden — but can see a MISSING one).
+    * A crash in the window is repaired by the recovery sweep below;
+    * concurrent-reader snapshot isolation would need a manifest/table
+    * format (Iceberg/Delta) rather than a directory layout. */
   def deleteTimeRange(spark: SparkSession, path: String, tsCol: String,
                       fromTs: String, untilTs: String)
       : (Seq[String], Seq[String]) = {
@@ -179,8 +190,10 @@ object ParquetSink {
     full.foreach { case (m, _) => fs.delete(new Path(root, s"month=$m"), true) }
     val rewritten = boundary.map(_._1).filter { m =>
       val dir = new Path(root, s"month=$m")
-      // dot-prefixed staging is invisible to Spark's file listing,
-      // so concurrent readers never see a half-written month
+      // dot-prefixed staging is invisible to Spark's file listing, so
+      // no reader ever sees a HALF-written month (a reader racing the
+      // swap below can transiently miss the month entirely — see the
+      // ISOLATION note in the scaladoc)
       val tmp = new Path(root, s".graft_rewrite_month_$m")
       fs.delete(tmp, true)
       // ONE data scan: write survivors to staging, then decide from
