@@ -150,25 +150,29 @@ object Dedup {
     * SketchSpec). Pass `dim` when known to skip the one-row probe.
     * `bits` defaults to [[Similarity.autoBits]] of the corpus size so
     * bucket capacity tracks the corpus (candidate volume stays
-    * ~n·targetBucket per table instead of n²/2^bits); `maxBucket`
-    * drops degenerate identical-vector buckets before pairing.
+    * ~n·targetBucket per table instead of n²/2^bits), and `tables`
+    * defaults to [[Similarity.autoTables]] at design similarity `tau`
+    * so the recall contract survives the wider hashes — bits and
+    * tables must move TOGETHER or recall collapses as n grows;
+    * `maxBucket` drops degenerate identical-vector buckets before
+    * pairing.
     */
   def embeddingPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-                        tau: Double, tables: Int = 16,
+                        tau: Double, tables: Option[Int] = None,
                         bits: Option[Int] = None,
                         seed: Long = 42L, dim: Option[Int] = None,
                         targetBucket: Long = 64L,
                         maxBucket: Long = 10000L): DataFrame =
-    Similarity.probeDim(vecs, vecCol) match {
+    dim.orElse(Similarity.probeDim(vecs, vecCol)) match {
       case None => // empty / all-null input: empty result, same schema
         vecs.limit(0).select(col(idCol).as("i"), col(idCol).as("j"),
           lit(0.0).as("cosine"))
-      case Some(probed) =>
+      case Some(d) =>
         val v = Par.widen(vecs).select(col(idCol).as("id"),
             VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))
         val pairs = lshCandidatePairs(vecs, idCol, vecCol, tables, bits,
-          seed, dim.getOrElse(probed), targetBucket, maxBucket)
+          seed, d, targetBucket, maxBucket, designSim = tau)
         val cand = pairs
           .join(v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")
           .join(v.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb")), "j")
@@ -185,12 +189,14 @@ object Dedup {
     * the corpus under [[Similarity.autoBits]] (quadratic growth here
     * is exactly the failure mode the auto-scaling prevents). */
   private[graft] def lshCandidatePairs(vecs: DataFrame, idCol: String,
-                                       vecCol: String, tables: Int,
+                                       vecCol: String, tables: Option[Int],
                                        bits: Option[Int], seed: Long, dim: Int,
                                        targetBucket: Long,
-                                       maxBucket: Long): DataFrame = {
+                                       maxBucket: Long,
+                                       designSim: Double): DataFrame = {
     val b = bits.getOrElse(Similarity.autoBits(vecs.count(), targetBucket))
-    val planes = Similarity.hyperplanes(tables, b, dim, seed)
+    val t = tables.getOrElse(Similarity.autoTables(b, designSim))
+    val planes = Similarity.hyperplanes(t, b, dim, seed)
     val keyed = Par.widen(vecs).select(col(idCol).as("id"),
         VectorFunctions.asDouble(col(vecCol)).as("v"))
       .select(col("id"), explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))

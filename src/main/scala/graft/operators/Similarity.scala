@@ -44,6 +44,35 @@ object Similarity {
     math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** P(one sign-hash bit agrees) for a pair at cosine similarity s:
+    * 1 − acos(s)/π — the random-hyperplane collision curve. */
+  private[graft] def bitAgreeProb(s: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+
+  /** Hash-table count that PRESERVES the recall contract as `bits`
+    * grows: the smallest L with 1−(1−p^bits)^L ≥ targetRecall, where
+    * p = [[bitAgreeProb]](designSim) — i.e. a pair AT the design
+    * similarity still collides in ≥1 table with probability
+    * targetRecall. Growing bits alone (for candidate linearity) drives
+    * per-table collision p^bits toward zero and silently collapses
+    * recall (review finding: ~0.25 at n=20k under a fixed 16 tables);
+    * L must grow ~p^−bits alongside. This is the true LSH cost curve
+    * (the n^ρ exponent): recall at a LOW design similarity needs
+    * rapidly more tables — clamped at 256, beyond which the honest
+    * answer is a higher design similarity or the exact baseline.
+    * Floor 8: at tiny corpora the formula can drop to a table count
+    * whose per-pair variance is visible; 8 cheap tables keep small-SF
+    * recall near 1. */
+  private[graft] def autoTables(bits: Int, designSim: Double,
+                                targetRecall: Double = 0.9): Int = {
+    val pb = math.pow(bitAgreeProb(designSim), bits)
+    if (pb >= 1.0) 8
+    else {
+      val l = math.log(1.0 - targetRecall) / math.log(1.0 - pb)
+      math.min(256, math.max(8, math.ceil(l).toInt))
+    }
+  }
+
   /** Dimensionality of the first non-null vector, or None for an
     * empty/all-null input — callers short-circuit to an empty result
     * instead of throwing on the head() of nothing (ADVICE r3). The
@@ -86,25 +115,31 @@ object Similarity {
     * `bits` defaults to [[autoBits]] of the corpus row count (one
     * metadata-cheap count job at build time), so bucket capacity
     * scales with the corpus instead of freezing at an sf0.1 constant;
-    * pass it explicitly to pin a layout. `maxBucket` drops degenerate
-    * buckets (identical-vector spikes) before in-bucket pairing — a
-    * query whose every bucket is degenerate loses those candidates,
-    * the documented trade for refusing quadratic blowup. */
+    * `tables` defaults to [[autoTables]] so the recall contract at
+    * `designSim` survives the wider hashes (more bits REQUIRE more
+    * tables — the two must move together). Pass either explicitly to
+    * pin a layout. `maxBucket` drops degenerate buckets
+    * (identical-vector spikes) before in-bucket pairing — a query
+    * whose every bucket is degenerate loses those candidates, the
+    * documented trade for refusing quadratic blowup. */
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              tables: Int = 16, bits: Option[Int] = None, seed: Long = 42L,
+              tables: Option[Int] = None, bits: Option[Int] = None,
+              seed: Long = 42L,
               dim: Option[Int] = None, targetBucket: Long = 64L,
-              maxBucket: Long = 10000L): DataFrame =
+              maxBucket: Long = 10000L,
+              designSim: Double = 0.5): DataFrame =
     dim.orElse(probeDim(vecs, vecCol)) match {
       case None => // empty / all-null input: empty result, same schema
         vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
           lit(0.0).as("cosine"), lit(0L).as("rk"))
       case Some(d) =>
         val b = bits.getOrElse(autoBits(vecs.count(), targetBucket))
+        val t = tables.getOrElse(autoTables(b, designSim))
         val v = Par.widen(vecs).select(
             col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))
-        val planes = hyperplanes(tables, b, d, seed)
+        val planes = hyperplanes(t, b, d, seed)
         val keyed = v.select(col("id"), col("v"), col("nrm"),
           explode(bucketKeys(col("v"), planes)).as("bk"))
         // the bucket join and multi-table distinct move ONLY id pairs;
@@ -178,17 +213,22 @@ object Similarity {
   }
 
   /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an
-    * array column — a per-row expression over the broadcast-literal
-    * centroid matrix, no join. */
+    * array column — one fused native expression holding the centroid
+    * matrix as a codegen reference object
+    * ([[graft.functions.NearestCentroids]]), NOT per-centroid literal
+    * trees: with √n centroid counts the literal form's k cosine
+    * subtrees blow the 64 KB codegen method limit and ship k·dim
+    * literals in every task's serialized plan (review finding). */
   private def nearestCentroid(v: Column, centroids: Array[Array[Double]],
                               nprobe: Int): Column = {
-    val scored = array(centroids.indices.map { c =>
-      struct(
-        VectorFunctions.cosine(v, typedlit(centroids(c).toSeq)).as("s"),
-        lit(c.toLong).as("c"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, nprobe), p => p.getField("c"))
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    B.column(graft.functions.NearestCentroids(
+      B.expression(v), centroids, nprobe))
   }
+
+  private[graft] def nearestCentroidForTest(v: Column,
+      centroids: Array[Array[Double]], nprobe: Int): Column =
+    nearestCentroid(v, centroids, nprobe)
 
   /** Centroid count toward √n (clamped [4, 4096]): with k ≈ √n and a
     * fixed nprobe, the probed corpus fraction is nprobe/√n — it

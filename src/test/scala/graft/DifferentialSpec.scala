@@ -147,6 +147,35 @@ class DifferentialSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NearestCentroids == plain-Scala ranking on random vectors/centroids") {
+    val dim = 8
+    val k = 37 // deliberately not a power of two, > nprobe
+    val nprobe = 5
+    val centroids = Array.fill(k, dim)(rnd.nextDouble() * 2 - 1)
+    // include a zero vector and a duplicate centroid to hit the
+    // -inf ranking and the tie rule (higher id first)
+    centroids(7) = centroids(3).clone()
+    val vecs = (0 until 50).map { i =>
+      val v = if (i == 0) Array.fill(dim)(0.0)
+              else Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      (i.toLong, v)
+    }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), graft.operators.Similarity
+        .nearestCentroidForTest(col("v"), centroids, nprobe).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val want = centroids.indices.map { c =>
+        val cn = math.sqrt(centroids(c).map(x => x * x).sum)
+        val dot = v.zip(centroids(c)).map { case (a, b) => a * b }.sum
+        val s = if (vn * cn == 0.0) Double.NegativeInfinity else dot / (vn * cn)
+        (s, c.toLong)
+      }.sortBy { case (s, c) => (-s, -c) }.take(nprobe).map(_._2)
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
   test("splitAssign depends only on content (random ids, dup contents)") {
     val contents = Vector.fill(10)(rnd.alphanumeric.take(20).mkString)
     val rows = (0 until 100).map(i => (rnd.nextLong(), contents(i % 10)))

@@ -127,6 +127,20 @@ class ScaleGuardSpec extends SparkSpec {
     }
     assert(autoBits(10L, target) == 2)        // floor clamp
     assert(autoBits(Long.MaxValue, 1L) == 24) // ceiling clamp
+    // tables must grow with bits or the recall contract dies: at the
+    // design similarity, P(pair survives) = 1-(1-p^bits)^tables must
+    // stay >= targetRecall for every width autoBits can choose
+    import graft.operators.Similarity.{autoTables, bitAgreeProb}
+    for (b <- 2 to 24; sim <- Seq(0.4, 0.5, 0.7)) {
+      val t = autoTables(b, sim, targetRecall = 0.9)
+      val pb = math.pow(bitAgreeProb(sim), b)
+      val recallAtSim = 1.0 - math.pow(1.0 - pb, t)
+      assert(t == 256 || recallAtSim >= 0.9, s"bits=$b sim=$sim t=$t")
+      assert(t <= 256, s"tables unbounded at bits=$b sim=$sim")
+    }
+    // monotone: wider hashes never need fewer tables
+    assert((3 to 24).forall(b =>
+      autoTables(b, 0.5) >= autoTables(b - 1, 0.5)))
     import graft.operators.Similarity.{autoCentroids, autoFitPct}
     assert(autoCentroids(1000000L) == 1000)   // √n
     assert(autoCentroids(0L) == 4)
@@ -144,9 +158,9 @@ class ScaleGuardSpec extends SparkSpec {
       .map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
     def cands(df: org.apache.spark.sql.DataFrame) =
-      Dedup.lshCandidatePairs(df, "vec_id", "embedding", tables = 4,
+      Dedup.lshCandidatePairs(df, "vec_id", "embedding", tables = Some(4),
         bits = None, seed = 42L, dim = 32, targetBucket = 64L,
-        maxBucket = 10000L).count()
+        maxBucket = 10000L, designSim = 0.5).count()
     val c1 = cands(vecs(2000))   // the sf0.1 default-tuning scale
     val c2 = cands(vecs(20000))  // 10x
     // linear scaling: ~10x the candidates for 10x the rows. A fixed
