@@ -30,6 +30,11 @@ class ReferenceTopologySpec extends SparkSpec {
   test("wire JSON -> stream parse -> split -> Derby + monthly parquet -> FINAL") {
     val events = Tables.load(spark, sfDir, "events")
     val nEvents = events.count()
+    // the ops surface rides along: the progress collector must observe
+    // every landing hop of the topology (the system.kafka_consumers
+    // monitoring analog), without touching the dataflow
+    val monitor = graft.streaming.Progress.attach(spark)
+    try {
 
     // Kafka stand-in: stage the connector wire format as text files
     val staging = Files.createTempDirectory("graft_topo_wire").toString
@@ -77,5 +82,15 @@ class ReferenceTopologySpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 &&
            want.exceptAll(got).count() == 0,
       "landing-zone FINAL state equals source-of-truth latest state")
+
+    // both streaming hops produced per-batch progress accounting for
+    // every wire row (listener delivery is async — poll briefly)
+    val deadline = System.currentTimeMillis() + 30000
+    def rowsSeen = monitor.progress.map(_.numInputRows).sum
+    while (rowsSeen < 2 * nEvents && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(rowsSeen == 2 * nEvents,
+      s"monitor saw $rowsSeen rows, expected ${2 * nEvents} (2 hops)")
+    } finally graft.streaming.Progress.detach(spark, monitor)
   }
 }
