@@ -168,10 +168,30 @@ object Dedup {
         vecs.limit(0).select(col(idCol).as("i"), col(idCol).as("j"),
           lit(0.0).as("cosine"))
       case Some(d) =>
+        // COST-BASED fallback (auto mode only): when the recall-
+        // preserving table count makes expected candidate volume
+        // (tables·targetBucket·n) approach the all-pairs count (n²/2),
+        // LSH is saturated — all the hashing buys nothing over exact
+        // scoring, and the exact baseline has recall 1.0 under the
+        // SAME output contract. Happens at small corpora / low τ (the
+        // n^ρ curve's bad end); the all-pairs guard is bypassed
+        // because the work is provably ≤ what the requested LSH plan
+        // would have done. Pinning bits or tables opts out.
+        var resolved: Option[(Int, Int)] = None
+        if (bits.isEmpty && tables.isEmpty) {
+          val n = vecs.count()
+          val b = Similarity.autoBits(n, targetBucket)
+          val t = Similarity.autoTables(b, tau)
+          if (t.toLong * targetBucket >= n / 2)
+            return embeddingPairs(vecs, idCol, vecCol, tau,
+              allowAllPairs = true)
+          resolved = Some((t, b))
+        }
         val v = Par.widen(vecs).select(col(idCol).as("id"),
             VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))
-        val pairs = lshCandidatePairs(vecs, idCol, vecCol, tables, bits,
+        val pairs = lshCandidatePairs(vecs, idCol, vecCol,
+          tables.orElse(resolved.map(_._1)), bits.orElse(resolved.map(_._2)),
           seed, d, targetBucket, maxBucket, designSim = tau)
         val cand = pairs
           .join(v.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")), "i")

@@ -136,6 +136,23 @@ object Similarity {
       case Some(d) =>
         val b = bits.getOrElse(autoBits(vecs.count(), targetBucket))
         val t = tables.getOrElse(autoTables(b, designSim))
+        // COST-BASED fallback (auto mode only): bucket-key hashing
+        // costs tables·bits sign-dot-products per corpus row, while
+        // exact scoring costs one dot per (query, row) pair — when the
+        // query batch is smaller than tables·bits, brute force does
+        // strictly less vector arithmetic AND has recall 1.0, so LSH
+        // is the wrong physical plan (at sf0.1: 20 queries vs 110
+        // hash dots/row — brute force measured ~10× faster for the
+        // identical contract). Large query batches (the 100 TB
+        // deployment shape) keep the LSH plan. Pinning bits or tables
+        // opts out of the selection.
+        if (bits.isEmpty && tables.isEmpty) {
+          val nq = vecs.filter(col(idCol) % queryMod === 0)
+            .select().limit(t * b + 1).count()
+          if (nq <= t * b)
+            return bruteForceTopK(vecs, idCol, vecCol, k, queryMod,
+              allowAllPairs = true) // ≤ the work the LSH plan would do
+        }
         val v = Par.widen(vecs).select(
             col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))

@@ -32,12 +32,14 @@ object SketchQueries extends QueryPack {
       Sketches.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("i", "j")),
 
-    // E2: random-hyperplane LSH ANN, 16 tables × 4 bits, top-10.
+    // E2: random-hyperplane LSH ANN, auto-scaled tables × bits with
+    // cost-based fallback (small query batches score exactly — less
+    // work than hashing, recall 1.0), top-10.
     "sim_lsh_ann" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("q_id", "rk")),
 
-    // E3: IVF ANN, 16 centroids × 2 Lloyd iterations, nprobe=4, top-10.
+    // E3: IVF ANN, √n centroids / auto fit sample, nprobe=6, top-10.
     "sim_ivf_ann" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("q_id", "rk")),
@@ -45,7 +47,9 @@ object SketchQueries extends QueryPack {
     // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
     // cosine verify — the scalable twin of dedup_embedding (every
     // returned pair is exactly-scored; SketchSpec pins precision 1.0
-    // and recall vs the all-pairs baseline).
+    // and recall vs the all-pairs baseline). In auto mode the
+    // cost-based selection runs the exact plan when LSH would be
+    // saturated (small corpora — the case at these SFs).
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", tau = 0.4)
@@ -58,7 +62,11 @@ object SketchQueries extends QueryPack {
     // expectations that only hash-match when the contract holds.
     "dedup_embedding_lsh_check" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.4)
+      // pinned operating point FORCES the LSH plan — in auto mode the
+      // cost-based selection would fall back to the exact baseline at
+      // small corpora, making this check compare exact to exact
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.4,
+        tables = Some(16), bits = Some(4))
       val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.4,
         maxRows = graft.operators.Guard.envMaxRows(),
         allowAllPairs = graft.operators.Guard.envAllow)
@@ -72,7 +80,8 @@ object SketchQueries extends QueryPack {
     // approx row must also BE an exact-scored (q_id, vec_id, cosine)
     // the baseline agrees with when it ranks that neighbor.
     "sim_lsh_ann_check" -> ((s, dir) => annCheck(s, dir,
-      emb => Similarity.lshTopK(emb, "vec_id", "embedding"),
+      emb => Similarity.lshTopK(emb, "vec_id", "embedding",
+        tables = Some(16), bits = Some(4)), // pinned: force the LSH plan
       minRecall = 0.6)),
 
     // E3 contract check: IVF ANN recall@10 vs the same baseline, at a

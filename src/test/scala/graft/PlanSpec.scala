@@ -89,8 +89,25 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_embedding_lsh generates candidates via equi-join, never a loop join") {
     // without the bucket keys this degenerates to the D5 nested-loop
-    // shape — the whole point of the operator is that it does not
-    val plan = staticPlan("dedup_embedding_lsh")
+    // shape — the whole point of the operator is that it does not.
+    // Pinned tables/bits force the LSH plan: the AUTO entry correctly
+    // cost-falls-back to the exact (loop-join) plan at this tiny SF,
+    // which is a selection decision, not the LSH shape under test.
+    val plan = {
+      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.operators.Dedup.embeddingPairsLsh(
+            Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+            tau = 0.4, tables = Some(16), bits = Some(4))
+          .queryExecution.executedPlan
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+        spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      }
+    }
     val loops = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j

@@ -60,7 +60,10 @@ class SketchSpec extends SparkSpec {
   }
 
   test("LSH ANN recall@10 vs brute force >= 0.75, exactly k rows per query") {
-    val got = Similarity.lshTopK(vecs, "vec_id", "embedding")
+    // pinned tables/bits FORCE the LSH plan: auto mode cost-falls-back
+    // to brute force at this corpus size (strictly less work, recall 1)
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      tables = Some(16), bits = Some(4))
     val perQ = got.groupBy("q_id").count().agg(min("count"), max("count")).head()
     assert(perQ.getLong(0) == 10 && perQ.getLong(1) == 10)
     val t = bruteTop10.count().toDouble
@@ -109,7 +112,9 @@ class SketchSpec extends SparkSpec {
 
   test("embedding LSH dedup: exact-verified subset of D5, recall >= 0.8") {
     val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.4)
-    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.4)
+    // pinned: auto mode cost-falls-back to the exact baseline here
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.4,
+      tables = Some(16), bits = Some(4))
     // precision 1.0: every candidate is exactly scored, so the LSH
     // result (ids AND cosine values) is a strict subset of the
     // all-pairs baseline
@@ -139,7 +144,8 @@ class SketchSpec extends SparkSpec {
     // every (q, vec) the LSH path returns must carry the same cosine
     // as direct computation — the approximation is only in WHICH
     // candidates are scored, never in the score itself
-    val got = Similarity.lshTopK(vecs, "vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      tables = Some(16), bits = Some(4))
     val v = vecs.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
     val joined = got
       .join(v.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
