@@ -171,18 +171,23 @@ object Dedup {
         // COST-BASED fallback (auto mode only): when the recall-
         // preserving table count makes expected candidate volume
         // (tables·targetBucket·n) approach the all-pairs count (n²/2),
-        // LSH is saturated — all the hashing buys nothing over exact
+        // LSH is saturated — the hashing buys nothing over exact
         // scoring, and the exact baseline has recall 1.0 under the
         // SAME output contract. Happens at small corpora / low τ (the
-        // n^ρ curve's bad end); the all-pairs guard is bypassed
-        // because the work is provably ≤ what the requested LSH plan
-        // would have done. Pinning bits or tables opts out.
+        // n^ρ curve's bad end). The n ≤ 8192 bound is what makes
+        // bypassing the all-pairs guard sound: ≤ 33.5M exact pairs is
+        // unconditionally cheap, whereas on LARGER saturated corpora
+        // the comparison flips for degenerate inputs — a near-
+        // identical-mass corpus is cheap under LSH (maxBucket drops
+        // the spike) but quadratic under exact, so there the LSH plan
+        // runs even saturated (review finding). Pinning bits or
+        // tables opts out.
         var resolved: Option[(Int, Int)] = None
         if (bits.isEmpty && tables.isEmpty) {
           val n = vecs.count()
           val b = Similarity.autoBits(n, targetBucket)
           val t = Similarity.autoTables(b, tau)
-          if (t.toLong * targetBucket >= n / 2)
+          if (t.toLong * targetBucket >= n / 2 && n <= 8192L)
             return embeddingPairs(vecs, idCol, vecCol, tau,
               allowAllPairs = true)
           resolved = Some((t, b))

@@ -68,7 +68,13 @@ object Similarity {
     val pb = math.pow(bitAgreeProb(designSim), bits)
     if (pb >= 1.0) 8
     else {
-      val l = math.log(1.0 - targetRecall) / math.log(1.0 - pb)
+      // log1p, NOT log(1 - pb): below pb ≈ 1e-16, 1.0-pb rounds to
+      // 1.0 and log(1.0)=0 drives l to -Infinity → the floor (8)
+      // instead of the cap (256) — the recall collapse this function
+      // exists to prevent, silently, at exactly the extreme widths
+      // where it matters (review finding). log1p(-pb) ≈ -pb keeps
+      // full precision.
+      val l = math.log(1.0 - targetRecall) / math.log1p(-pb)
       math.min(256, math.max(8, math.ceil(l).toInt))
     }
   }
@@ -143,9 +149,16 @@ object Similarity {
         // strictly less vector arithmetic AND has recall 1.0, so LSH
         // is the wrong physical plan (at sf0.1: 20 queries vs 110
         // hash dots/row — brute force measured ~10× faster for the
-        // identical contract). Large query batches (the 100 TB
-        // deployment shape) keep the LSH plan. Pinning bits or tables
-        // opts out of the selection.
+        // identical contract). Unlike the pair-dedup fallback this
+        // holds at ANY corpus size and shape: brute cost nq·n ≤
+        // hashing cost t·b·n by the very condition tested, and there
+        // is no candidate-explosion term for a degenerate corpus to
+        // flip. Large query batches (the 100 TB deployment shape)
+        // keep the LSH plan. Pinning bits or tables opts out.
+        // Pre-flight cost: three SMALL serial jobs (1-row dim probe,
+        // footer-only count, per-partition-bounded limit probe) —
+        // none scans the corpus; folding them into one agg would
+        // full-scan idCol, strictly worse at scale.
         if (bits.isEmpty && tables.isEmpty) {
           val nq = vecs.filter(col(idCol) % queryMod === 0)
             .select().limit(t * b + 1).count()

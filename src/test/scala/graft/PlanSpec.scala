@@ -31,13 +31,18 @@ class PlanSpec extends SparkSpec {
   /** Static (non-adaptive) plan with auto-broadcast off: the ONLY
     * broadcasts left are explicit hints — exactly what we audit. AQE
     * stays off here so the plan tree is inspectable pre-execution. */
-  private def staticPlan(name: String) = {
+  private def staticPlan(name: String) =
+    staticPlanOf(SparkEntry.queries(name)(spark, sfDir))
+
+  /** One shared static-plan environment (the conventions above) for
+    * both driver entries and directly-built frames. */
+  private def staticPlanOf(df: => org.apache.spark.sql.DataFrame) = {
     val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      df.queryExecution.executedPlan
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
@@ -93,21 +98,9 @@ class PlanSpec extends SparkSpec {
     // Pinned tables/bits force the LSH plan: the AUTO entry correctly
     // cost-falls-back to the exact (loop-join) plan at this tiny SF,
     // which is a selection decision, not the LSH shape under test.
-    val plan = {
-      val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        graft.operators.Dedup.embeddingPairsLsh(
-            Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
-            tau = 0.4, tables = Some(16), bits = Some(4))
-          .queryExecution.executedPlan
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
-        spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
-      }
-    }
+    val plan = staticPlanOf(graft.operators.Dedup.embeddingPairsLsh(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      tau = 0.4, tables = Some(16), bits = Some(4)))
     val loops = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j

@@ -141,6 +141,11 @@ class ScaleGuardSpec extends SparkSpec {
     // monotone: wider hashes never need fewer tables
     assert((3 to 24).forall(b =>
       autoTables(b, 0.5) >= autoTables(b - 1, 0.5)))
+    // underflow regression: when p^bits < 1e-16, log(1-pb) rounds to
+    // log(1.0)=0 and the formula must still saturate at the CAP, not
+    // collapse to the floor (log1p keeps precision)
+    assert(autoTables(19, -0.9) == 256)
+    assert(autoTables(24, 0.1) == 256)
     import graft.operators.Similarity.{autoCentroids, autoFitPct}
     assert(autoCentroids(1000000L) == 1000)   // √n
     assert(autoCentroids(0L) == 4)
