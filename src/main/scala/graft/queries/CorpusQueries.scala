@@ -61,6 +61,19 @@ object CorpusQueries extends QueryPack {
         n = 20, seed = 7L)
         .orderBy("doc_id")),
 
+    // J9 contract check (oracle-backed): WHICH rows the seeded draw
+    // picks is Spark-internal (DuckDB's rand() stream differs), but
+    // the sample's SHAPE is checkable: exactly least(n, |docs|) rows,
+    // every one a real (doc_id, source) row of the source table.
+    "sample_rand_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+      val sample = PipelineOps.sampleRand(docs, n = 20, seed = 7L)
+      sample.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(sample.join(docs, Seq("doc_id", "source"), "left_anti")
+          .agg(count(lit(1)).as("not_in_source")))
+        .select(col("n_rows"), col("not_in_source"))
+    }),
+
     // corpus token-count distribution per language — the shape/mixing
     // stats a data-curation run reports. Exact interpolated
     // percentiles (both engines use linear interpolation); one
@@ -121,6 +134,10 @@ object CorpusQueries extends QueryPack {
                   WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    "sample_rand_check" ->
+      """SELECT least(20, count(*)) AS n_rows,
+                CAST(0 AS BIGINT) AS not_in_source
+         FROM documents""",
     "split_assign" ->
       """SELECT CASE WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 80 THEN 'train'
                      WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 90 THEN 'val'

@@ -51,6 +51,24 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id"),
             VectorFunctions.dequantizeInt8(col("qv")).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))))
+    }),
+
+    // E4 contract check (oracle-backed): the int8-quantized search
+    // must recover ≥ 0.9 of the exact threshold-search result pairs
+    // — quantization error can both drop borderline pairs and admit
+    // new ones (symmetric rounding), so recall is the contract, not
+    // subset. Measured 1.0 (sf0.01) / 0.986 (sf0.1). DuckDB derives
+    // the exact pair count; recall_ok is the literal expectation.
+    "sim_quantized_check" -> ((s, dir) => {
+      val exact = queries("sim_bruteforce_topk")(s, dir)
+      val quant = queries("sim_quantized_topk")(s, dir)
+      quant.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("exact_n")))
+        .select(col("exact_n"),
+          (col("hits").cast("double") >= col("exact_n") * lit(0.9))
+            .as("recall_ok"))
     })
   )
 
@@ -95,6 +113,13 @@ object SimilarityQueries extends QueryPack {
                 round(list_dot_product(qv, v) / (qn * nrm), 4) AS cosine
          FROM q JOIN n ON q_id <> vec_id
          WHERE list_dot_product(qv, v) / (qn * nrm) >= 0.3
-         ORDER BY q_id, vec_id"""
+         ORDER BY q_id, vec_id""",
+    "sim_quantized_check" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+         ex AS (SELECT q_id, vec_id FROM q JOIN n ON q_id <> vec_id
+                WHERE list_dot_product(qv, v) / (qn * nrm) >= 0.3)
+         SELECT count(*) AS exact_n, true AS recall_ok FROM ex"""
   )
 }

@@ -84,6 +84,34 @@ object SketchQueries extends QueryPack {
         tables = Some(16), bits = Some(4)), // pinned: force the LSH plan
       minRecall = 0.6)),
 
+    // D3 contract check: MinHash-LSH recall vs the EXACT Jaccard pair
+    // set (which IS SQL-expressible — the dedup_ngram_jaccard oracle)
+    // under the same shingling and df cap. Measured 0.96 (sf0.01) /
+    // 1.0 (sf0.1); threshold 0.7 — the MinHash estimate at k=16 can
+    // drop borderline-τ pairs, which is the sketch's documented error,
+    // not a bug. No precision leg: sig_sim ≥ τ candidates legitimately
+    // include estimator false positives.
+    "dedup_minhash_lsh_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5, dfCap = 1000L)
+      val mh = Sketches.minhashLsh(docs, "doc_id", "text")
+      recallRow(mh, exact, minRecall = 0.7)
+    }),
+
+    // D4 contract check: SimHash hamming-band pairs vs the same exact
+    // Jaccard set. Hamming ≤ 3 on a 64-bit sketch is a TIGHTER
+    // near-dup notion than Jaccard ≥ 0.5, so recall is structurally
+    // partial (measured 0.60 / 0.74); the 0.4 floor catches the
+    // sketch breaking, not estimator noise.
+    "dedup_simhash_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5, dfCap = 1000L)
+      val sh = Sketches.simhashPairs(docs, "doc_id", "text")
+      recallRow(sh, exact, minRecall = 0.4)
+    }),
+
     // E3 contract check: IVF ANN recall@10 vs the same baseline, at a
     // PINNED operating point (16 centroids, nprobe 6 ⇒ 37% probed).
     // The √n default trades probe fraction for corpus growth, and on
@@ -98,6 +126,17 @@ object SketchQueries extends QueryPack {
         nCentroids = Some(16), fitSamplePct = Some(10)),
       minRecall = 0.5))
   )
+
+  /** One-row recall verdict for sketches whose ground truth IS
+    * SQL-expressible: (exact_pairs, recall_ok) on (i, j) pair ids. */
+  private def recallRow(got: DataFrame, exact: DataFrame,
+                        minRecall: Double): DataFrame =
+    got.select("i", "j").join(exact.select("i", "j"), Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
+      .select(col("exact_pairs"),
+        (col("hits").cast("double") >= col("exact_pairs") * lit(minRecall))
+          .as("recall_ok"))
 
   /** One-row contract verdict: (bad_pairs, recall_ok, <exactCount>).
     * All three aggregates are tiny; the cross joins are 1×1×1. */
@@ -142,7 +181,31 @@ object SketchQueries extends QueryPack {
   // oracle surface for their contracts. DuckDB recomputes the
   // data-derived column (exact cardinality / query count) and pins
   // the literal expectations.
+  // the exact capped-Jaccard pair set (same SQL as the
+  // dedup_ngram_jaccard oracle) as a reusable CTE body
+  private val exactJaccardCte =
+    """WITH t AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS arr FROM documents),
+       sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+              FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+              WHERE len(arr) >= 3),
+       idx AS (SELECT doc_id, tok FROM sh
+               QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                 FROM idx a JOIN idx b USING (tok)
+                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       ex AS (SELECT i, j FROM pairs
+              JOIN sizes sa ON pairs.i = sa.doc_id
+              JOIN sizes sb ON pairs.j = sb.doc_id
+              WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh_check" ->
+      s"""$exactJaccardCte
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
+    "dedup_simhash_check" ->
+      s"""$exactJaccardCte
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
     "dedup_embedding_lsh_check" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
