@@ -62,24 +62,15 @@ object Dedup {
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("tok"))
-    // TWO-PASS df cap: count each token's document frequency FIRST
-    // (a long-typed hash-agg with map-side partial aggregation — no
-    // per-key buffer growth), drop tokens over the cap, and collect
-    // posting lists only for the survivors via a semi-join. The
-    // single-pass form (collect the full list, then filter on its
-    // size) bounds the join FAN-OUT but not the aggregation BUFFER: a
-    // stop-shingle appearing in 10^8 documents would materialize an
-    // ~800 MB single-key collect_list buffer before the filter ever
-    // ran — an executor OOM at exactly the corpus sizes the cap
-    // exists for. With the semi-join first, every collect_list buffer
-    // is bounded by dfCap rows by construction. Both branches shuffle
-    // `sh` on the same key, so the exchange is computed once and
-    // reused (ReusedExchange), and the semi-join output is already
-    // partitioned by tok — the posting aggregation adds no exchange.
-    val kept = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("tok")
-    val postings = sh.join(kept, Seq("tok"), "left_semi")
+    // TWO-PASS df cap ([[Skew.capHotKeys]]): tokens over the cap are
+    // dropped BEFORE any posting list is collected, so every
+    // collect_list buffer is bounded by dfCap rows by construction —
+    // the single-pass collect-then-filter form bounded join fan-out
+    // but materialized the full hot-token buffer first (a
+    // stop-shingle in 10^8 docs ≈ 800 MB on one aggregation key).
+    // The semi-join output is already partitioned by tok, so the
+    // posting aggregation adds no exchange.
+    val postings = Skew.capHotKeys(sh, dfCap, Seq("tok"))
       .groupBy("tok")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select("ds")

@@ -30,8 +30,16 @@ object Guard {
     sys.env.get("SPARK_GRAFT_ALLOW_ALLPAIRS").exists(_.equalsIgnoreCase("true"))
 
   def envMaxRows(default: Long = 100000L): Long =
-    sys.env.get("SPARK_GRAFT_ALLPAIRS_MAXROWS").map(_.trim.toLong)
-      .getOrElse(default)
+    sys.env.get("SPARK_GRAFT_ALLPAIRS_MAXROWS").map { raw =>
+      // name the setting in the failure: a bare NumberFormatException
+      // ("for input string: \"100k\"") tells the operator nothing
+      // about WHICH knob is malformed and kills the whole run
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ALLPAIRS_MAXROWS must be a plain long, got '$raw'")
+      }
+    }.getOrElse(default)
 
   def allPairsBaseline(df: DataFrame, maxRows: Long, allow: Boolean,
                        op: String, alternative: String): DataFrame = {

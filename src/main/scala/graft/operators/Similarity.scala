@@ -87,20 +87,14 @@ object Similarity {
     vecs.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
       .limit(1).collect().headOption.map(_.getInt(0))
 
-  /** Two-pass degenerate-bucket guard over (bk, id) rows: buckets
-    * holding more than `maxBucket` members are dropped BEFORE any
-    * in-bucket pairing (semi-join on surviving keys — the same
-    * count-then-use pattern as the Jaccard df cap). A bucket that
-    * large is an identical-vector spike (candidate output within it is
-    * genuinely quadratic); exact dedup owns that mass. */
+  /** Degenerate-bucket guard over (bk, id) rows ([[Skew.capHotKeys]]):
+    * buckets holding more than `maxBucket` members are dropped BEFORE
+    * any in-bucket pairing. A bucket that large is an identical-vector
+    * spike (candidate output within it is genuinely quadratic); exact
+    * dedup owns that mass. */
   private[graft] def capBuckets(ids: DataFrame, maxBucket: Long,
-                                keyCols: Seq[String]): DataFrame = {
-    val kept = ids.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select(keyCols.map(col): _*)
-    ids.join(kept, keyCols, "left_semi")
-  }
+                                keyCols: Seq[String]): DataFrame =
+    Skew.capHotKeys(ids, maxBucket, keyCols)
 
   /** (table, bucket) key pairs for one vector column: bit i of the
     * bucket in table t = sign of v · plane(t)(i). Shared with
@@ -140,26 +134,30 @@ object Similarity {
         vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
           lit(0.0).as("cosine"), lit(0L).as("rk"))
       case Some(d) =>
-        val b = bits.getOrElse(autoBits(vecs.count(), targetBucket))
+        lazy val n = vecs.count() // forced only in auto mode
+        val b = bits.getOrElse(autoBits(n, targetBucket))
         val t = tables.getOrElse(autoTables(b, designSim))
-        // COST-BASED fallback (auto mode only): bucket-key hashing
-        // costs tables·bits sign-dot-products per corpus row, while
-        // exact scoring costs one dot per (query, row) pair — when the
-        // query batch is smaller than tables·bits, brute force does
-        // strictly less vector arithmetic AND has recall 1.0, so LSH
-        // is the wrong physical plan (at sf0.1: 20 queries vs 110
-        // hash dots/row — brute force measured ~10× faster for the
-        // identical contract). Unlike the pair-dedup fallback this
-        // holds at ANY corpus size and shape: brute cost nq·n ≤
-        // hashing cost t·b·n by the very condition tested, and there
-        // is no candidate-explosion term for a degenerate corpus to
-        // flip. Large query batches (the 100 TB deployment shape)
-        // keep the LSH plan. Pinning bits or tables opts out.
-        // Pre-flight cost: three SMALL serial jobs (1-row dim probe,
-        // footer-only count, per-partition-bounded limit probe) —
-        // none scans the corpus; folding them into one agg would
-        // full-scan idCol, strictly worse at scale.
-        if (bits.isEmpty && tables.isEmpty) {
+        // COST-BASED fallback (auto mode only), sound on BOTH axes:
+        // (1) arithmetic — bucket-key hashing costs tables·bits
+        // sign-dot-products per corpus row, exact scoring one dot per
+        // (query, row) pair, so a query batch smaller than
+        // tables·bits does strictly fewer dots; (2) materialization —
+        // brute force pushes nq·n candidate rows through the top-k
+        // window, which only stays ≤ the LSH plan's candidate volume
+        // while LSH is SATURATED (tables·targetBucket ≥ n/2 ⇒ LSH
+        // candidates ≈ nq·n too). Without the saturation leg, a
+        // sparse query batch on a 10⁹-row corpus would pass the dot
+        // test and materialize 10¹² rows the LSH plan never creates
+        // (review finding — same flip the pair fallback bounds).
+        // Both conditions hold at sf0.1 (20 queries vs 110 hash
+        // dots/row; brute measured ~10× faster, recall 1.0). Large
+        // corpora/query batches keep the LSH plan; pinning bits or
+        // tables opts out. Pre-flight cost: three SMALL serial jobs
+        // (1-row dim probe, footer-only count, per-partition-bounded
+        // limit probe) — none scans the corpus; folding them into one
+        // agg would full-scan idCol, strictly worse at scale.
+        if (bits.isEmpty && tables.isEmpty &&
+            t.toLong * targetBucket >= n / 2) {
           val nq = vecs.filter(col(idCol) % queryMod === 0)
             .select().limit(t * b + 1).count()
           if (nq <= t * b)

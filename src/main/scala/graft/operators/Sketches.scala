@@ -66,14 +66,10 @@ object Sketches {
         xxhash64(lit(b) +: (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)
         .as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bk"))
-    // two-pass bucket cap, then posting list per surviving band key ->
-    // in-bucket pairs, deduped across bands (collect_list buffers are
-    // bounded by maxBucket by construction; both branches reuse the
-    // same exchange on bk)
-    val keptBk = banded.groupBy("bk").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select("bk")
-    val cand = banded.join(keptBk, Seq("bk"), "left_semi")
+    // two-pass bucket cap (Skew.capHotKeys), then posting list per
+    // surviving band key -> in-bucket pairs, deduped across bands
+    // (collect_list buffers are bounded by maxBucket by construction)
+    val cand = Skew.capHotKeys(banded, maxBucket, Seq("bk"))
       .groupBy("bk")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(col("ds")).as("i"), col("ds"))
@@ -134,12 +130,9 @@ object Sketches {
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bits"))
-    // two-pass bucket cap (bounded collect_list buffers; same pattern
-    // and rationale as minhashLsh / the Jaccard df cap)
-    val keptBk = banded.groupBy("band", "bits").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select("band", "bits")
-    val cand = banded.join(keptBk, Seq("band", "bits"), "left_semi")
+    // two-pass bucket cap (Skew.capHotKeys — bounded collect_list
+    // buffers; same rationale as minhashLsh / the Jaccard df cap)
+    val cand = Skew.capHotKeys(banded, maxBucket, Seq("band", "bits"))
       .groupBy("band", "bits")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(col("ds")).as("i"), col("ds"))

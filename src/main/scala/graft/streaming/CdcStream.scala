@@ -146,16 +146,19 @@ object CdcStream {
                     jdbcOpts: Map[String, String],
                     checkpointDir: String,
                     save: (DataFrame, Map[String, String]) => Unit =
-                      (b, o) => graft.sinks.JdbcSink.writer(b, o).save())
+                      (b, o) => graft.sinks.JdbcSink.writer(b, o).save(),
+                    queryName: Option[String] = None)
       : Unit = {
-    val q = df.writeStream
+    val w = df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         save(batch.toDF(), jdbcOpts)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    // a named query is attributable in ProgressCollector rollups (a
+    // session can run many landings; unnamed rows all share "")
+    val q = queryName.fold(w)(w.queryName).start()
     q.awaitTermination()
   }
 
@@ -187,8 +190,9 @@ object CdcStream {
     * stance as the JDBC landing. */
   def landMonthly(df: DataFrame, tsCol: String, path: String,
                   checkpointDir: String,
-                  maxRecordsPerFile: Long = 5000000L): Unit = {
-    val q = df.writeStream
+                  maxRecordsPerFile: Long = 5000000L,
+                  queryName: Option[String] = None): Unit = {
+    val w = df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -196,7 +200,7 @@ object CdcStream {
           mode = "append", maxRecordsPerFile = maxRecordsPerFile)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = queryName.fold(w)(w.queryName).start()
     q.awaitTermination()
   }
 

@@ -58,14 +58,16 @@ class ReferenceTopologySpec extends SparkSpec {
       "topology_landed", "app", "app", numPartitions = 2,
       driver = "org.apache.derby.jdbc.EmbeddedDriver")
     val ckpt1 = Files.createTempDirectory("graft_topo_ck1").toString
-    CdcStream.sinkEachBatch(landable, opts, ckpt1)
+    CdcStream.sinkEachBatch(landable, opts, ckpt1,
+      queryName = Some("topo_jdbc_hop"))
     assert(JdbcSink.read(spark, opts).count() == nEvents,
       "every wire payload landed in the OLAP store")
 
     // hop 2: land the same stream in the monthly parquet layout
     val zone = Files.createTempDirectory("graft_topo_zone").toString
     val ckpt2 = Files.createTempDirectory("graft_topo_ck2").toString
-    CdcStream.landMonthly(landable, "event_timestamp", zone, ckpt2)
+    CdcStream.landMonthly(landable, "event_timestamp", zone, ckpt2,
+      queryName = Some("topo_parquet_hop"))
     val landed = ParquetSink.readMonthly(spark, zone)
     assert(landed.count() == nEvents)
 
@@ -84,9 +86,13 @@ class ReferenceTopologySpec extends SparkSpec {
       "landing-zone FINAL state equals source-of-truth latest state")
 
     // both streaming hops produced per-batch progress accounting for
-    // every wire row (listener delivery is async — poll briefly)
+    // every wire row. Count ONLY this test's named hops: the session
+    // (and its listener bus) is shared across concurrently-running
+    // suites, so an unfiltered sum would race their streams
+    // (listener delivery is async — poll briefly).
     val deadline = System.currentTimeMillis() + 30000
-    def rowsSeen = monitor.progress.map(_.numInputRows).sum
+    def rowsSeen = (monitor.forQuery("topo_jdbc_hop") ++
+      monitor.forQuery("topo_parquet_hop")).map(_.numInputRows).sum
     while (rowsSeen < 2 * nEvents && System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     assert(rowsSeen == 2 * nEvents,
