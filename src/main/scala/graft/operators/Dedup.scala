@@ -173,16 +173,17 @@ object Dedup {
         // the spike) but quadratic under exact, so there the LSH plan
         // runs even saturated (review finding). Pinning bits or
         // tables opts out.
-        var resolved: Option[(Int, Int)] = None
-        if (bits.isEmpty && tables.isEmpty) {
-          val n = vecs.count()
-          val b = Similarity.autoBits(n, targetBucket)
-          val t = Similarity.autoTables(b, tau)
-          if (t.toLong * targetBucket >= n / 2 && n <= 8192L)
-            return embeddingPairs(vecs, idCol, vecCol, tau,
-              allowAllPairs = true)
-          resolved = Some((t, b))
-        }
+        val resolved: Option[(Int, Int)] =
+          if (bits.nonEmpty || tables.nonEmpty) None
+          else {
+            val n = vecs.count()
+            val b = Similarity.autoBits(n, targetBucket)
+            val t = Similarity.autoTables(b, tau)
+            if (t.toLong * targetBucket >= n / 2 && n <= 8192L)
+              return embeddingPairs(vecs, idCol, vecCol, tau,
+                allowAllPairs = true)
+            Some((t, b))
+          }
         val v = Par.widen(vecs).select(col(idCol).as("id"),
             VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))

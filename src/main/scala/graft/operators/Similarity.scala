@@ -247,16 +247,12 @@ object Similarity {
     * trees: with √n centroid counts the literal form's k cosine
     * subtrees blow the 64 KB codegen method limit and ship k·dim
     * literals in every task's serialized plan (review finding). */
-  private def nearestCentroid(v: Column, centroids: Array[Array[Double]],
-                              nprobe: Int): Column = {
+  private[graft] def nearestCentroid(v: Column,
+      centroids: Array[Array[Double]], nprobe: Int): Column = {
     import org.apache.spark.sql.{GraftExpressionBridge => B}
     B.column(graft.functions.NearestCentroids(
       B.expression(v), centroids, nprobe))
   }
-
-  private[graft] def nearestCentroidForTest(v: Column,
-      centroids: Array[Array[Double]], nprobe: Int): Column =
-    nearestCentroid(v, centroids, nprobe)
 
   /** Centroid count toward √n (clamped [4, 4096]): with k ≈ √n and a
     * fixed nprobe, the probed corpus fraction is nprobe/√n — it

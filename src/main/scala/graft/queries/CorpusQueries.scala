@@ -56,10 +56,7 @@ object CorpusQueries extends QueryPack {
     // rand() stream can't equal Spark's; determinism + size + subset
     // invariants live in CorpusSpec.
     "sample_rand" -> ((s, dir) =>
-      PipelineOps.sampleRand(
-        Tables.load(s, dir, "documents").select("doc_id", "source"),
-        n = 20, seed = 7L)
-        .orderBy("doc_id")),
+      randSample(s, dir).orderBy("doc_id")),
 
     // J9 contract check (oracle-backed): WHICH rows the seeded draw
     // picks is Spark-internal (DuckDB's rand() stream differs), but
@@ -67,7 +64,7 @@ object CorpusQueries extends QueryPack {
     // every one a real (doc_id, source) row of the source table.
     "sample_rand_check" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
-      val sample = PipelineOps.sampleRand(docs, n = 20, seed = 7L)
+      val sample = randSample(s, dir)
       sample.agg(count(lit(1)).as("n_rows"))
         .crossJoin(sample.join(docs, Seq("doc_id", "source"), "left_anti")
           .agg(count(lit(1)).as("not_in_source")))
@@ -112,6 +109,13 @@ object CorpusQueries extends QueryPack {
         .orderBy("split")
     })
   )
+
+  /** The ONE seeded spot-check draw both the sample entry and its
+    * shape check run (n/seed must agree or the check checks nothing). */
+  private def randSample(s: org.apache.spark.sql.SparkSession, dir: String) =
+    PipelineOps.sampleRand(
+      Tables.load(s, dir, "documents").select("doc_id", "source"),
+      n = 20, seed = 7L)
 
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""

@@ -162,7 +162,7 @@ class DifferentialSpec extends SparkSpec {
     }
     val got = vecs.toDF("id", "v")
       .select(col("id"), graft.operators.Similarity
-        .nearestCentroidForTest(col("v"), centroids, nprobe).as("cids"))
+        .nearestCentroid(col("v"), centroids, nprobe).as("cids"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     vecs.foreach { case (id, v) =>
       val vn = math.sqrt(v.map(x => x * x).sum)
