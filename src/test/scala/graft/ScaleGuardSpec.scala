@@ -174,6 +174,23 @@ class ScaleGuardSpec extends SparkSpec {
     assert(c2 <= 4L * 20000L * 64L, s"c2=$c2 exceeds tables*n*targetBucket")
   }
 
+  test("cost-based selection: auto mode equals the exact plan where LSH saturates") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // at this corpus size the saturation + query-batch conditions hold,
+    // so auto mode must return the EXACT plan's rows — same contract,
+    // recall 1.0 (the selection changes the physical plan, never the
+    // answer's meaning)
+    val autoPairs = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4)
+    val exactPairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+    assert(autoPairs.exceptAll(exactPairs).count() == 0 &&
+           exactPairs.exceptAll(autoPairs).count() == 0)
+    val autoTop = Similarity.lshTopK(emb, "vec_id", "embedding")
+    val bruteTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding")
+    assert(autoTop.exceptAll(bruteTop).count() == 0 &&
+           bruteTop.exceptAll(autoTop).count() == 0)
+  }
+
   test("empty and all-null vector inputs short-circuit to empty results") {
     import graft.operators.Similarity
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
