@@ -156,8 +156,12 @@ object Similarity {
         // (1-row dim probe, footer-only count, per-partition-bounded
         // limit probe) — none scans the corpus; folding them into one
         // agg would full-scan idCol, strictly worse at scale.
+        // n ≤ 8192 (same absolute leg as the pair-dedup fallback):
+        // the saturation inequality alone stops bounding n once a
+        // caller raises targetBucket, and an unbounded brute path
+        // would materialize nq·n rows with the Guard bypassed.
         if (bits.isEmpty && tables.isEmpty &&
-            t.toLong * targetBucket >= n / 2) {
+            t.toLong * targetBucket >= n / 2 && n <= 8192L) {
           val nq = vecs.filter(col(idCol) % queryMod === 0)
             .select().limit(t * b + 1).count()
           if (nq <= t * b)

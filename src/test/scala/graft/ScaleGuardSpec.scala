@@ -180,7 +180,17 @@ class ScaleGuardSpec extends SparkSpec {
     // at this corpus size the saturation + query-batch conditions hold,
     // so auto mode must return the EXACT plan's rows — same contract,
     // recall 1.0 (the selection changes the physical plan, never the
-    // answer's meaning)
+    // answer's meaning). Assert the preconditions FIRST: if the test
+    // data grows past the fallback thresholds, fail here with a
+    // diagnosable message instead of flaking on recall < 1.
+    val n = emb.count()
+    val b = Similarity.autoBits(n)
+    val t = Similarity.autoTables(b, 0.4)
+    assert(t.toLong * 64L >= n / 2 && n <= 8192L,
+      s"test data (n=$n, bits=$b, tables=$t) no longer saturates LSH — " +
+        "regenerate the expectations or shrink the corpus")
+    assert(emb.filter(col("vec_id") % 100 === 0).count() <= t * b,
+      "query batch outgrew the brute-force fallback condition")
     val autoPairs = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4)
     val exactPairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
     assert(autoPairs.exceptAll(exactPairs).count() == 0 &&
