@@ -29,7 +29,14 @@ object Bench {
     // measurement (the codegen cache is bounded; a whole-suite warmup
     // pass evicts its own entries).
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c — time only the named queries (local
+    // iteration aid; the driver never sets it, so round benches still
+    // cover the full pack)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       // min of two timed runs: single-run numbers on a 32-thread local
       // JVM carry multi-second GC/cleaner noise that would read as

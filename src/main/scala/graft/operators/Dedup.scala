@@ -214,9 +214,14 @@ object Dedup {
     val b = bits.getOrElse(Similarity.autoBits(vecs.count(), targetBucket))
     val t = tables.getOrElse(Similarity.autoTables(b, designSim))
     val planes = Similarity.hyperplanes(t, b, dim, seed)
-    val keyed = Par.widen(vecs).select(col(idCol).as("id"),
+    // persist the pre-explode hashed form — the tables·bits·dim
+    // sign-hash otherwise recomputes once per cap branch and self-join
+    // side (×4); see the matching note in [[Similarity.lshTopK]]
+    val hashed = Par.widen(vecs).select(col(idCol).as("id"),
         VectorFunctions.asDouble(col(vecCol)).as("v"))
-      .select(col("id"), explode(Similarity.bucketKeys(col("v"), planes)).as("bk"))
+      .select(col("id"), Similarity.bucketKeys(col("v"), planes).as("bks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = hashed.select(col("id"), explode(col("bks")).as("bk"))
     // candidate pairs carry ONLY ids through the bucket join and the
     // multi-table dedup: the distinct shuffles 16-byte (i, j) pairs,
     // not per-candidate vector payloads (at corpus scale candidates

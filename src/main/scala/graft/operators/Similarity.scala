@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions
 
 /** SURVEY §2.E — approximate nearest-neighbor search over an embedding
@@ -172,8 +173,17 @@ object Similarity {
             col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
           .withColumn("nrm", VectorFunctions.l2(col("v")))
         val planes = hyperplanes(t, b, d, seed)
-        val keyed = v.select(col("id"), col("v"), col("nrm"),
-          explode(bucketKeys(col("v"), planes)).as("bk"))
+        // persist the PRE-explode hashed form: the sign-hash costs
+        // tables·bits·dim multiplies per row, and the capped id stream
+        // feeds four plan consumers (cap count branch + semi-join
+        // stream, then both sides of the bucket self-join) that
+        // Catalyst cannot collapse — unpersisted, the hashing runs
+        // four times. The cached payload is (id, tables bucket keys)
+        // ≈ tables·8 B per row — sketch-sized, not the vector table;
+        // the explode downstream recomputes from cache for pennies.
+        val hashed = v.select(col("id"), bucketKeys(col("v"), planes).as("bks"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val keyed = hashed.select(col("id"), explode(col("bks")).as("bk"))
         // the bucket join and multi-table distinct move ONLY id pairs;
         // vectors re-attach by id equi-joins afterwards — the distinct's
         // shuffle is 16 bytes per candidate instead of two embedding

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** SURVEY §2.D3/D4 — hash-sketch dedup: MinHash + banded LSH and
   * 64-bit SimHash with hamming-band candidate generation.
@@ -58,7 +59,18 @@ object Sketches {
                  maxBucket: Long = 10000L): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // The signature table feeds FOUR plan consumers (band explode, the
+    // cap's count branch, and both verify-join sides), and Catalyst
+    // cannot reuse the exchange across them (the join sides carry
+    // pushed not-null filters the band path lacks) — unpersisted, the
+    // corpus scan + shingle explode + k-way min-agg runs four times,
+    // the dominant cost at corpus scale. The sketch is |docs|×(k+1)
+    // longs (~0.1% of the corpus — model-sized, NOT the corpus pin the
+    // fitCentroids review finding rejects), so persist it; the entry
+    // is plan-keyed in the CacheManager, so repeated builds over the
+    // same input share one copy.
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band key = hash of the band's r signature components
     val banded = sigs.select(
       col("doc_id"),
@@ -122,7 +134,11 @@ object Sketches {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    // same four-consumer persist rationale as [[minhashLsh]]: the
+    // 64-sum-agg sketch is (doc_id, long) per row — recomputing the
+    // token explode per consumer is the scale cost, not the cache
     val sk = simhashSketch(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sk.select(
       col("doc_id"),
       explode(array((0 until 4).map(b => struct(
