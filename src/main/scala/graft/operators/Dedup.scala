@@ -58,10 +58,17 @@ object Dedup {
     // shuffle moves fixed-width longs (~5× smaller payload), and a
     // 64-bit collision perturbing a pair's intersection count is
     // ~2^-64 — negligible against tau-threshold decisions.
+    // persisted: the hashed token stream feeds the cap's count branch,
+    // its semi-join stream, and (via `capped`) the posting and size
+    // aggregations — four consumers Catalyst cannot collapse, each of
+    // which would re-run the corpus scan + shingle explode. The cache
+    // is 16 B per token occurrence — the inverted index's raw stream,
+    // the working set any multi-pass dedup pipeline materializes.
     val sh = Par.widen(docs).select(
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // TWO-PASS df cap ([[Skew.capHotKeys]]): tokens over the cap are
     // dropped BEFORE any posting list is collected, so every
     // collect_list buffer is bounded by dfCap rows by construction —
@@ -70,14 +77,20 @@ object Dedup {
     // stop-shingle in 10^8 docs ≈ 800 MB on one aggregation key).
     // The semi-join output is already partitioned by tok, so the
     // posting aggregation adds no exchange.
-    val postings = Skew.capHotKeys(sh, dfCap, Seq("tok"))
+    val capped = Skew.capHotKeys(sh, dfCap, Seq("tok"))
+    val postings = capped
       .groupBy("tok")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select("ds")
     // capped set size per doc (the Jaccard denominator must use the
-    // same capped universe as the intersection counts)
-    val sizes = postings.select(explode(col("ds")).as("doc_id"))
+    // same capped universe as the intersection counts). Counted from
+    // the capped STREAM, not by re-exploding the posting lists:
+    // shingles are distinct per doc, so the two are equal — and this
+    // skips a second pass over the collected lists. Persisted because
+    // it joins onto both pair sides; it is one row of 16 B per doc.
+    val sizes = capped
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pairwise combinations within each (bounded-size) posting list —
     // candidate pairs share ≥1 shingle by construction, so intersection
     // size = number of posting lists containing the pair. Two native

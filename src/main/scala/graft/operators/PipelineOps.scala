@@ -78,10 +78,15 @@ object PipelineOps {
     // hashes/compares fixed-width longs. A 64-bit collision (two
     // distinct shingles of one doc-pair colliding) is ~2^-64 per pair
     // — far below any curation-relevant signal.
+    // persisted: the token stream feeds both the per-token presence
+    // counts and the train-side semi-join stream — unpersisted, the
+    // corpus scan + shingle explode runs twice (same rationale as the
+    // Jaccard index; 17 B per token occurrence)
     val sh = Par.widen(docs).select(
       col(idCol).as("doc_id"), isEval.as("is_eval"),
       explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
       .select(col("doc_id"), col("is_eval"), xxhash64(col("s")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // TWO-PASS df cap, and no posting list at all: the shared-shingle
     // count per train doc only needs each token's eval/train presence
     // counts, never the member lists. Pass 1 counts both sides per

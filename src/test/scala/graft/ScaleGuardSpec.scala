@@ -88,14 +88,15 @@ class ScaleGuardSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     // every collect_list has the LeftSemi (cap) join BELOW it (deeper
     // in the printed tree = upstream): every list the aggregate
-    // buffers is over an already-capped token. The logical printout
-    // repeats the postings subtree once per reference (sizes ×2 +
-    // intersections), so assert pairwise: as many semi-joins as
-    // collects, and no collect without a semi-join after it.
+    // buffers is over an already-capped token. Exactly ONE collect —
+    // the posting lists for the intersection counts; the size
+    // denominators count the capped stream directly instead of
+    // re-exploding the collected lists (so the cap's semi-join prints
+    // once per consumer: postings + both size join sides).
     val jpCollects = "collect_list".r.findAllMatchIn(jp).map(_.start).toSeq
     val jpSemis = "LeftSemi".r.findAllMatchIn(jp).map(_.start).toSeq
-    assert(jpCollects.nonEmpty, jp)
-    assert(jpCollects.size == jpSemis.size, jp)
+    assert(jpCollects.size == 1, jp)
+    assert(jpSemis.nonEmpty, jp)
     assert(jpCollects.forall(c => jpSemis.exists(_ > c)), jp)
 
     // decontaminate needs no posting list at all after the rewrite:
