@@ -111,6 +111,33 @@ object PipelineOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** J10: concat-and-chunk sequence packing — the training-batch
+    * layout step: documents are laid end-to-end (in `idCol` order
+    * within each `partCol` shard) into a token stream that is chunked
+    * into fixed-`budget` training sequences; each document is assigned
+    * the sequence containing its START offset. Appends `seq_id` and
+    * `seq_offset` (position of the doc's first token inside its
+    * sequence).
+    *
+    * Scale stance: the running offset is a window sum PARTITIONED by
+    * the shard column — a per-shard sort, the layout packing already
+    * implies, never a single global ordering (an unpartitioned window
+    * would serialize the whole corpus through one task; real pipelines
+    * pack per output shard exactly so this stays parallel).
+    */
+  def packSequences(docs: DataFrame, idCol: String, partCol: String,
+                    tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val start = sum(col(tokCol)).over(w) - col(tokCol)
+    docs
+      .withColumn("seq_id", floor(start / lit(budget.toDouble)))
+      .withColumn("seq_offset", (start % budget).cast("long"))
+  }
+
   /** Near-dup cluster canonicalization: connected components over a
     * pair list, labeling every member with the minimum doc id of its
     * component (the canonical "keeper"). Iterative min-label

@@ -48,13 +48,19 @@ object TextOps {
     * DuckDB mirror: `arr[i] || ' ' || arr[i+1] || ... ` over
     * `unnest(range(1, len(arr) - n + 2))`.
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(ngrams(toks, n))
+
+  /** ALL contiguous word n-grams (duplicates kept — the repetition
+    * signals need the multiset; [[shingles]] wraps this with
+    * array_distinct for the set-semantics dedup family). */
+  def ngrams(toks: Column, n: Int): Column = {
     // statically unrolled element_at chain (n is a plan-time constant):
     // no per-shingle array slicing, just n O(1) element reads + concat.
     val sh = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
     // sequence(1, k) counts DOWN when k < 1 — guard short docs.
-    array_distinct(when(size(toks) >= n, sh).otherwise(array()))
+    when(size(toks) >= n, sh).otherwise(array())
   }
 }

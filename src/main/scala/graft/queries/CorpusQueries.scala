@@ -71,6 +71,19 @@ object CorpusQueries extends QueryPack {
         .select(col("n_rows"), col("not_in_source"))
     }),
 
+    // J10: sequence packing — documents laid end-to-end per source
+    // shard (BPE-ish token counts, the unit training budgets use) and
+    // chunked into 512-token training sequences. The window is
+    // partitioned by shard: per-shard sort, no global ordering.
+    "pack_sequences" -> ((s, dir) =>
+      PipelineOps.packSequences(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(graft.operators.TextOps.bpeishTokens(col("text")))
+              .cast("long").as("n_bpe")),
+        "doc_id", "source", "n_bpe", 512L)
+        .orderBy("doc_id")),
+
     // corpus token-count distribution per language — the shape/mixing
     // stats a data-curation run reports. Exact interpolated
     // percentiles (both engines use linear interpolation); one
@@ -173,6 +186,19 @@ object CorpusQueries extends QueryPack {
                     WHEN source IN ('src1','src2') THEN 60
                     ELSE 25 END
          GROUP BY source ORDER BY source""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+                    FROM documents),
+          c AS (SELECT doc_id, source, n_bpe,
+                       sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_bpe AS strt
+                FROM t)
+          SELECT doc_id, source, CAST(n_bpe AS BIGINT) AS n_bpe,
+                 CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+                 CAST(strt % 512 AS BIGINT) AS seq_offset
+          FROM c ORDER BY doc_id""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
                  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS total_tokens,

@@ -102,6 +102,36 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "pred_lang")
     }),
 
+    // F5: repetition quality signals (the Gopher-style "repetitious
+    // document" filters): type-token ratio, most-common-token
+    // fraction, most-common-2-gram fraction. Shaped as explode → two
+    // bounded hash-aggs per n-gram order (partial-agg friendly,
+    // constant per-key state) rather than per-row nested lambdas —
+    // an O(tokens·distinct) per-row loop would blow up on long
+    // documents, and collect-based forms would buffer whole docs.
+    "text_repetition" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = Tables.load(s, dir, "documents")
+      def stats(grams: org.apache.spark.sql.Column) = docs
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("tp"))
+      val us = stats(toks)
+      val bs = stats(TextOps.ngrams(toks, 2))
+        .select(col("doc_id"), col("n").as("bn"), col("tp").as("btp"))
+      // left join: a one-token doc has no 2-grams at all (its doc_id
+      // is absent from bs) — it still gets a row, with frac 0
+      us.join(bs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          round(col("d").cast("double") / col("n"), 4).as("ttr"),
+          round(col("tp").cast("double") / col("n"), 4).as("top_tok_frac"),
+          coalesce(round(col("btp").cast("double") / col("bn"), 4), lit(0.0))
+            .as("top_2gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // F4: content fingerprints — md5 of the normal form plus a prefix
     // fingerprint (rolling-hash analog: near-dups created by
     // truncation share the prefix fingerprint). Pure projection.
@@ -164,6 +194,22 @@ object TextQueries extends QueryPack {
           GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
-          FROM documents ORDER BY doc_id"""
+          FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS g FROM t),
+          uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+          us AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS tp FROM uc GROUP BY 1),
+          b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+                FROM t, unnest(range(1, len(toks))) AS r(i)),
+          bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+          bs AS (SELECT doc_id, sum(c) AS bn, max(c) AS btp FROM bc GROUP BY 1)
+          SELECT us.doc_id,
+                 CAST(us.n AS BIGINT) AS n_tokens,
+                 round(us.d * 1.0 / us.n, 4) AS ttr,
+                 round(us.tp * 1.0 / us.n, 4) AS top_tok_frac,
+                 coalesce(round(bs.btp * 1.0 / bs.bn, 4), 0.0) AS top_2gram_frac
+          FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+          ORDER BY us.doc_id"""
   )
 }

@@ -84,6 +84,40 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("packSequences matches a pure-Scala greedy packer; window stays sharded") {
+    // random shards + token counts, differential against the obvious
+    // sequential packer
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 200L).map(i =>
+      (i, s"shard${rnd.nextInt(5)}", 1L + rnd.nextInt(100)))
+    val df = rows.toDF("doc_id", "part", "n_tok")
+    val budget = 64L
+    val got = PipelineOps.packSequences(df, "doc_id", "part", "n_tok", budget)
+      .select("doc_id", "seq_id", "seq_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(_._2).values.flatMap { shard =>
+      var offset = 0L
+      shard.sortBy(_._1).map { case (id, _, n) =>
+        val r = id -> (offset / budget, offset % budget)
+        offset += n
+        r
+      }
+    }.toMap
+    assert(got == expected)
+    // first doc of every shard starts sequence 0 at offset 0 (implied
+    // by the differential, but the property worth reading)
+    val firsts = rows.groupBy(_._2).values.map(_.minBy(_._1)._1).toSet
+    firsts.foreach(id => assert(got(id) == (0L, 0L)))
+
+    // the running offset must be a PARTITIONED window — a plan that
+    // funnels the corpus through a single-partition sort is the
+    // classic packing-at-scale bug
+    val plan = PipelineOps.packSequences(df, "doc_id", "part", "n_tok", budget)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("hashKeep: deterministic, rate-monotone, 0/100 boundaries") {
     val docs = Tables.load(spark, sfDir, "documents")
     def kept(pct: Int): Set[Long] =
