@@ -27,9 +27,14 @@ object Sketches {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val sh = Par.widen(docs).select(
-      col(idCol).as("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("tok"))
+    // tokens materialized into an attribute before the shingle
+    // explode — the ngram lambda otherwise re-runs the split chain
+    // per element_at reference (see [[Dedup.jaccardPairs]], 25×)
+    val sh = Par.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("graft_toks"))
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("graft_toks"), n)).as("tok"))
     sh.groupBy("doc_id")
       .agg(
         min(xxhash64(lit(0), col("tok"))).as("h0"),

@@ -79,7 +79,33 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"),
              sum(octet_length(col("props"))).cast("long").as("props_bytes"))
         .orderBy(col("cnt").desc, col("label"))
-        .limit(20))
+        .limit(20)),
+
+    // B6: referential-integrity check — edges whose endpoint node is
+    // missing (the reference's source-vs-sink consistency validation
+    // theme, README.md:318-331, applied to the graph: a CDC pipeline
+    // that drops node events produces exactly these orphans). One left
+    // join per relation against the distinct node-key set + a count
+    // aggregate: at 100 TB the node side is the distinct key column
+    // only (AQE broadcasts it while it fits, shuffle-joins beyond),
+    // and the verdict is two rows, never a row-level materialization.
+    "graph_integrity" -> ((s, dir) => {
+      def integ(rel: String, edges: org.apache.spark.sql.DataFrame,
+                key: String, nodes: org.apache.spark.sql.DataFrame,
+                nodeKey: String) =
+        edges.select(col(key).as("k"))
+          .join(nodes.select(col(nodeKey).as("nk")).distinct(),
+            col("k") === col("nk"), "left")
+          .agg(count(lit(1)).as("n_edges"),
+               count(when(col("nk").isNull, lit(1))).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_edges"), col("n_orphans"))
+      integ("lineitem_orders", Tables.load(s, dir, "lineitem"),
+          "l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")
+        .unionByName(
+          integ("orders_customer", Tables.load(s, dir, "orders"),
+            "o_custkey", Tables.load(s, dir, "customer"), "c_custkey"))
+        .orderBy("relation")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +129,18 @@ object GraphQueries extends QueryPack {
                 CAST(sum(octet_length(encode(props))) AS BIGINT) AS props_bytes
          FROM (SELECT unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS label, props
                FROM events)
-         GROUP BY label ORDER BY cnt DESC, label LIMIT 20"""
+         GROUP BY label ORDER BY cnt DESC, label LIMIT 20""",
+    "graph_integrity" ->
+      """SELECT * FROM (
+           SELECT 'lineitem_orders' AS relation, count(*) AS n_edges,
+                  count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'orders_customer' AS relation, count(*) AS n_edges,
+                  count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans
+           FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON r.o_custkey = c.c_custkey)
+         ORDER BY relation"""
   )
 }

@@ -53,6 +53,23 @@ object SimilarityQueries extends QueryPack {
           .withColumn("nrm", VectorFunctions.l2(col("v")))))
     }),
 
+    // E5: per-label centroid — the element-wise mean embedding each
+    // class/cluster summary (and any IVF-style coarse quantizer seeded
+    // from labels) reports. Shaped as posexplode → one hash-agg on
+    // (label, dim): partial aggregation folds each partition to
+    // labels×dim (sum, count) pairs before the exchange, so the
+    // shuffle is O(labels·dim·partitions) regardless of corpus size —
+    // the 64× row explosion never crosses the wire.
+    "embed_centroids" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(VectorFunctions.asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"), round(avg(col("x")), 4).as("ctr"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("n_vecs"), col("ctr"))
+        .orderBy("label", "dim")),
+
     // E4 contract check (oracle-backed): the int8-quantized search
     // must recover ≥ 0.9 of the exact threshold-search result pairs
     // — quantization error can both drop borderline pairs and admit
@@ -114,6 +131,13 @@ object SimilarityQueries extends QueryPack {
          FROM q JOIN n ON q_id <> vec_id
          WHERE list_dot_product(qv, v) / (qn * nrm) >= 0.3
          ORDER BY q_id, vec_id""",
+    "embed_centroids" ->
+      """WITH u AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+         SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+                round(avg(x), 4) AS ctr
+         FROM u GROUP BY label, i ORDER BY label, dim""",
     "sim_quantized_check" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

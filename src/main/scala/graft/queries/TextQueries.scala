@@ -110,15 +110,14 @@ object TextQueries extends QueryPack {
     // an O(tokens·distinct) per-row loop would blow up on long
     // documents, and collect-based forms would buffer whole docs.
     "text_repetition" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val docs = Tables.load(s, dir, "documents")
-      def stats(grams: org.apache.spark.sql.Column) = docs
+      val tokd = tokenized(s, dir)
+      def stats(grams: org.apache.spark.sql.Column) = tokd
         .select(col("doc_id"), explode(grams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("tp"))
-      val us = stats(toks)
-      val bs = stats(TextOps.ngrams(toks, 2))
+      val us = stats(col("t"))
+      val bs = stats(TextOps.ngrams(col("t"), 2))
         .select(col("doc_id"), col("n").as("bn"), col("tp").as("btp"))
       // left join: a one-token doc has no 2-grams at all (its doc_id
       // is absent from bs) — it still gets a row, with frac 0
@@ -131,6 +130,26 @@ object TextQueries extends QueryPack {
             .as("top_2gram_frac"))
         .orderBy("doc_id")
     }),
+
+    // F6: corpus-wide top-k n-grams — the boilerplate detector a
+    // curation run uses to find template headers/footers worth
+    // stripping. Two STACKED hash-aggs, not count+countDistinct in
+    // one: the fused form plans an Expand that doubles every exploded
+    // gram row before the partial agg (measured 8× slower at sf0.1),
+    // while stacking aggregates (gram, doc) counts first — map-side
+    // partials collapse within-doc repeats — and rolls the already-
+    // distinct pairs up per gram with a plain sum/count. The top-k is
+    // TakeOrderedAndProject: the gram universe is never globally
+    // sorted.
+    "corpus_ngrams" -> ((s, dir) =>
+      tokenized(s, dir)
+        .select(col("doc_id"), explode(TextOps.ngrams(col("t"), 3)).as("gram"))
+        .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("gram")
+        .agg(sum(col("c")).cast("long").as("cnt"),
+             count(lit(1)).as("n_docs"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20)),
 
     // F4: content fingerprints — md5 of the normal form plus a prefix
     // fingerprint (rolling-hash analog: near-dups created by
@@ -145,6 +164,20 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     })
   )
+
+  /** documents widened and tokenized into a MATERIALIZED array column
+    * `t` — the mandatory shape for n-gram explosion. Two reasons, both
+    * measured 25× at sf0.1 (10.4 s → 0.4 s for the 3-gram explode):
+    * (1) the widen parallelizes past the single-file parquet input;
+    * (2) the ngram lambda's element_at(toks, i+k) references re-run
+    * the whole split(regexp_replace(text)) chain per element when
+    * `toks` is an expression — as a bound attribute behind the
+    * exchange they are O(1) array reads, and Catalyst cannot collapse
+    * the projection back into the Generate. */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Par.widen(
+        Tables.load(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
 
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
@@ -195,6 +228,13 @@ object TextQueries extends QueryPack {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
           FROM documents ORDER BY doc_id""",
+    "corpus_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+                FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+                WHERE len(arr) >= 3)
+          SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+          FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
           u AS (SELECT doc_id, unnest(toks) AS g FROM t),

@@ -115,6 +115,30 @@ class PlanSpec extends SparkSpec {
       "orderBy(rand).limit must plan as per-partition top-n + merge")
   }
 
+  test("corpus_ngrams is a bounded top-n with map-side combine") {
+    val plan = formatted("corpus_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k grams must never globally sort the gram universe")
+    assert(plan.contains("partial_"),
+      "gram counts must partially aggregate before the exchange")
+  }
+
+  test("embed_centroids partially aggregates the exploded dims map-side") {
+    // the 64x posexplode row blow-up must collapse to (label, dim)
+    // sums per partition BEFORE the shuffle — without partial agg the
+    // exchange carries one row per vector element
+    val plan = formatted("embed_centroids")
+    assert(plan.contains("partial_avg"),
+      "centroid means must combine map-side")
+  }
+
+  test("graph_integrity reads only the key columns it checks") {
+    val plan = formatted("graph_integrity")
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("c_name") && !plan.contains("o_totalprice"),
+      "integrity check must scan join keys only")
+  }
+
   test("quantized search computes the scale aggregate exactly once per side") {
     // two regressions collapse into this count: (1) the inlined
     // quantize form substitutes the max|x| aggregate into per-element
