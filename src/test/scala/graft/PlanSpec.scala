@@ -139,6 +139,34 @@ class PlanSpec extends SparkSpec {
       "integrity check must scan join keys only")
   }
 
+  test("ngram explodes bind tokens as an attribute, never the split chain") {
+    // inside an ngram transform-lambda, a non-attribute `toks`
+    // reference re-runs split(regexp_replace(text)) per element_at —
+    // n·positions regex evaluations per document (measured 25× on the
+    // sf0.1 3-gram explode). The tokenize chain must be materialized
+    // by a projection BELOW the Generate; a plain explode(tokens(_))
+    // (no lambda — one evaluation per row) stays legal.
+    Seq("corpus_ngrams", "text_repetition", "dedup_ngram_jaccard",
+        "decontaminate", "dedup_minhash_lsh", "dedup_clusters").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      plan.foreach {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          val lambdaRetokenizes = g.generator.exists {
+            case h: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction =>
+              h.exists {
+                case _: org.apache.spark.sql.catalyst.expressions.RegExpReplace => true
+                case _ => false
+              }
+            case _ => false
+          }
+          assert(!lambdaRetokenizes,
+            s"$name: generator lambda re-evaluates the tokenize chain")
+        case _ => ()
+      }
+    }
+  }
+
   test("quantized search computes the scale aggregate exactly once per side") {
     // two regressions collapse into this count: (1) the inlined
     // quantize form substitutes the max|x| aggregate into per-element
