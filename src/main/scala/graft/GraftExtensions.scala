@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{GraftExpressionBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.DotProduct
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import graft.functions.{DotProduct, SimHash64}
 
 /** SQL registration of graft's native expressions, so pure-SQL users
   * (spark.sql, thriftserver, SQL files) get the same codegen'd kernels
@@ -48,6 +48,12 @@ object GraftExtensions {
         Divide(DotProduct(a, b),
                Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
                EvalMode.TRY)
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(arrayOfTokens)")
+        SimHash64(Cast(args.head, ArrayType(StringType)))
       }))
 
   /** Register everything on an existing session. */

@@ -107,21 +107,24 @@ object Sketches {
   }
 
   /** 64-bit SimHash per document: bit b of the sketch is the sign of
-    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1). One hash-agg with
-    * 64 packed sum aggregates. Columns: doc_id, simhash.
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : -1). One native codegen
+    * expression per row ([[graft.functions.SimHash64]]) — a pure
+    * projection, so the sketch pass has NO shuffle and no aggregation
+    * buffer (the former explode → 64-sum-agg form exchanged every
+    * token row on doc_id; bit-identical output, pinned by the
+    * DifferentialSpec JVM reference). Docs with a null/empty token
+    * array are dropped, matching the explode form's semantics.
+    * Columns: doc_id, simhash.
     */
   def simhashSketch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Par.widen(docs).select(
-      col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = toks.groupBy("doc_id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
-      (1 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")): _*)
-    val packed = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("doc_id"), packed.as("simhash"))
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    Par.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("graft_toks"))
+      .where(col("graft_toks").isNotNull && size(col("graft_toks")) > 0)
+      .select(col("doc_id"),
+        B.column(graft.functions.SimHash64(
+          B.expression(col("graft_toks")))).as("simhash"))
   }
 
   /** D4: near-dup pairs via SimHash hamming bands: the 64-bit sketch

@@ -16,9 +16,16 @@ object CdcJsonQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     // node events: the nodes_kafka_mv logic (op multiIf, timestamp
     // parse, label array, property blob extraction).
+    // all three entries widen the base table BEFORE synthesize: the
+    // wire round-trip is 2-3 full JSON passes per row, and the small-
+    // file parquet input plans as one partition — the widen exchange
+    // moves the cheap base rows once so every JSON pass runs at full
+    // parallelism (the real ingest gets this for free from Kafka's
+    // partitioning).
     "cdc_json_parse" -> ((s, dir) => {
       val parsed = CdcJson.parseNodes(
-        CdcJson.synthesizeNodeJson(Tables.load(s, dir, "events")), "raw")
+        CdcJson.synthesizeNodeJson(
+          graft.operators.Par.widen(Tables.load(s, dir, "events"))), "raw")
       parsed.select(
         col("event_id"),
         col("event_type").as("op"),
@@ -36,7 +43,8 @@ object CdcJsonQueries extends QueryPack {
     // replay queue; counts are oracle-checked against the corruption
     // rule applied to the base table.
     "cdc_json_dead_letter" -> ((s, dir) => {
-      val raw = CdcJson.synthesizeNodeJson(Tables.load(s, dir, "events"))
+      val raw = CdcJson.synthesizeNodeJson(
+          graft.operators.Par.widen(Tables.load(s, dir, "events")))
         .withColumn("raw",
           when(get_json_object(col("raw"), "$.id").cast("long") % 10 === 0,
                substring(col("raw"), 1, 25)).otherwise(col("raw")))
@@ -51,7 +59,8 @@ object CdcJsonQueries extends QueryPack {
     // "edges per device" consistency check shape.
     "cdc_json_rel_parse" -> ((s, dir) => {
       val parsed = CdcJson.parseRels(
-        CdcJson.synthesizeRelJson(Tables.load(s, dir, "orders")), "raw")
+        CdcJson.synthesizeRelJson(
+          graft.operators.Par.widen(Tables.load(s, dir, "orders"))), "raw")
       parsed
         .groupBy(col("source_id"))
         .agg(
