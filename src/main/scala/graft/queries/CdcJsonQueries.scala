@@ -43,11 +43,16 @@ object CdcJsonQueries extends QueryPack {
     // replay queue; counts are oracle-checked against the corruption
     // rule applied to the base table.
     "cdc_json_dead_letter" -> ((s, dir) => {
+      // the corruption rule keys on the passed-through base column,
+      // not get_json_object($.id) — selecting via the wire payload
+      // re-parsed every row's JSON right after serializing it
       val raw = CdcJson.synthesizeNodeJson(
-          graft.operators.Par.widen(Tables.load(s, dir, "events")))
+          graft.operators.Par.widen(Tables.load(s, dir, "events")),
+          keep = Seq("event_id"))
         .withColumn("raw",
-          when(get_json_object(col("raw"), "$.id").cast("long") % 10 === 0,
+          when(col("event_id") % 10 === 0,
                substring(col("raw"), 1, 25)).otherwise(col("raw")))
+        .drop("event_id")
       val classified = CdcJson.withValidity(CdcJson.parseNodes(raw, "raw"))
       classified.groupBy("is_valid", "error_reason")
         .agg(count(lit(1)).as("cnt"))

@@ -148,12 +148,16 @@ object CdcJson {
   // the base table.
 
   /** events table row → raw node-event JSON (entity = user_id, op per
-    * SURVEY §2.A mapping, properties_after = props). */
-  def synthesizeNodeJson(events: DataFrame): DataFrame = {
+    * SURVEY §2.A mapping, properties_after = props). `keep` columns
+    * pass through beside the payload — harness code that needs a
+    * selection key (e.g. the dead-letter corruption rule) reads the
+    * base column instead of re-parsing the JSON it just serialized
+    * (a full extra JSON pass per row). */
+  def synthesizeNodeJson(events: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val opRaw = when(col("event_type") === "signup", "CREATE")
       .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
       .otherwise("DELETE")
-    events.select(to_json(struct(
+    events.select(keep.map(col) :+ to_json(struct(
       col("event_id").cast("string").as("id"),
       struct(struct(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("TZDT"))
@@ -165,7 +169,7 @@ object CdcJson {
         struct(struct(
           from_json(col("props"), MapType(StringType, StringType))
             .as("properties")).as("after")).as("state"))
-        .as("event"))).as("raw"))
+        .as("event"))).as("raw"): _*)
   }
 
   /** orders table row → raw relationship-event JSON (customer
