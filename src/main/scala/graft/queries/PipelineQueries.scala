@@ -34,6 +34,10 @@ object PipelineQueries extends QueryPack {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // unique memory-sink names for stream_progress across warmup/timed
+  // runs in one JVM (a reused name would re-register the same table)
+  private val progressId = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
     "mm_binary_meta" -> ((s, dir) =>
@@ -125,6 +129,36 @@ object PipelineQueries extends QueryPack {
         .orderBy("op")
     }),
 
+    // H9 in the driver gate: run the H1 stream with a ProgressCollector
+    // attached and hand the MONITOR's accounting to the oracle — the
+    // per-batch numInputRows reported on the listener bus must sum to
+    // exactly the source row count (AvailableNow reads the file set
+    // once). This is the `system.kafka_consumers` analog proving the
+    // ops surface measures the pipeline, not an approximation of it.
+    "stream_progress" -> ((s, dir) => {
+      import s.implicits._
+      val expected = Tables.load(s, dir, "events").count()
+      val c = graft.streaming.Progress.attach(s)
+      try {
+        val name = s"graft_progress_${progressId.incrementAndGet()}"
+        val q = CdcStream.eventCounts(CdcStream.readEvents(s, dir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // listener delivery is async: poll until the monitor's rows
+        // account for the full source (or a generous deadline)
+        val deadline = System.currentTimeMillis() + 30000
+        while (c.forQuery(name).map(_.numInputRows).sum < expected &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        val rows = c.forQuery(name)
+        Seq((rows.map(_.numInputRows).sum, rows.nonEmpty))
+          .toDF("rows_total", "saw_batches")
+      } finally graft.streaming.Progress.detach(s, c)
+    }),
+
     // H2: incremental flatMapGroupsWithState latest-state == the batch
     // ReplacingMergeTree FINAL (cdc_latest_state twin). The final
     // max_by collapse dedupes re-emissions if AvailableNow split the
@@ -172,6 +206,10 @@ object PipelineQueries extends QueryPack {
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
                 count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_progress" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_total,
+                count(*) > 0 AS saw_batches
+         FROM events""",
     "stream_latest_state" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
                 round(value, 4) AS last_value
