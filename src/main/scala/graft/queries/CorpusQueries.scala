@@ -36,6 +36,24 @@ object CorpusQueries extends QueryPack {
           "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
         .orderBy("doc_id")),
 
+    // J11: the consumable of near-dup dedup — the surviving documents
+    // after cluster canonicalization (keep each cluster's canonical
+    // root, drop the other members, keep everything unclustered) —
+    // what exactKept is to D1. One broadcast-sized anti-join: the drop
+    // set is |cluster members| − |clusters|, tiny relative to the
+    // corpus by the near-dup long-tail assumption; AQE broadcasts it.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val clusters = PipelineOps.dedupClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5, dfCap = 1000L))
+      val drop = clusters
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // mixture-weighted corpus build: deterministic hash-sampled
     // downsampling per source tier (keep rates keyed on doc_id hash,
     // reproducible across runs/partitionings), validated as per-source
@@ -228,6 +246,21 @@ object CorpusQueries extends QueryPack {
               SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
             SELECT * FROM r)
           SELECT n AS doc_id, min(m) AS cluster_id
-          FROM reach GROUP BY n ORDER BY doc_id"""
+          FROM reach GROUP BY n ORDER BY doc_id""",
+    "dedup_survivors" ->
+      s"""$pairSql,
+          edges AS (SELECT i AS a, j AS b FROM pairs
+                    UNION ALL SELECT j, i FROM pairs),
+          reach AS (
+            WITH RECURSIVE r(n, m) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
+            SELECT * FROM r),
+          drop AS (SELECT n AS doc_id FROM reach
+                   GROUP BY n HAVING n <> min(m))
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+          ORDER BY doc_id"""
   )
 }
