@@ -24,7 +24,7 @@ object CurrentState {
     * (include a unique tiebreaker such as event_id).
     */
   def latest(events: DataFrame, entityCol: String, orderCols: Seq[String]): DataFrame = {
-    val dataCols = events.columns.filter(_ != entityCol)
+    val dataCols = events.columns.filter(_ != entityCol).toIndexedSeq
     val ord = struct(orderCols.map(col): _*)
     val payload = struct(dataCols.map(col): _*)
     events

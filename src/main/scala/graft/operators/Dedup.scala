@@ -31,7 +31,7 @@ object Dedup {
     * pipeline actually consumes): per content hash, the full row with
     * the lowest id — one `min_by(struct)` hash-agg, no join-back. */
   def exactKept(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cols = docs.columns.map(col)
+    val cols = docs.columns.toIndexedSeq.map(col)
     docs
       .groupBy(md5(col(textCol)).as("fp"))
       .agg(min_by(struct(cols: _*), col(idCol)).as("row"))

@@ -95,8 +95,10 @@ object Sketches {
       .distinct()
     // verify candidates on full signatures: estimated Jaccard =
     // fraction of equal components (equi-join on doc id, no fan-out)
-    val si = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "i" else s"${c}_i"): _*)
-    val sj = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "j" else s"${c}_j"): _*)
+    val si = sigs.toDF(sigs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "i" else s"${c}_i"): _*)
+    val sj = sigs.toDF(sigs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "j" else s"${c}_j"): _*)
     val agree = (0 until k).map(s =>
       when(col(s"h${s}_i") === col(s"h${s}_j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k

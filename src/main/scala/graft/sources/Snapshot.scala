@@ -27,7 +27,8 @@ object Snapshot {
     */
   def fromTable(src: DataFrame, entityCol: String, labelCols: Seq[String],
                 asOf: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
-    val propCols = src.columns.filterNot(c => c == entityCol || labelCols.contains(c))
+    val propCols = src.columns.toIndexedSeq
+      .filterNot(c => c == entityCol || labelCols.contains(c))
     // NULL-safe content hash: concat_ws silently drops NULL args, which
     // would collide (a,NULL,b) with (a,b,NULL); coalesce every column
     // to a sentinel that can't appear in cast-to-string data, and
