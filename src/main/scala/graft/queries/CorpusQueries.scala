@@ -118,6 +118,31 @@ object CorpusQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // J8-at-scale: the same distribution stats with BOUNDED aggregation
+    // state. Exact percentile() buffers every value per group — fine
+    // for the small-SF oracle entry above, but per-language groups at
+    // corpus scale hold billions of values (the same buffer-blowup
+    // class as the uncapped posting lists). approx_percentile is a
+    // bounded quantile summary (GK sketch) at any group size; the
+    // entry is its own accuracy check — |approx − exact| within 5%
+    // relative, oracle-compared as a per-language verdict (at test SF
+    // the sketch is exact, so the tolerance only absorbs engine-
+    // internal summary behavior, not data size).
+    "corpus_stats_approx" -> ((s, dir) => {
+      val ntoks = size(graft.operators.TextOps.tokens(col("text")))
+      def ok(ap: String, ex: String) =
+        (abs(col(ap) - col(ex)) <= abs(col(ex)) * 0.05).as(s"${ap}_ok")
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), ntoks.as("n_toks"))
+        .groupBy("lang")
+        .agg(expr("percentile(n_toks, 0.5)").as("e50"),
+             expr("percentile(n_toks, 0.95)").as("e95"),
+             expr("approx_percentile(n_toks, 0.5)").cast("double").as("a50"),
+             expr("approx_percentile(n_toks, 0.95)").cast("double").as("a95"))
+        .select(col("lang"), ok("a50", "e50"), ok("a95", "e95"))
+        .orderBy("lang")
+    }),
+
     // the end-to-end curation pipeline a training-data job runs:
     // quality filter -> exact dedup (full surviving rows) -> split
     // assignment -> per-split accounting. Composition of F1 + D1 + J1
@@ -217,6 +242,9 @@ object CorpusQueries extends QueryPack {
                  CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
                  CAST(strt % 512 AS BIGINT) AS seq_offset
           FROM c ORDER BY doc_id""",
+    "corpus_stats_approx" ->
+      """SELECT lang, true AS a50_ok, true AS a95_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
                  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS total_tokens,
