@@ -134,4 +134,22 @@ class CorpusSpec extends SparkSpec {
     // rate is roughly honored on real data
     assert(k60.size.toDouble / n > 0.4 && k60.size.toDouble / n < 0.8)
   }
+
+  test("survivors partition the corpus: roots kept, members dropped, nothing lost") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val clusters = PipelineOps.dedupClusters(
+      Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5, dfCap = 1000L)).cache()
+    val survivors = graft.queries.CorpusQueries
+      .queries("dedup_survivors")(spark, sfDir).cache()
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    // every cluster's canonical root survives
+    val roots = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    assert(roots.join(survivors, Seq("doc_id"), "left_anti").count() == 0,
+      "a cluster root was dropped")
+    // survivors and dropped members partition the corpus exactly
+    assert(survivors.count() + dropped.count() == docs.count())
+    assert(survivors.join(dropped.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() == 0, "a dropped member leaked into the survivors")
+  }
 }
