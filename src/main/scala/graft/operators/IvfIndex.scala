@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** A PERSISTED IVF index — the build-once / query-many shape a
+  * production ANN deployment actually runs (the in-memory
+  * [[Similarity.ivfTopK]] refits centroids per call, which is the
+  * right shape for one-shot analytics but not for a serving corpus).
+  *
+  * Layout under `path`:
+  *   - `centroids/`   — (cid, vec): the k×dim model, tiny.
+  *   - `assignments/` — (id, v, nrm, cid) parquet PARTITIONED BY cid:
+  *     the corpus, pre-assigned to its nearest centroid with norms
+  *     precomputed. Partitioning by cid is the scale point — a probe
+  *     of `nprobe` centroids turns into PARTITION PRUNING, so a query
+  *     batch reads ~nprobe/k of the corpus from disk instead of
+  *     scanning it (with √n centroid counts that fraction shrinks as
+  *     the corpus grows). The search join's query side carries the
+  *     probed cids, so Spark's dynamic partition pruning applies; a
+  *     direct `cid` filter prunes statically.
+  *
+  * Search reuses [[Similarity.topK]] (exact cosine over candidates,
+  * deterministic ranking), so a loaded index returns EXACTLY what the
+  * in-memory path returns for the same centroids — pinned by
+  * IvfIndexSpec.
+  */
+final case class IvfIndex(centroids: Array[Array[Double]], path: String)
+
+object IvfIndex {
+
+  /** Fit centroids (deterministic sample fit, [[Similarity.fitCentroids]])
+    * and persist model + assigned corpus. One corpus scan for the
+    * assignment write; the fit scans its auto-sized sample. */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+            nCentroids: Option[Int] = None, iters: Int = 2,
+            fitSamplePct: Option[Int] = None): IvfIndex = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    lazy val n = vecs.count()
+    val kc = nCentroids.getOrElse(Similarity.autoCentroids(n))
+    val pct = fitSamplePct.getOrElse(Similarity.autoFitPct(n, kc))
+    val centroids = Similarity.fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "vec")
+      .repartition(1) // k×dim model metadata: one small file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Par.widen(vecs)
+      .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+      .withColumn("cid", Similarity.nearestCentroid(col("v"), centroids, 1)(0))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assignments")
+    IvfIndex(centroids, path)
+  }
+
+  /** Load the model metadata (the assignments stay on disk — they are
+    * read partition-pruned at search time). */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").select("vec")
+      .collect().map(_.getSeq[Double](0).toArray)
+    IvfIndex(centroids, path)
+  }
+
+  /** Top-k search against the persisted index: queries probe their
+    * `nprobe` nearest centroids; only those cid partitions of the
+    * assignments are read (dynamic partition pruning through the
+    * equi-join). Output contract identical to [[Similarity.ivfTopK]]:
+    * (q_id, vec_id, cosine, rk). */
+  def search(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+             idCol: String, vecCol: String,
+             k: Int = 10, nprobe: Int = 6): DataFrame = {
+    val np = math.min(nprobe, index.centroids.length)
+    val q = queries
+      .select(col(idCol).as("q_id"), VectorFunctions.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.l2(col("qv")))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(Similarity.nearestCentroid(col("qv"), index.centroids, np)).as("cid"))
+    val data = spark.read.parquet(s"${index.path}/assignments")
+    q.join(data, "cid")
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+              col("v"), col("nrm"))
+      .transform(Similarity.topK(_, k))
+  }
+}

@@ -343,8 +343,9 @@ object Similarity {
   }
 
   /** Exact cosine over a candidate set + deterministic per-query
-    * top-k (rank by cosine desc, id asc). */
-  private def topK(cand: DataFrame, k: Int): DataFrame = {
+    * top-k (rank by cosine desc, id asc). Shared with the persisted
+    * [[IvfIndex]] search path (same verification protocol). */
+  private[operators] def topK(cand: DataFrame, k: Int): DataFrame = {
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
     cand.withColumn("cosine", round(cos, 4))

@@ -124,8 +124,40 @@ object SketchQueries extends QueryPack {
     "sim_ivf_ann_check" -> ((s, dir) => annCheck(s, dir,
       emb => Similarity.ivfTopK(emb, "vec_id", "embedding",
         nCentroids = Some(16), fitSamplePct = Some(10)),
-      minRecall = 0.5))
+      minRecall = 0.5)),
+
+    // E6 contract check: the PERSISTED index (build → parquet → load →
+    // partition-pruned search) must return EXACTLY the in-memory IVF
+    // result at the same operating point — the fit is deterministic,
+    // so both paths hold the same model and any drift (serialization,
+    // norm recompute, pruning losing a partition) shows as a non-zero
+    // diff. Index built once per JVM (the staged-dir pattern); the
+    // timed work is load + disk search + compare.
+    "sim_ivf_index_check" -> ((s, dir) => {
+      val vecs = Tables.load(s, dir, "embeddings")
+      val path = indexDirs.computeIfAbsent(dir, d => {
+        val p = Staging.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        graft.operators.IvfIndex.build(vecs, "vec_id", "embedding", p,
+          nCentroids = Some(16), fitSamplePct = Some(10))
+        p
+      })
+      val idx = graft.operators.IvfIndex.load(s, path)
+      val fromDisk = graft.operators.IvfIndex.search(s, idx,
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nprobe = 6)
+      val inMem = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        k = 10, queryMod = 100, nCentroids = Some(16), fitSamplePct = Some(10))
+      fromDisk.exceptAll(inMem).agg(count(lit(1)).as("extra"))
+        .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
+    })
   )
+
+  // source dir -> built index path (one build per JVM; see the
+  // matching staging pattern in PipelineQueries.stagedDirs)
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One-row recall verdict for sketches whose ground truth IS
     * SQL-expressible: (exact_pairs, recall_ok) on (i, j) pair ids. */
@@ -200,6 +232,8 @@ object SketchQueries extends QueryPack {
               WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_index_check" ->
+      """SELECT CAST(0 AS BIGINT) AS extra, CAST(0 AS BIGINT) AS missing""",
     "dedup_minhash_lsh_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
