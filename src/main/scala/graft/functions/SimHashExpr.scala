@@ -29,10 +29,11 @@ object SimHashKernel {
       while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
       i += 1
     }
-    // bit b = sign of Σ±1 = (ones > n - ones)
+    // bit b = sign of Σ±1 = (ones > n - ones); 2L: Int 2*ones would
+    // overflow at ones ≥ 2^30, inside ArrayData's element limit
     var sk = 0L
     var b = 0
-    while (b < 64) { if (2 * ones(b) > n) sk |= 1L << b; b += 1 }
+    while (b < 64) { if (2L * ones(b) > n) sk |= 1L << b; b += 1 }
     sk
   }
 }
