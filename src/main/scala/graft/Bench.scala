@@ -79,11 +79,16 @@ object Bench {
     val cpusAvail = Runtime.getRuntime.availableProcessors
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    // split operator time from verification time: the *_check entries
-    // deliberately run BOTH an operator and its exact baseline, so
-    // they dominate any per-query cost ranking — reporting them
-    // separately keeps the operator trendline readable round-over-round
-    val checkTotal = results.filter(_._1.endsWith("_check")).map(_._2.min).sum
+    // split operator time from verification time: verification
+    // entries deliberately run BOTH an operator and its exact
+    // baseline, so they dominate any per-query cost ranking —
+    // reporting them separately keeps the operator trendline readable
+    // round-over-round. Classified by the _check suffix PLUS the
+    // entries that embed their baseline without the suffix.
+    val extraChecks = Set("corpus_stats_approx")
+    val isCheck = (name: String) =>
+      name.endsWith("_check") || extraChecks(name)
+    val checkTotal = results.filter(r => isCheck(r._1)).map(_._2.min).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","op_secs":${total - checkTotal},"check_secs":$checkTotal,"queries":$qs,"runs":$runsJson,"unstable":$unstable,"load_avg":$loadAvg,"cpus":$cpusAvail,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO land the line in a file: round BENCH_r*.json records have

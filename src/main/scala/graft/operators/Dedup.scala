@@ -64,16 +64,9 @@ object Dedup {
     // which would re-run the corpus scan + shingle explode. The cache
     // is 16 B per token occurrence — the inverted index's raw stream,
     // the working set any multi-pass dedup pipeline materializes.
-    // tokens are MATERIALIZED into an attribute before the shingle
-    // explode: inside the ngram lambda, element_at(toks, i+k) re-runs
-    // the whole split(regexp_replace(text)) chain per element when
-    // toks is an expression (≈3·positions regex evaluations per doc,
-    // measured 25× on the explode at sf0.1) — bound as a column it is
-    // an O(1) array read, and the projection can't collapse into the
-    // Generate.
-    val sh = Par.widen(docs)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("graft_toks"))
+    // widen + materialized token attribute (TextOps.withTokens — the
+    // ngrams caller contract) before the shingle explode
+    val sh = TextOps.withTokens(docs, textCol, Seq(col(idCol).as("doc_id")))
       .select(col("doc_id"),
         explode(TextOps.shingles(col("graft_toks"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("tok"))

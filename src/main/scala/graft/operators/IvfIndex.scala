@@ -66,6 +66,34 @@ object IvfIndex {
     IvfIndex(centroids, path)
   }
 
+  /** The in-memory twin of [[search]] against the SAME centroid model:
+    * assigns `vecs` on the fly and scores with the identical protocol.
+    * This is what the zero-diff contract compares against — comparing
+    * with a REFIT ([[Similarity.ivfTopK]]) would couple the check to
+    * floating-point summation order across independent avg() runs
+    * (shuffle-merge order varies with task scheduling), an intermittent
+    * ulp-level centroid drift that can flip a near-tie assignment
+    * (review finding). Same model in, bit-identical out. */
+  def searchInMemory(index: IvfIndex, vecs: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String,
+                     k: Int = 10, nprobe: Int = 6): DataFrame = {
+    val np = math.min(nprobe, index.centroids.length)
+    val data = Par.widen(vecs)
+      .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+      .withColumn("cid", Similarity.nearestCentroid(col("v"), index.centroids, 1)(0))
+    val q = queries
+      .select(col(idCol).as("q_id"), VectorFunctions.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.l2(col("qv")))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(Similarity.nearestCentroid(col("qv"), index.centroids, np)).as("cid"))
+    q.join(data, "cid")
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
+              col("v"), col("nrm"))
+      .transform(Similarity.topK(_, k))
+  }
+
   /** Top-k search against the persisted index: queries probe their
     * `nprobe` nearest centroids; only those cid partitions of the
     * assignments are read (dynamic partition pruning through the

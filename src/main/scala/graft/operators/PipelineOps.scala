@@ -82,13 +82,10 @@ object PipelineOps {
     // counts and the train-side semi-join stream — unpersisted, the
     // corpus scan + shingle explode runs twice (same rationale as the
     // Jaccard index; 17 B per token occurrence)
-    // tokens materialized into an attribute before the explode — the
-    // ngram lambda otherwise re-runs split(regexp_replace(text)) per
-    // element_at reference (see the matching note in
-    // [[Dedup.jaccardPairs]]; measured 25× on the explode at sf0.1)
-    val sh = Par.widen(docs)
-      .select(col(idCol).as("doc_id"), isEval.as("is_eval"),
-        TextOps.tokens(col(textCol)).as("graft_toks"))
+    // widen + materialized token attribute (TextOps.withTokens — the
+    // ngrams caller contract) before the shingle explode
+    val sh = TextOps.withTokens(docs, textCol,
+        Seq(col(idCol).as("doc_id"), isEval.as("is_eval")))
       .select(col("doc_id"), col("is_eval"),
         explode(TextOps.shingles(col("graft_toks"), n)).as("s"))
       .select(col("doc_id"), col("is_eval"), xxhash64(col("s")).as("tok"))

@@ -27,12 +27,9 @@ object Sketches {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    // tokens materialized into an attribute before the shingle
-    // explode — the ngram lambda otherwise re-runs the split chain
-    // per element_at reference (see [[Dedup.jaccardPairs]], 25×)
-    val sh = Par.widen(docs)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("graft_toks"))
+    // widen + materialized token attribute (TextOps.withTokens — the
+    // ngrams caller contract) before the shingle explode
+    val sh = TextOps.withTokens(docs, textCol, Seq(col(idCol).as("doc_id")))
       .select(col("doc_id"),
         explode(TextOps.shingles(col("graft_toks"), n)).as("tok"))
     sh.groupBy("doc_id")
@@ -120,10 +117,13 @@ object Sketches {
     */
   def simhashSketch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.{GraftExpressionBridge => B}
-    Par.widen(docs)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("graft_toks"))
-      .where(col("graft_toks").isNotNull && size(col("graft_toks")) > 0)
+    // null filter on the RAW text, before tokenize: tokens(text) is
+    // null iff text is null (split of any non-null string yields ≥ 1
+    // element), and a post-projection guard on the token column would
+    // be pushed back below the projection, re-running the tokenize
+    // chain per row (review finding)
+    TextOps.withTokens(docs.where(col(textCol).isNotNull), textCol,
+        Seq(col(idCol).as("doc_id")))
       .select(col("doc_id"),
         B.column(graft.functions.SimHash64(
           B.expression(col("graft_toks")))).as("simhash"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text normalization / tokenization / shingling shared by the text
@@ -40,6 +40,20 @@ object TextOps {
     */
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Widen `df` and materialize [[tokens]] of `textCol` into an array
+    * column named `as` — THE shape every ngram/shingle explosion must
+    * consume (the [[ngrams]] caller contract): the widen parallelizes
+    * past few-partition parquet inputs, and binding the token array
+    * as an attribute below the Generate makes the lambda's
+    * element_at references O(1) array reads instead of per-element
+    * re-runs of the split chain (measured 25× on the sf0.1 3-gram
+    * explode). One definition so no future call site can forget the
+    * dance. `keep` columns ride along unchanged.
+    */
+  def withTokens(df: DataFrame, textCol: String, keep: Seq[Column],
+                 as: String = "graft_toks"): DataFrame =
+    Par.widen(df).select(keep :+ tokens(col(textCol)).as(as): _*)
 
   /** Distinct word n-gram shingles of the token array. Shingling (vs
     * unigram word sets) is what makes Jaccard discriminative on a

@@ -124,14 +124,19 @@ object CorpusQueries extends QueryPack {
     // corpus scale hold billions of values (the same buffer-blowup
     // class as the uncapped posting lists). approx_percentile is a
     // bounded quantile summary (GK sketch) at any group size; the
-    // entry is its own accuracy check — |approx − exact| within 5%
-    // relative, oracle-compared as a per-language verdict (at test SF
-    // the sketch is exact, so the tolerance only absorbs engine-
-    // internal summary behavior, not data size).
+    // entry is its own accuracy check — |approx − exact| within
+    // max(1, 5% relative), oracle-compared as a per-language verdict.
+    // The absolute floor of 1 token matters: exact percentile()
+    // INTERPOLATES between neighboring integer counts while
+    // approx_percentile returns an actual data value even when its
+    // summary is lossless, so on short-doc groups the interpolation
+    // gap (≤ 1 by construction for integer data) can exceed any
+    // purely relative tolerance (review finding).
     "corpus_stats_approx" -> ((s, dir) => {
       val ntoks = size(graft.operators.TextOps.tokens(col("text")))
       def ok(ap: String, ex: String) =
-        (abs(col(ap) - col(ex)) <= abs(col(ex)) * 0.05).as(s"${ap}_ok")
+        (abs(col(ap) - col(ex)) <=
+          greatest(lit(1.0), abs(col(ex)) * 0.05)).as(s"${ap}_ok")
       Tables.load(s, dir, "documents")
         .select(col("lang"), ntoks.as("n_toks"))
         .groupBy("lang")

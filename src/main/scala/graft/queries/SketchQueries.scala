@@ -127,12 +127,15 @@ object SketchQueries extends QueryPack {
       minRecall = 0.5)),
 
     // E6 contract check: the PERSISTED index (build → parquet → load →
-    // partition-pruned search) must return EXACTLY the in-memory IVF
-    // result at the same operating point — the fit is deterministic,
-    // so both paths hold the same model and any drift (serialization,
-    // norm recompute, pruning losing a partition) shows as a non-zero
-    // diff. Index built once per JVM (the staged-dir pattern); the
-    // timed work is load + disk search + compare.
+    // partition-pruned search) must return EXACTLY what the in-memory
+    // search computes FROM THE SAME LOADED MODEL — any drift
+    // (serialization, norm recompute, pruning losing a partition)
+    // shows as a non-zero diff. Both sides share idx.centroids on
+    // purpose: a refit's avg() is not bitwise-reproducible across
+    // runs, so comparing against Similarity.ivfTopK would flake on
+    // ulp-level centroid drift. Index built once per JVM (the
+    // staged-dir pattern); the timed work is load + disk search +
+    // in-memory search + compare.
     "sim_ivf_index_check" -> ((s, dir) => {
       val vecs = Tables.load(s, dir, "embeddings")
       val path = indexDirs.computeIfAbsent(dir, d => {
@@ -144,11 +147,11 @@ object SketchQueries extends QueryPack {
         p
       })
       val idx = graft.operators.IvfIndex.load(s, path)
-      val fromDisk = graft.operators.IvfIndex.search(s, idx,
-        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 10, nprobe = 6)
-      val inMem = Similarity.ivfTopK(vecs, "vec_id", "embedding",
-        k = 10, queryMod = 100, nCentroids = Some(16), fitSamplePct = Some(10))
+      val queries = vecs.filter(col("vec_id") % 100 === 0)
+      val fromDisk = graft.operators.IvfIndex.search(s, idx, queries,
+        "vec_id", "embedding", k = 10, nprobe = 6)
+      val inMem = graft.operators.IvfIndex.searchInMemory(idx, vecs, queries,
+        "vec_id", "embedding", k = 10, nprobe = 6)
       fromDisk.exceptAll(inMem).agg(count(lit(1)).as("extra"))
         .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
     })

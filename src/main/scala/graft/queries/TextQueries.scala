@@ -166,18 +166,12 @@ object TextQueries extends QueryPack {
   )
 
   /** documents widened and tokenized into a MATERIALIZED array column
-    * `t` — the mandatory shape for n-gram explosion. Two reasons, both
-    * measured 25× at sf0.1 (10.4 s → 0.4 s for the 3-gram explode):
-    * (1) the widen parallelizes past the single-file parquet input;
-    * (2) the ngram lambda's element_at(toks, i+k) references re-run
-    * the whole split(regexp_replace(text)) chain per element when
-    * `toks` is an expression — as a bound attribute behind the
-    * exchange they are O(1) array reads, and Catalyst cannot collapse
-    * the projection back into the Generate. */
+    * `t` ([[TextOps.withTokens]] — the mandatory shape for n-gram
+    * explosion; 25× at sf0.1, see the helper's scaladoc). */
   private def tokenized(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.Par.widen(
-        Tables.load(s, dir, "documents").select("doc_id", "text"))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    TextOps.withTokens(
+      Tables.load(s, dir, "documents").select("doc_id", "text"),
+      "text", Seq(col("doc_id")), as = "t")
 
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""

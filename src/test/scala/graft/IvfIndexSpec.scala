@@ -2,39 +2,48 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.operators.{IvfIndex, Similarity}
 
 /** The persisted IVF index must be a faithful, prunable re-expression
-  * of the in-memory IVF search: identical results for identical
-  * centroids, model round-trip exactness, and a cid layout the scan
-  * actually prunes on.
+  * of the in-memory IVF search: identical results for the SAME model
+  * (a refit's avg() is not bitwise-reproducible, so both sides share
+  * the loaded centroids), model round-trip exactness, and a cid
+  * layout the scan actually prunes on.
   */
 class IvfIndexSpec extends SparkSpec {
 
   private def tmp(): String =
     Files.createTempDirectory("graft_ivf_index").toString
 
-  test("search from a loaded index == in-memory ivfTopK at the same operating point") {
+  test("search from a loaded index == in-memory search on the same model") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
-    // pinned fit (16 centroids, 10% sample) — the deterministic sample
-    // + ordered init makes the fit reproducible, so both paths hold
-    // the SAME model and must return the SAME rows
     IvfIndex.build(vecs, "vec_id", "embedding", path,
       nCentroids = Some(16), fitSamplePct = Some(10))
     val loaded = IvfIndex.load(spark, path)
     val queries = vecs.filter(col("vec_id") % 100 === 0)
     val fromDisk = IvfIndex.search(spark, loaded, queries,
       "vec_id", "embedding", k = 10, nprobe = 6)
-    val inMemory = Similarity.ivfTopK(vecs, "vec_id", "embedding",
-      k = 10, queryMod = 100, nCentroids = Some(16), fitSamplePct = Some(10))
+    val inMemory = IvfIndex.searchInMemory(loaded, vecs, queries,
+      "vec_id", "embedding", k = 10, nprobe = 6)
     assert(fromDisk.count() > 0)
     assert(fromDisk.exceptAll(inMemory).count() == 0 &&
            inMemory.exceptAll(fromDisk).count() == 0,
-      "disk-backed search diverged from the in-memory IVF result")
+      "disk-backed search diverged from the in-memory result on the same model")
+    // and the persisted path tracks the refit path closely: same
+    // protocol, independently fitted model — identical here because
+    // the fit inputs are deterministic, but asserted as recall ≥ 0.9
+    // so an ulp-level centroid drift can't flake the suite
+    val refit = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      k = 10, queryMod = 100, nCentroids = Some(16), fitSamplePct = Some(10))
+    val hits = fromDisk.select("q_id", "vec_id")
+      .join(refit.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+      .count()
+    assert(hits >= (refit.count() * 0.9).toLong,
+      "disk-backed search recall vs an independent refit fell below 0.9")
   }
 
   test("model round-trips exactly; a cid predicate prunes the assignment scan") {
@@ -47,12 +56,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(built.centroids.zip(loaded.centroids)
       .forall { case (a, b) => a.sameElements(b) },
       "centroid model changed across the parquet round trip")
-    // the layout claim: a probe filter must reach the scan as a
-    // PARTITION filter (directory pruning), not a post-scan predicate
-    val plan = spark.read.parquet(s"$path/assignments")
+    // the layout claim, asserted on the physical scan node (the
+    // formatted-plan string always PRINTS a PartitionFilters line, so
+    // a substring check would pass vacuously — review finding): the
+    // cid predicate must land in partitionFilters (directory pruning),
+    // leaving no post-scan data filter on cid
+    val scans = spark.read.parquet(s"$path/assignments")
       .filter(col("cid") === 3)
-      .queryExecution.explainString(FormattedMode)
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
-      s"cid filter did not prune partitions:\n$plan")
+      .queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(
+        _.name == "cid"))),
+      s"cid filter is not a partition filter: ${scans.map(_.partitionFilters)}")
+    assert(scans.forall(_.dataFilters.forall(!_.references.exists(
+        _.name == "cid"))),
+      "cid predicate leaked into post-scan data filters")
   }
 }
