@@ -23,6 +23,14 @@ object CdcQueries extends QueryPack {
       .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
       .otherwise("DELETE")
 
+  // source dir -> staged sink path, one build per JVM (the staging
+  // pattern of PipelineQueries.stagedDirs): the sink write is test
+  // INPUT for the read-back checks, not the work being re-measured
+  private val compactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val retainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // A1: events per type — the README's verify-clickhouse query.
     "cdc_event_type_counts" -> ((s, dir) =>
@@ -73,6 +81,51 @@ object CdcQueries extends QueryPack {
         .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("month")),
+
+    // I2 in the driver gate: the reference's OPTIMIZE TABLE ... FINAL
+    // materialization — latest-state compacted INTO the monthly
+    // parquet layout, read back from disk, and checked against the
+    // same ReplacingMergeTree-FINAL oracle as cdc_latest_state. This
+    // verifies the whole sink round trip (write partitioned → swap →
+    // scan), not just the in-memory aggregation.
+    "cdc_compacted" -> ((s, dir) => {
+      val path = compactDirs.computeIfAbsent(dir, d => {
+        val p = Staging.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        graft.sinks.ParquetSink.compactToLatest(
+          Tables.load(s, d, "events"), "user_id", Seq("ts", "event_id"),
+          "ts", p)
+        p
+      })
+      s.read.parquet(path).select(
+          col("user_id"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts")).as("last_ts_us"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // I5 in the driver gate: time-range retention — the monthly layout
+    // written, a mid-month range deleted via the boundary-rewrite
+    // protocol (staging + rename swap), and the surviving rows read
+    // back and reconciled against the base table minus the range.
+    "cdc_retention" -> ((s, dir) => {
+      val path = retainDirs.computeIfAbsent(dir, d => {
+        val p = Staging.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_retain_" +
+            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        graft.sinks.ParquetSink.writeMonthly(
+          Tables.load(s, d, "events"), "ts", p, mode = "overwrite")
+        graft.sinks.ParquetSink.deleteTimeRange(s, p, "ts",
+          "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        p
+      })
+      s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
 
     // A6: duplicate validation — GROUP BY entity HAVING count>1.
     "cdc_dedup_validate" -> ((s, dir) =>
@@ -292,6 +345,15 @@ object CdcQueries extends QueryPack {
     "cdc_dedup_validate" ->
       """SELECT user_id, event_type, count(*) AS dup_count FROM events
          GROUP BY user_id, event_type HAVING count(*) > 1 ORDER BY user_id, event_type""",
+    "cdc_compacted" ->
+      """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us, round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "cdc_retention" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events
+         WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+         GROUP BY event_type ORDER BY event_type""",
     "cdc_op_mapping" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
                      WHEN event_type IN ('click','view','purchase') THEN 'UPDATE'
