@@ -52,7 +52,15 @@ object IvfIndex {
       .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.l2(col("v")))
       .withColumn("cid", Similarity.nearestCentroid(col("v"), centroids, 1)(0))
+      // cluster by cid BEFORE the partitioned write: partitionBy alone
+      // makes every task write one file per cid it sees — up to
+      // k·tasks small files (at √n centroid counts on a wide cluster,
+      // millions). Hash-clustered, each cid lands in one task → ~k
+      // files, and maxRecordsPerFile re-splits a hot centroid's file
+      // so skew can't produce one unsplittable giant.
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
+      .option("maxRecordsPerFile", 5000000L)
       .parquet(s"$path/assignments")
     IvfIndex(centroids, path)
   }

@@ -39,9 +39,12 @@ object CorpusQueries extends QueryPack {
     // J11: the consumable of near-dup dedup — the surviving documents
     // after cluster canonicalization (keep each cluster's canonical
     // root, drop the other members, keep everything unclustered) —
-    // what exactKept is to D1. One broadcast-sized anti-join: the drop
-    // set is |cluster members| − |clusters|, tiny relative to the
-    // corpus by the near-dup long-tail assumption; AQE broadcasts it.
+    // what exactKept is to D1. One anti-join on the drop set
+    // (|cluster members| − |clusters| ids): AQE broadcasts it while it
+    // fits; on a heavily-duplicated corpus (web crawls run 30%+
+    // near-dup) it degrades gracefully to a single id-keyed shuffle
+    // join — ids only, never row payloads, on either side of the
+    // exchange.
     "dedup_survivors" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val clusters = PipelineOps.dedupClusters(
