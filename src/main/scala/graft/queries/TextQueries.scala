@@ -151,6 +151,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("gram"))
         .limit(20)),
 
+    // F7: the curation filter funnel — per-rule drop accounting, the
+    // first report a corpus-quality run produces (how much each Gopher-
+    // style rule removes, and what survives them all). One pass over
+    // the materialized token column computes every rule flag; the
+    // per-rule rows come from exploding a constant-width rule array —
+    // a 5× row blow-up into a 5-group hash-agg, not 5 corpus scans.
+    "text_quality_funnel" -> ((s, dir) => {
+      val t = col("t")
+      val nToks = size(t)
+      val ttr = size(array_distinct(t)).cast("double") / nToks
+      val stopRatio = TextOps.occurrences(t, TextOps.Stopwords)
+        .cast("double") / nToks
+      val rules = Seq(
+        "1_short_doc" -> (nToks < 30),
+        "2_long_doc" -> (nToks > 90),
+        "3_repetitious" -> (ttr < 0.45),
+        "4_low_stopword" -> (stopRatio < 0.01),
+        "5_kept" -> (nToks >= 30 && nToks <= 90 && ttr >= 0.45 &&
+          stopRatio >= 0.01))
+      tokenized(s, dir)
+        .select(explode(array(rules.map { case (name, flag) =>
+          struct(lit(name).as("rule"), flag.cast("int").as("hit"))
+        }: _*)).as("r"))
+        .groupBy(col("r.rule").as("rule"))
+        .agg(sum(col("r.hit")).cast("long").as("n_docs"))
+        .orderBy("rule")
+    }),
+
     // F4: content fingerprints — md5 of the normal form plus a prefix
     // fingerprint (rolling-hash analog: near-dups created by
     // truncation share the prefix fingerprint). Pure projection.
@@ -222,6 +250,21 @@ object TextQueries extends QueryPack {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
           FROM documents ORDER BY doc_id""",
+    "text_quality_funnel" ->
+      s"""WITH t AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+          f AS (SELECT len(toks) AS n,
+                       len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+                       len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks) AS sr
+                FROM t),
+          r AS (SELECT unnest([
+                  struct_pack(rule := '1_short_doc',    hit := CASE WHEN n < 30 THEN 1 ELSE 0 END),
+                  struct_pack(rule := '2_long_doc',     hit := CASE WHEN n > 90 THEN 1 ELSE 0 END),
+                  struct_pack(rule := '3_repetitious',  hit := CASE WHEN ttr < 0.45 THEN 1 ELSE 0 END),
+                  struct_pack(rule := '4_low_stopword', hit := CASE WHEN sr < 0.01 THEN 1 ELSE 0 END),
+                  struct_pack(rule := '5_kept',         hit := CASE WHEN n >= 30 AND n <= 90 AND ttr >= 0.45 AND sr >= 0.01 THEN 1 ELSE 0 END)
+                ], recursive := true) FROM f)
+          SELECT rule, CAST(sum(hit) AS BIGINT) AS n_docs
+          FROM r GROUP BY rule ORDER BY rule""",
     "corpus_ngrams" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
           g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
