@@ -83,11 +83,9 @@ object Bench {
     // entries deliberately run BOTH an operator and its exact
     // baseline, so they dominate any per-query cost ranking —
     // reporting them separately keeps the operator trendline readable
-    // round-over-round. Classified by the _check suffix PLUS the
-    // entries that embed their baseline without the suffix.
-    val extraChecks = Set("corpus_stats_approx")
-    val isCheck = (name: String) =>
-      name.endsWith("_check") || extraChecks(name)
+    // round-over-round. Classification lives with the query packs
+    // (QueryPack.checks + the _check suffix), not here.
+    val isCheck = SparkEntry.checkNames
     val checkTotal = results.filter(r => isCheck(r._1)).map(_._2.min).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","op_secs":${total - checkTotal},"check_secs":$checkTotal,"queries":$qs,"runs":$runsJson,"unstable":$unstable,"load_avg":$loadAvg,"cpus":$cpusAvail,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)

@@ -29,4 +29,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Verification entries (run an operator AND its exact baseline) —
+    * the bench reports their time apart from operator time. */
+  def checkNames: Set[String] =
+    packs.flatMap(_.checks).toSet ++ queries.keySet.filter(_.endsWith("_check"))
 }

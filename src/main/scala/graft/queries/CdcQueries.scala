@@ -90,9 +90,10 @@ object CdcQueries extends QueryPack {
     // scan), not just the in-memory aggregation.
     "cdc_compacted" -> ((s, dir) => {
       val path = compactDirs.computeIfAbsent(dir, d => {
-        val p = Staging.register(
-          s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        // Staging.path, NOT a hand-built name: only the graft_staging_
+        // prefix is covered by the crash-recovery sweep — a SIGKILL'd
+        // driver would otherwise leak this table copy in /tmp forever
+        val p = Staging.path("compact", d)
         graft.sinks.ParquetSink.compactToLatest(
           Tables.load(s, d, "events"), "user_id", Seq("ts", "event_id"),
           "ts", p)
@@ -112,9 +113,7 @@ object CdcQueries extends QueryPack {
     // back and reconciled against the base table minus the range.
     "cdc_retention" -> ((s, dir) => {
       val path = retainDirs.computeIfAbsent(dir, d => {
-        val p = Staging.register(
-          s"${System.getProperty("java.io.tmpdir")}/graft_retain_" +
-            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        val p = Staging.path("retain", d) // swept name (see above)
         graft.sinks.ParquetSink.writeMonthly(
           Tables.load(s, d, "events"), "ts", p, mode = "overwrite")
         graft.sinks.ParquetSink.deleteTimeRange(s, p, "ts",
@@ -353,6 +352,7 @@ object CdcQueries extends QueryPack {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events
          WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+            OR ts IS NULL
          GROUP BY event_type ORDER BY event_type""",
     "cdc_op_mapping" ->
       """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'

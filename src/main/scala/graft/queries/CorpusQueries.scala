@@ -174,6 +174,10 @@ object CorpusQueries extends QueryPack {
     })
   )
 
+  /** corpus_stats_approx runs the exact percentiles AND the bounded
+    * sketch in one aggregate — verification cost, suffix-less. */
+  override val checks: Set[String] = Set("corpus_stats_approx")
+
   /** The ONE seeded spot-check draw both the sample entry and its
     * shape check run (n/seed must agree or the check checks nothing). */
   private def randSample(s: org.apache.spark.sql.SparkSession, dir: String) =

@@ -11,4 +11,11 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracles: Map[String, String]
+
+  /** Entries that embed their own exact baseline — verification cost,
+    * not operator cost, for the bench's op/check split. `_check`-
+    * suffixed names are classified implicitly; declare here only the
+    * suffix-less ones, NEXT TO their definitions, so a new embedded-
+    * baseline entry can't silently pollute the operator trendline. */
+  def checks: Set[String] = Set.empty
 }

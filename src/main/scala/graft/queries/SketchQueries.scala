@@ -139,9 +139,9 @@ object SketchQueries extends QueryPack {
     "sim_ivf_index_check" -> ((s, dir) => {
       val vecs = Tables.load(s, dir, "embeddings")
       val path = indexDirs.computeIfAbsent(dir, d => {
-        val p = Staging.register(
-          s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-            s"${Staging.md5Hex(d)}_${ProcessHandle.current().pid()}")
+        // Staging.path, NOT a hand-built name: only the graft_staging_
+        // prefix is covered by the crash-recovery sweep (review finding)
+        val p = Staging.path("ivf_index", d)
         graft.operators.IvfIndex.build(vecs, "vec_id", "embedding", p,
           nCentroids = Some(16), fitSamplePct = Some(10))
         p

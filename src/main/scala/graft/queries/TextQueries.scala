@@ -163,13 +163,14 @@ object TextQueries extends QueryPack {
       val ttr = size(array_distinct(t)).cast("double") / nToks
       val stopRatio = TextOps.occurrences(t, TextOps.Stopwords)
         .cast("double") / nToks
-      val rules = Seq(
+      // kept is DERIVED from the drop rules, not a second copy of the
+      // thresholds — tuning one rule cannot desynchronize the funnel
+      val drops = Seq(
         "1_short_doc" -> (nToks < 30),
         "2_long_doc" -> (nToks > 90),
         "3_repetitious" -> (ttr < 0.45),
-        "4_low_stopword" -> (stopRatio < 0.01),
-        "5_kept" -> (nToks >= 30 && nToks <= 90 && ttr >= 0.45 &&
-          stopRatio >= 0.01))
+        "4_low_stopword" -> (stopRatio < 0.01))
+      val rules = drops :+ ("5_kept" -> !drops.map(_._2).reduce(_ || _))
       tokenized(s, dir)
         .select(explode(array(rules.map { case (name, flag) =>
           struct(lit(name).as("rule"), flag.cast("int").as("hit"))
@@ -256,13 +257,19 @@ object TextQueries extends QueryPack {
                        len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
                        len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks) AS sr
                 FROM t),
+          h AS (SELECT CASE WHEN n < 30 THEN 1 ELSE 0 END AS h1,
+                       CASE WHEN n > 90 THEN 1 ELSE 0 END AS h2,
+                       CASE WHEN ttr < 0.45 THEN 1 ELSE 0 END AS h3,
+                       CASE WHEN sr < 0.01 THEN 1 ELSE 0 END AS h4
+                FROM f),
           r AS (SELECT unnest([
-                  struct_pack(rule := '1_short_doc',    hit := CASE WHEN n < 30 THEN 1 ELSE 0 END),
-                  struct_pack(rule := '2_long_doc',     hit := CASE WHEN n > 90 THEN 1 ELSE 0 END),
-                  struct_pack(rule := '3_repetitious',  hit := CASE WHEN ttr < 0.45 THEN 1 ELSE 0 END),
-                  struct_pack(rule := '4_low_stopword', hit := CASE WHEN sr < 0.01 THEN 1 ELSE 0 END),
-                  struct_pack(rule := '5_kept',         hit := CASE WHEN n >= 30 AND n <= 90 AND ttr >= 0.45 AND sr >= 0.01 THEN 1 ELSE 0 END)
-                ], recursive := true) FROM f)
+                  struct_pack(rule := '1_short_doc',    hit := h1),
+                  struct_pack(rule := '2_long_doc',     hit := h2),
+                  struct_pack(rule := '3_repetitious',  hit := h3),
+                  struct_pack(rule := '4_low_stopword', hit := h4),
+                  struct_pack(rule := '5_kept',
+                              hit := CASE WHEN h1 + h2 + h3 + h4 = 0 THEN 1 ELSE 0 END)
+                ], recursive := true) FROM h)
           SELECT rule, CAST(sum(hit) AS BIGINT) AS n_docs
           FROM r GROUP BY rule ORDER BY rule""",
     "corpus_ngrams" ->
