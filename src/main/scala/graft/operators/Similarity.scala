@@ -50,6 +50,41 @@ object Similarity {
   private[graft] def bitAgreeProb(s: Double): Double =
     1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
 
+  /** Expected recall of a (bits, tables) layout for a pair AT the
+    * design similarity: 1 − (1 − p^bits)^tables with
+    * p = [[bitAgreeProb]](designSim). Computed as
+    * −expm1(tables·log1p(−p^bits)) so the sub-1e-16 per-table
+    * collision probabilities that motivate the clamp don't round to
+    * recall 0 or 1 (same precision hazard as [[autoTables]]'s log1p).
+    * This is the number the clamp diagnostics surface: callers can ask
+    * what a layout actually delivers instead of trusting the target. */
+  def expectedRecall(bits: Int, tables: Int, designSim: Double): Double = {
+    val pb = math.pow(bitAgreeProb(designSim), bits)
+    if (pb >= 1.0) 1.0 else -math.expm1(tables * math.log1p(-pb))
+  }
+
+  /** The lowest design similarity the 256-table cap can serve at
+    * `targetRecall` for a given hash width — the concrete remedy the
+    * clamp diagnostic names (raise designSim to at least this, or run
+    * the exact baseline). Inverts the collision curve: the per-table
+    * probability 256 tables need is p₁ = 1−(1−r)^(1/256), the
+    * per-bit probability p₁^(1/bits), and s = cos((1−p)·π). */
+  private[graft] def minDesignSimAtCap(bits: Int, targetRecall: Double,
+                                       cap: Int = 256): Double = {
+    val perTable = -math.expm1(math.log1p(-targetRecall) / cap)
+    val perBit = math.pow(perTable, 1.0 / bits)
+    math.cos((1.0 - perBit) * math.Pi)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** `SPARK_GRAFT_STRICT_RECALL=true` turns the clamp diagnostic into
+    * a refusal (the pipeline stance: a 1% answer to a 90% contract is
+    * corrupt training data, not a slow query). Default is a loud
+    * WARN: ad-hoc analytics keeps running with the shortfall named. */
+  private[graft] def strictRecallEnv: Boolean =
+    sys.env.get("SPARK_GRAFT_STRICT_RECALL").exists(_.equalsIgnoreCase("true"))
+
   /** Hash-table count that PRESERVES the recall contract as `bits`
     * grows: the smallest L with 1−(1−p^bits)^L ≥ targetRecall, where
     * p = [[bitAgreeProb]](designSim) — i.e. a pair AT the design
@@ -63,9 +98,20 @@ object Similarity {
     * answer is a higher design similarity or the exact baseline.
     * Floor 8: at tiny corpora the formula can drop to a table count
     * whose per-pair variance is visible; 8 cheap tables keep small-SF
-    * recall near 1. */
+    * recall near 1.
+    *
+    * When the cap BINDS — the required table count exceeds 256 and
+    * [[expectedRecall]] at 256 tables falls short of `targetRecall` —
+    * the shortfall is surfaced LOUDLY instead of silently returning a
+    * near-empty result (VERDICT r4 #1: at n=10⁹ / designSim 0.5 the
+    * clamped layout delivers ~1.5% recall against a 0.9 target):
+    * `strict=true` (or `SPARK_GRAFT_STRICT_RECALL=true`) refuses with
+    * the achievable recall, required table count, and the minimum
+    * design similarity the cap CAN serve; otherwise an ERROR-level log
+    * names the same numbers. */
   private[graft] def autoTables(bits: Int, designSim: Double,
-                                targetRecall: Double = 0.9): Int = {
+                                targetRecall: Double = 0.9,
+                                strict: Boolean = strictRecallEnv): Int = {
     val pb = math.pow(bitAgreeProb(designSim), bits)
     if (pb >= 1.0) 8
     else {
@@ -76,7 +122,22 @@ object Similarity {
       // where it matters (review finding). log1p(-pb) ≈ -pb keeps
       // full precision.
       val l = math.log(1.0 - targetRecall) / math.log1p(-pb)
-      math.min(256, math.max(8, math.ceil(l).toInt))
+      val t = math.min(256, math.max(8, math.ceil(l).toInt))
+      val achievable = expectedRecall(bits, t, designSim)
+      // small epsilon: ceil() overshoot means an exactly-clamped t can
+      // sit a rounding ulp under the target without the cap binding
+      if (t == 256 && achievable < targetRecall - 1e-9) {
+        val msg = f"LSH table clamp binds: bits=$bits designSim=$designSim%.2f " +
+          f"needs ~${math.ceil(l).toLong} tables for recall $targetRecall%.2f " +
+          f"but is capped at 256, delivering expected recall $achievable%.4f. " +
+          f"Raise designSim to >= ${minDesignSimAtCap(bits, targetRecall)}%.2f, " +
+          "pin (bits, tables) to accept the lower recall explicitly, or run " +
+          "the exact baseline (Guard opt-in). Set SPARK_GRAFT_STRICT_RECALL=true " +
+          "to make this a failure."
+        if (strict) throw new IllegalArgumentException(msg)
+        log.error(msg)
+      }
+      t
     }
   }
 
@@ -276,6 +337,20 @@ object Similarity {
   private[graft] def autoCentroids(n: Long): Int =
     math.min(4096, math.max(4, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
 
+  /** Probe count toward √k (floor 6, so small-corpus behavior matches
+    * the historical default): a FIXED nprobe against [[autoCentroids]]'
+    * growing k shrinks the probed corpus fraction to nprobe/k — 0.15%
+    * at the 4096-centroid clamp, where recall on an unclustered corpus
+    * tracks the probed mass (VERDICT r4 #2). With nprobe = √k the
+    * probed fraction decays as 1/√k instead of 1/k: probed ROWS are
+    * n/√k·√k̄ ≈ n^(3/4) under k = √n — still a vanishing fraction of a
+    * growing corpus (full-scan cost shrinks relatively), but recall
+    * degrades gracefully instead of collapsing with k. The 64 cap is
+    * √4096 — exactly the clamp point, so it never binds below the
+    * centroid clamp. */
+  private[graft] def autoNprobe(nCentroids: Int): Int =
+    math.min(64, math.max(6, math.ceil(math.sqrt(nCentroids.toDouble)).toInt))
+
   /** Fit-sample percentage sized to hold ~max(10k, 50·k) rows — enough
     * to seed and stabilize k centroids, a vanishing fraction of a
     * growing corpus (the fit cost is O(sample), not O(n)). */
@@ -288,13 +363,16 @@ object Similarity {
   /** E3: IVF approximate top-k — data assigned to its nearest
     * centroid, queries probe the `nprobe` nearest centroid partitions;
     * exact cosine within the probed partitions only. `nCentroids`
-    * defaults to [[autoCentroids]] (√n) and `fitSamplePct` to
-    * [[autoFitPct]], both derived from one metadata-cheap count job —
-    * the search join is unchanged; only the model size and the
-    * model-fitting scans are tuned to the corpus. */
+    * defaults to [[autoCentroids]] (√n), `fitSamplePct` to
+    * [[autoFitPct]], and `nprobe` to [[autoNprobe]] (√k — probes must
+    * co-scale with the centroid count or probed mass collapses), all
+    * derived from one metadata-cheap count job — the search join is
+    * unchanged; only the model size, probe width, and model-fitting
+    * scans are tuned to the corpus. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
-              nCentroids: Option[Int] = None, iters: Int = 2, nprobe: Int = 6,
+              nCentroids: Option[Int] = None, iters: Int = 2,
+              nprobe: Option[Int] = None,
               fitSamplePct: Option[Int] = None): DataFrame =
     probeDim(vecs, vecCol) match {
       case None => // empty / all-null input: empty result, same schema
@@ -304,6 +382,7 @@ object Similarity {
         lazy val n = vecs.count()
         val kc = nCentroids.getOrElse(autoCentroids(n))
         val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
+        val np = nprobe.getOrElse(autoNprobe(kc))
         val centroids = fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
         val v = Par.widen(vecs).select(
             col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
@@ -311,7 +390,7 @@ object Similarity {
         val data = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
         val queries = v.filter(col("id") % queryMod === 0)
           .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-            explode(nearestCentroid(col("v"), centroids, math.min(nprobe, kc))).as("cid"))
+            explode(nearestCentroid(col("v"), centroids, math.min(np, kc))).as("cid"))
         val cand = queries.join(data, "cid")
           .where(col("q_id") =!= col("id"))
           .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),

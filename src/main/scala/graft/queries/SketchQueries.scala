@@ -149,9 +149,9 @@ object SketchQueries extends QueryPack {
       val idx = graft.operators.IvfIndex.load(s, path)
       val queries = vecs.filter(col("vec_id") % 100 === 0)
       val fromDisk = graft.operators.IvfIndex.search(s, idx, queries,
-        "vec_id", "embedding", k = 10, nprobe = 6)
+        "vec_id", "embedding", k = 10, nprobe = Some(6))
       val inMem = graft.operators.IvfIndex.searchInMemory(idx, vecs, queries,
-        "vec_id", "embedding", k = 10, nprobe = 6)
+        "vec_id", "embedding", k = 10, nprobe = Some(6))
       fromDisk.exceptAll(inMem).agg(count(lit(1)).as("extra"))
         .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
     })

@@ -171,7 +171,16 @@ object TextQueries extends QueryPack {
         "3_repetitious" -> (ttr < 0.45),
         "4_low_stopword" -> (stopRatio < 0.01))
       val rules = drops :+ ("5_kept" -> !drops.map(_._2).reduce(_ || _))
-      tokenized(s, dir)
+      // null text is excluded EXPLICITLY on both sides (oracle: WHERE
+      // text IS NOT NULL): Spark's size(null) = -1 would classify a
+      // null-text row as 1_short_doc while DuckDB's NULL comparisons
+      // fall through every rule to 5_kept — a latent hash mismatch the
+      // moment the corpus grows a null (ADVICE r4; same stance as
+      // Sketches.simhashSketch's raw-text filter)
+      TextOps.withTokens(
+          Tables.load(s, dir, "documents").select("doc_id", "text")
+            .filter(col("text").isNotNull),
+          "text", Seq(col("doc_id")), as = "t")
         .select(explode(array(rules.map { case (name, flag) =>
           struct(lit(name).as("rule"), flag.cast("int").as("hit"))
         }: _*)).as("r"))
@@ -252,7 +261,8 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
           FROM documents ORDER BY doc_id""",
     "text_quality_funnel" ->
-      s"""WITH t AS (SELECT string_split($normSql, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT string_split($normSql, ' ') AS toks FROM documents
+                     WHERE text IS NOT NULL),
           f AS (SELECT len(toks) AS n,
                        len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
                        len(list_filter(toks, x -> x IN ('the','a'))) * 1.0 / len(toks) AS sr

@@ -15,8 +15,25 @@ import graft.operators.{IvfIndex, Similarity}
   */
 class IvfIndexSpec extends SparkSpec {
 
-  private def tmp(): String =
-    Files.createTempDirectory("graft_ivf_index").toString
+  // test-built indexes are full corpus copies: track and delete them
+  // in afterAll (they sit outside the graft_staging_ prefix the
+  // crash-recovery sweep prunes, so leaking them accumulates a corpus
+  // per run — ADVICE r4)
+  private val builtDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  private def tmp(): String = {
+    val p = Files.createTempDirectory("graft_ivf_index").toString
+    builtDirs.synchronized { builtDirs += p }
+    p
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    builtDirs.foreach(p => rm(new java.io.File(p)))
+    super.afterAll()
+  }
 
   test("search from a loaded index == in-memory search on the same model") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
@@ -26,9 +43,9 @@ class IvfIndexSpec extends SparkSpec {
     val loaded = IvfIndex.load(spark, path)
     val queries = vecs.filter(col("vec_id") % 100 === 0)
     val fromDisk = IvfIndex.search(spark, loaded, queries,
-      "vec_id", "embedding", k = 10, nprobe = 6)
+      "vec_id", "embedding", k = 10, nprobe = Some(6))
     val inMemory = IvfIndex.searchInMemory(loaded, vecs, queries,
-      "vec_id", "embedding", k = 10, nprobe = 6)
+      "vec_id", "embedding", k = 10, nprobe = Some(6))
     assert(fromDisk.count() > 0)
     assert(fromDisk.exceptAll(inMemory).count() == 0 &&
            inMemory.exceptAll(fromDisk).count() == 0,
@@ -73,5 +90,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(scans.forall(_.dataFilters.forall(!_.references.exists(
         _.name == "cid"))),
       "cid predicate leaked into post-scan data filters")
+
+    // the SEARCH join must prune dynamically too: the probed cids are
+    // only known at runtime (they come from the query batch), so the
+    // assignments scan needs a DPP subquery filter — without it every
+    // search reads the whole corpus and the nprobe/k I/O claim is
+    // fiction (ADVICE r4: the long/int cid asymmetry used to wrap the
+    // disk-side key in a cast, which is exactly the kind of wrinkle
+    // that silently disables DPP)
+    val searched = IvfIndex.search(spark, loaded,
+      Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 10, nprobe = Some(3))
+    searched.collect() // AQE finalizes subplans on execution
+    val searchPlan = searched.queryExecution.executedPlan.toString
+    assert(searchPlan.contains("dynamicpruning"),
+      s"assignments scan is not dynamically partition-pruned:\n$searchPlan")
   }
 }

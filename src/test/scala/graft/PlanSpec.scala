@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
       s"LSH dedup must join on bucket keys, found ${loops.size} loop joins")
   }
 
+  test("sim_lsh_ann (pinned) finds candidates via bucket equi-join, never a loop join") {
+    // same pinning rationale as above: the auto entry's cost-based
+    // fallback is the exact plan at this SF; the shape under audit is
+    // the bucketed join a large corpus executes (VERDICT r4 #3)
+    val plan = staticPlanOf(graft.operators.Similarity.lshTopK(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      tables = Some(16), bits = Some(4)))
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty,
+      s"LSH ANN must join on bucket keys, found ${loops.size} loop joins")
+  }
+
   test("sample_rand is a bounded top-n, not a global sort") {
     val plan = formatted("sample_rand")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -154,6 +154,60 @@ class ScaleGuardSpec extends SparkSpec {
     assert(autoFitPct(1000000000L, 31623) == 1) // huge corpus: 1% sample
   }
 
+  test("the recall clamp is loud: expectedRecall names the shortfall, strict refuses") {
+    import graft.operators.Similarity.{autoBits, autoTables, expectedRecall,
+      minDesignSimAtCap}
+    // the VERDICT r4 scenario: n=10⁹, designSim 0.5 ⇒ 24-bit hashes,
+    // required tables ≈ 38k ≫ 256 — the clamped layout delivers ~1.5%
+    // recall, and expectedRecall must SAY so
+    val b9 = autoBits(1000000000L)
+    assert(b9 == 24)
+    assert(expectedRecall(b9, 256, 0.5) < 0.05,
+      s"expected recall at the clamp should expose the collapse, " +
+        s"got ${expectedRecall(b9, 256, 0.5)}")
+    intercept[IllegalArgumentException] { autoTables(b9, 0.5, strict = true) }
+    // non-strict still returns the cap (ad-hoc analytics keeps running;
+    // the shortfall goes to the log) — the VALUE is unchanged
+    assert(autoTables(b9, 0.5, strict = false) == 256)
+
+    // the contract property: every auto-derived (bits, tables) pair
+    // either meets targetRecall or strict mode raises — no silent gap
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L);
+         sim <- Seq(0.3, 0.5, 0.7, 0.85, 0.95)) {
+      val bits = autoBits(n)
+      val ok =
+        try expectedRecall(bits, autoTables(bits, sim, strict = true), sim) >=
+          0.9 - 1e-9
+        catch { case _: IllegalArgumentException => true }
+      assert(ok, s"silent recall shortfall at n=$n sim=$sim")
+    }
+    // the remedy the diagnostic names is real: at the advertised
+    // minimum design similarity, 256 tables DO meet the target
+    for (bits <- Seq(12, 18, 24)) {
+      val s = minDesignSimAtCap(bits, 0.9)
+      assert(expectedRecall(bits, 256, s) >= 0.9 - 1e-9, s"bits=$bits sim=$s")
+      assert(autoTables(bits, s + 0.01, strict = true) <= 256)
+    }
+  }
+
+  test("autoNprobe co-scales probes with the centroid count") {
+    import graft.operators.Similarity.{autoCentroids, autoNprobe}
+    assert(autoNprobe(16) == 6)    // the pinned-check operating point keeps nprobe 6
+    assert(autoNprobe(4096) == 64) // √k at the centroid clamp
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L)) {
+      val k = autoCentroids(n)
+      val np = autoNprobe(k)
+      // probed fraction decays as 1/√k, never the 1/k collapse a fixed
+      // nprobe gives against growing k (VERDICT r4 #2)...
+      assert(np.toDouble / k >= 1.0 / math.sqrt(k.toDouble) - 1e-9,
+        s"n=$n k=$k np=$np probes less than √k")
+      // ...while staying a genuine pruning index: at clamp scale the
+      // probed fraction still shrinks well below the old fixed-k 37%
+      assert(np < k || k <= 36, s"n=$n k=$k np=$np probes everything")
+      assert(np <= 64)
+    }
+  }
+
   test("LSH candidate count grows ~linearly on a 10x corpus under autoBits") {
     // dim must comfortably exceed the hash width: b hyperplanes in d
     // dimensions only carve ~b^d/d! sign cells, so low-dim vectors
