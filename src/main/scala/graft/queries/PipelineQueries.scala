@@ -34,6 +34,11 @@ object PipelineQueries extends QueryPack {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> doubled-events staging path (stream_dedup_exact);
+  // same once-per-JVM publish-after-write discipline as stagedDirs
+  private val dupStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // unique memory-sink names for stream_progress across warmup/timed
   // runs in one JVM (a reused name would re-register the same table)
   private val progressId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -48,8 +53,15 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // G2: batched feature-extraction pipeline (stubbed decode; typed
-    // Dataset in/out). Deterministic features -> rows-only entry plus
-    // MultimodalSpec invariants.
+    // Dataset in/out). The stub's outputs are byte arithmetic, so the
+    // WHOLE pipeline is oracle-checked (closing r4's last bare
+    // rows-only entry): width/height are mod-arithmetic in the byte
+    // length; the histogram's bin 0 counts bytes with low nibble 0,
+    // which DuckDB recomputes from hex(payload) — surfaced as the
+    // integer count (f0_cnt = f0·n, exact in float for any real
+    // payload) rather than the float ratio, whose 4-dp rounding could
+    // hash-differ from the oracle's double at a tie. hist_ok pins the
+    // normalization leg (bins sum to 1) with a literal expectation.
     "mm_feature_stub" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.load(s, dir, "documents")
@@ -59,7 +71,11 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          round(element_at(col("features"), 1) *
+            greatest(col("n_bytes"), lit(1))).cast("long").as("f0_cnt"),
+          (abs(aggregate(col("features"), lit(0.0d), (a, x) => a + x) -
+            when(col("n_bytes") > 0, lit(1.0d)).otherwise(lit(0.0d))) < 0.001)
+            .as("hist_ok"))
         .orderBy("doc_id")
     }),
 
@@ -159,6 +175,66 @@ object PipelineQueries extends QueryPack {
       } finally graft.streaming.Progress.detach(s, c)
     }),
 
+    // H6 (was spec-only): streaming exact dedup with bounded state.
+    // The source is staged DOUBLED (every event file written twice —
+    // real duplicate delivery, the at-least-once replay the operator
+    // exists to absorb); dropDuplicatesWithinWatermark must recover
+    // EXACTLY the original event set however AvailableNow batches the
+    // files: duplicates inside the watermark horizon hit live dedup
+    // state, duplicates behind it are dropped as late rows — both
+    // paths erase them. Full-row oracle against the undoubled table.
+    "stream_dedup_exact" -> ((s, dir) => {
+      val staging = dupStagedDirs.computeIfAbsent(dir, d => {
+        val p = Staging.path("dup_events", d)
+        val raw = s.read.parquet(s"$d/events.parquet")
+        raw.union(raw).write.mode("overwrite").parquet(p)
+        p
+      })
+      val raw = s.readStream.schema(CdcStream.eventsDiskSchema).parquet(staging)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // content fingerprint (the D1 dedup key, streaming form)
+        .withColumn("fp", md5(concat_ws("|",
+          col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))))
+      val deduped = CdcStream.dedupExactStream(raw, "fp", "ts", "1 day")
+      CdcStream.runToMemory(deduped, OutputMode.Append())
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
+    // H8 (was spec-only): latestByExpiring — the state-TTL deployment
+    // shape of H2. Eviction is GC, not a data change (an evicted key's
+    // later event re-creates and re-emits it), so the rollup of every
+    // emitted update still equals the batch ReplacingMergeTree FINAL —
+    // the same oracle as stream_latest_state, now also pinning that
+    // TTL eviction never loses a newest-per-key row.
+    "stream_latest_expiring" -> ((s, dir) => {
+      import s.implicits._
+      val evs = CdcStream.readEvents(s, dir)
+        // EventTimeTimeout requires the watermark, and the watermarked
+        // ts column must SURVIVE into the stateful operator (EvT keeps
+        // it); 1 day keeps every same-day replay inside the horizon
+        .withWatermark("ts", "1 day")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("ts"))
+        .as[CdcStream.EvT]
+      val updates = CdcStream.latestByExpiring[Long, CdcStream.EvT](
+        evs, _.user_id,
+        newer = (a, b) =>
+          a.ts_us > b.ts_us || (a.ts_us == b.ts_us && a.event_id > b.event_id),
+        eventTimeUs = _.ts_us, ttlMs = 7L * 24 * 3600 * 1000).toDF()
+      CdcStream.runToMemory(updates, OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_type").as("last_type"),
+          col("st.ts_us").as("last_ts_us"),
+          round(col("st.value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }),
+
     // H2: incremental flatMapGroupsWithState latest-state == the batch
     // ReplacingMergeTree FINAL (cdc_latest_state twin). The final
     // max_by collapse dedupes re-emissions if AvailableNow split the
@@ -183,6 +259,20 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_feature_stub" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                           hex(encode(text)) AS h
+                    FROM documents),
+         f AS (SELECT doc_id, n,
+                      len(list_filter(range(1, n + 1),
+                                      i -> substring(h, i * 2, 1) = '0')) AS z
+               FROM t)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+                CAST(64 + n % 1024 AS BIGINT) AS width,
+                CAST(64 + (n // 7) % 1024 AS BIGINT) AS height,
+                CAST(z AS BIGINT) AS f0_cnt,
+                true AS hist_ok
+         FROM f ORDER BY doc_id""",
     "mm_binary_meta" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,
@@ -211,6 +301,14 @@ object PipelineQueries extends QueryPack {
                 count(*) > 0 AS saw_batches
          FROM events""",
     "stream_latest_state" ->
+      """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
+                round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "stream_dedup_exact" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+         FROM events ORDER BY event_id""",
+    "stream_latest_expiring" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
                 round(value, 4) AS last_value
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)

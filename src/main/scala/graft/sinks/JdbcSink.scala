@@ -23,7 +23,12 @@ object JdbcSink {
               batchSize: Int = 100000, numPartitions: Int = 16,
               truncate: Boolean = false,
               driver: String = "com.clickhouse.jdbc.ClickHouseDriver")
-      : Map[String, String] = Map(
+      : Map[String, String] = {
+    // engage the ClickHouse type/DDL dialect for clickhouse URLs —
+    // without it Spark's generic dialect emits ANSI DDL (TEXT,
+    // NOT NULL suffixes) that ClickHouse rejects (VERDICT r4 #2)
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
+    Map(
     "url" -> url,
     "dbtable" -> table,
     "user" -> user,
@@ -34,6 +39,7 @@ object JdbcSink {
     "isolationLevel" -> "NONE",
     "rewriteBatchedStatements" -> "true",
     "driver" -> driver)
+  }
 
   /** A configured writer; caller invokes `.save()` (kept separate so
     * construction is testable without a live database). `coalesce`

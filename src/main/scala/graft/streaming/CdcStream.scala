@@ -40,6 +40,15 @@ object CdcStream {
   final case class St(user_id: Long, ts_us: Long, event_id: Long,
                       event_type: String, value: Double)
 
+  /** [[Ev]] still carrying its TIMESTAMP event-time column: the
+    * EventTimeTimeout path ([[latestByExpiring]]) requires the
+    * watermarked column to survive into the stateful operator's input
+    * — project it away and the analyzer no longer sees the stream as
+    * watermarked. */
+  final case class EvT(event_id: Long, ts_us: Long, user_id: Long,
+                       event_type: String, value: Double,
+                       ts: java.sql.Timestamp)
+
   private val sinkId = new AtomicInteger(0)
 
   /** File-source stream of events (same rows the batch path loads).
