@@ -53,6 +53,18 @@ object PipelineQueries extends QueryPack {
   private val monthlyLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The month-partitioned landing tree for `dir`, streamed once per
+    * JVM (shared by stream_land_monthly + storage_stats — one landing,
+    * two verification angles). */
+  private def monthlyLandingFor(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    monthlyLanded.computeIfAbsent(dir, d => {
+      val p = Staging.path("stream_land", d)
+      val ckpt = Staging.path("stream_land_ckpt", d)
+      CdcStream.landMonthly(CdcStream.readEvents(s, d), "ts", p, ckpt)
+      p
+    })
+
   val queries: Map[String, Q] = Map(
     // G1: binary metadata extraction (byte length, header, digest).
     "mm_binary_meta" -> ((s, dir) =>
@@ -104,6 +116,24 @@ object PipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n_frames"),
           min(when(col("frame_idx") === 0, length(col("bytes"))))
             .cast("long").as("f0_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // G4 (was spec-only): byte-budget resize. The stub's stride
+    // subsampling is arithmetic in the payload length — output size
+    // and the preserved first byte are DuckDB-recomputable, so the
+    // batch-shaped resize pipeline is oracle-checked end to end
+    // (payloads ≤ budget pass through at full length; longer ones
+    // shrink to ceil(n/stride) with stride = ceil(n/budget)).
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[Multimodal.Media]
+      Multimodal.resize(media, targetBytes = 1024)
+        .select(col("doc_id"),
+          length(col("bytes")).cast("long").as("n_out"),
+          lower(hex(substring(col("bytes"), 1, 1))).as("head_hex"))
         .orderBy("doc_id")
     }),
 
@@ -237,19 +267,26 @@ object PipelineQueries extends QueryPack {
     // rollup must reconcile with the base table, proving no row
     // missed/duplicated a month directory.
     "stream_land_monthly" -> ((s, dir) => {
-      val out = monthlyLanded.computeIfAbsent(dir, d => {
-        val p = Staging.path("stream_land", d)
-        val ckpt = Staging.path("stream_land_ckpt", d)
-        CdcStream.landMonthly(CdcStream.readEvents(s, d), "ts", p, ckpt)
-        p
-      })
-      graft.sinks.ParquetSink.readMonthly(s, out)
+      graft.sinks.ParquetSink.readMonthly(s, monthlyLandingFor(s, dir))
         .groupBy(col("month").cast("long").as("month"))
         .agg(count(lit(1)).as("cnt"),
           count_distinct(col("user_id")).as("n_users"),
           round(sum(col("value")), 4).as("value_sum"))
         .orderBy("month")
     }),
+
+    // I6 (was spec-only): storage stats over the same landed tree —
+    // the reference's system.parts monitoring surface. The row-
+    // accounting leg is oracle-checked (per-month rows == base table);
+    // files/bytes are layout-dependent, so the oracle pins only their
+    // invariant (≥1 data file per month, bytes exceed row count) and
+    // the exact file accounting stays in the ParquetSink spec.
+    "storage_stats" -> ((s, dir) =>
+      graft.sinks.ParquetSink.statsMonthly(s, monthlyLandingFor(s, dir))
+        .select(col("month").cast("long").as("month"),
+          col("rows").as("n_rows"),
+          (col("files") >= 1 && col("bytes") > col("rows")).as("layout_ok"))
+        .orderBy("month")),
 
     // H6 (was spec-only): streaming exact dedup with bounded state.
     // The source is staged DOUBLED (every event file written twice —
@@ -401,6 +438,20 @@ object PipelineQueries extends QueryPack {
                 count(*) AS cnt, count(DISTINCT user_id) AS n_users,
                 round(sum(value), 4) AS value_sum
          FROM events GROUP BY 1 ORDER BY 1""",
+    "storage_stats" ->
+      """SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
+                count(*) AS n_rows, true AS layout_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "mm_resize" ->
+      """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                           lower(substring(hex(encode(text)), 1, 2)) AS h1
+                    FROM documents)
+         SELECT doc_id,
+                CAST(CASE WHEN n <= 1024 THEN n
+                          ELSE (n + ((n + 1023) // 1024) - 1)
+                               // ((n + 1023) // 1024) END AS BIGINT) AS n_out,
+                h1 AS head_hex
+         FROM t ORDER BY doc_id""",
     "stream_latest_expiring" ->
       """SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
                 round(value, 4) AS last_value
