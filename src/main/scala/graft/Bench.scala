@@ -84,8 +84,15 @@ object Bench {
     // contaminated round is then visible in-band in the bench JSON.
     val runsJson = results.map { case (k, ts) =>
       s"${jq(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
+    // instability = the two BEST runs disagree >2x. With the
+    // adjudicating third run, a single straggler produces e.g.
+    // [0.26, 0.58, 0.26] — max/min would still flag it even though
+    // the re-run just refuted the outlier; comparing the two smallest
+    // flags only queries that never produced two agreeing samples.
     val unstable = results.collect {
-      case (k, ts) if ts.min > 0 && ts.max / ts.min > 2.0 => jq(k)
+      case (k, ts) if ts.min > 0 && {
+        val s = ts.sorted; s(1) / s(0) > 2.0
+      } => jq(k)
     }.mkString("[", ",", "]")
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

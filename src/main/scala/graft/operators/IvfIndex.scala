@@ -72,6 +72,35 @@ object IvfIndex {
     IvfIndex(centroids, path)
   }
 
+  /** Incremental maintenance: append new vectors to an existing index
+    * without touching what's already on disk. New rows are assigned to
+    * the FROZEN centroid model (same cids ⇒ searches stay partition-
+    * pruned and results stay comparable across the append) and land
+    * only in the partitions they hash to — an append of m rows costs
+    * O(m), independent of the corpus already indexed, which is what
+    * makes a daily-ingest serving index viable at 100 TB (a rebuild
+    * scans everything). The trade is the standard IVF one: a corpus
+    * whose distribution drifts far from the frozen centroids degrades
+    * probe recall — rebuild (or re-fit + re-assign) when drift
+    * matters. Duplicate ids are the caller's concern, as with any
+    * append-mode sink (dedup upstream or at read time).
+    */
+  def append(index: IvfIndex, vecs: DataFrame,
+             idCol: String, vecCol: String): IvfIndex = {
+    Par.widen(vecs)
+      .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+      .withColumn("cid",
+        Similarity.nearestCentroid(col("v"), index.centroids, 1)(0).cast("int"))
+      // same clustering discipline as build: each cid lands in one
+      // task so the append adds ~(touched cids) files, not k·tasks
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .option("maxRecordsPerFile", 5000000L)
+      .parquet(s"${index.path}/assignments")
+    index
+  }
+
   /** Probe count defaulting to [[Similarity.autoNprobe]] of the
     * persisted model's centroid count — probes co-scale with k, same
     * contract as the in-memory [[Similarity.ivfTopK]] (VERDICT r4 #2). */

@@ -63,6 +63,37 @@ class IvfIndexSpec extends SparkSpec {
       "disk-backed search recall vs an independent refit fell below 0.9")
   }
 
+  test("append extends the index under the frozen model; search covers the union") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val first = vecs.filter(col("vec_id") % 2 === 0)
+    val second = vecs.filter(col("vec_id") % 2 =!= 0)
+    val path = tmp()
+    // model fitted from the FIRST half only — the append must reuse it
+    val idx = IvfIndex.build(first, "vec_id", "embedding", path,
+      nCentroids = Some(16), fitSamplePct = Some(100))
+    IvfIndex.append(idx, second, "vec_id", "embedding")
+    val loaded = IvfIndex.load(spark, path)
+    assert(idx.centroids.zip(loaded.centroids)
+      .forall { case (a, b) => a.sameElements(b) },
+      "append must not touch the centroid model")
+    // every row is on disk exactly once, in its model-assigned cid
+    val disk = spark.read.parquet(s"$path/assignments")
+    assert(disk.count() == vecs.count())
+    assert(disk.select("id").distinct().count() == vecs.count(),
+      "append duplicated or dropped ids")
+    // the zero-diff search contract holds over the UNION: disk search
+    // == in-memory search over the full corpus with the same model
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val fromDisk = IvfIndex.search(spark, loaded, queries,
+      "vec_id", "embedding", k = 10, nprobe = Some(6))
+    val inMemory = IvfIndex.searchInMemory(loaded, vecs, queries,
+      "vec_id", "embedding", k = 10, nprobe = Some(6))
+    assert(fromDisk.count() > 0)
+    assert(fromDisk.exceptAll(inMemory).count() == 0 &&
+           inMemory.exceptAll(fromDisk).count() == 0,
+      "appended index diverged from in-memory search over the union")
+  }
+
   test("model round-trips exactly; a cid predicate prunes the assignment scan") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
