@@ -67,9 +67,7 @@ object SketchQueries extends QueryPack {
       // small corpora, making this check compare exact to exact
       val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.4,
         tables = Some(16), bits = Some(4))
-      val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.4,
-        maxRows = graft.operators.Guard.envMaxRows(),
-        allowAllPairs = graft.operators.Guard.envAllow)
+      val exact = exactEmbeddingPairs(s, dir) // staged once per JVM
       checkRow(
         bad = lsh.join(exact, Seq("i", "j", "cosine"), "left_anti"),
         got = lsh, want = exact, minRecall = 0.8, exactCountCol = "exact_pairs")
@@ -93,10 +91,8 @@ object SketchQueries extends QueryPack {
     // include estimator false positives.
     "dedup_minhash_lsh_check" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, tau = 0.5, dfCap = 1000L)
       val mh = Sketches.minhashLsh(docs, "doc_id", "text")
-      recallRow(mh, exact, minRecall = 0.7)
+      recallRow(mh, exactJaccard(s, dir), minRecall = 0.7)
     }),
 
     // D4 contract check: SimHash hamming-band pairs vs the same exact
@@ -106,10 +102,8 @@ object SketchQueries extends QueryPack {
     // sketch breaking, not estimator noise.
     "dedup_simhash_check" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, tau = 0.5, dfCap = 1000L)
       val sh = Sketches.simhashPairs(docs, "doc_id", "text")
-      recallRow(sh, exact, minRecall = 0.4)
+      recallRow(sh, exactJaccard(s, dir), minRecall = 0.4)
     }),
 
     // E3 contract check: IVF ANN recall@10 vs the same baseline, at a
@@ -162,6 +156,62 @@ object SketchQueries extends QueryPack {
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> staged exact-baseline parquet. The checks' ground
+  // truths (brute-force top-k; the capped-Jaccard pair set) are
+  // DETERMINISTIC functions of the corpus that three respectively two
+  // `_check` entries each recompute — at sf0.1 that is the dominant
+  // share of check_secs. Computed once per JVM and read back from
+  // parquet (bit-exact for doubles), the checks compare against the
+  // identical rows at a fraction of the cost; what each check
+  // verifies — the APPROXIMATE side's contract — is untouched.
+  private val exactTopkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val exactJaccardDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def exactTopk(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val p = exactTopkDirs.computeIfAbsent(dir, d => {
+      val path = Staging.path("exact_topk", d)
+      Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding",
+          maxRows = graft.operators.Guard.envMaxRows(),
+          allowAllPairs = graft.operators.Guard.envAllow)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
+  private def exactJaccard(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val p = exactJaccardDirs.computeIfAbsent(dir, d => {
+      val path = Staging.path("exact_jaccard", d)
+      Dedup.jaccardPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+          n = 3, tau = 0.5, dfCap = 1000L)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
+  private val exactPairsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def exactEmbeddingPairs(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
+    val p = exactPairsDirs.computeIfAbsent(dir, d => {
+      val path = Staging.path("exact_pairs", d)
+      Dedup.embeddingPairs(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", tau = 0.4,
+          maxRows = graft.operators.Guard.envMaxRows(),
+          allowAllPairs = graft.operators.Guard.envAllow)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   /** One-row recall verdict for sketches whose ground truth IS
     * SQL-expressible: (exact_pairs, recall_ok) on (i, j) pair ids. */
   private def recallRow(got: DataFrame, exact: DataFrame,
@@ -193,9 +243,7 @@ object SketchQueries extends QueryPack {
                        approx: DataFrame => DataFrame,
                        minRecall: Double): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-      maxRows = graft.operators.Guard.envMaxRows(),
-      allowAllPairs = graft.operators.Guard.envAllow)
+    val exact = exactTopk(s, dir) // staged once per JVM, bit-exact
     val got = approx(emb)
     val hits = got.join(exact, Seq("q_id", "vec_id", "cosine"), "left_semi")
     val mismatched = got.join(exact.select("q_id", "vec_id"),
