@@ -101,6 +101,62 @@ object IvfIndex {
     index
   }
 
+  /** Compact fragmented cid partitions: every [[append]] adds ~one
+    * file per touched cid, so a daily-ingest index accretes files
+    * linearly in append count and probe scans start paying per-file
+    * open/footers instead of data. Partitions holding more than
+    * `maxFiles` data files are rewritten — read ONLY that partition,
+    * stage dot-hidden, then the crash-safe rename swap
+    * ([[graft.sinks.ParquetSink.deleteTimeRange]]'s boundary-month
+    * protocol: live → visible `_graft_replaced_cid=*` backup → staged
+    * in → backup deleted, recovered by the sweep at the top on the
+    * next call) — every other partition stays bit-for-bit untouched,
+    * so the pass costs O(fragmented partitions), not O(index). Same
+    * isolation contract as retention: crash-safe, not reader-atomic
+    * (an exclusive maintenance window, like MergeTree's OPTIMIZE).
+    * Returns the compacted cids. */
+  def compact(spark: SparkSession, index: IvfIndex, maxFiles: Int = 8,
+              maxRecordsPerFile: Long = 5000000L): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"${index.path}/assignments")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new Path(root, "_graft_replaced_cid=*")).foreach { st =>
+      val c = st.getPath.getName.stripPrefix("_graft_replaced_cid=")
+      val live = new Path(root, s"cid=$c")
+      if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+        s"failed to restore interrupted compaction of cid=$c")
+      else fs.delete(st.getPath, true)
+    }
+    fs.globStatus(new Path(root, "cid=*")).toSeq
+      .filter(_.isDirectory)
+      .flatMap { p =>
+        val dataFiles = fs.listStatus(p.getPath).count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (dataFiles <= maxFiles) None
+        else {
+          val c = p.getPath.getName.stripPrefix("cid=")
+          val tmp = new Path(root, s".graft_compact_cid_$c")
+          fs.delete(tmp, true)
+          // one task rewrites the partition; maxRecordsPerFile
+          // re-splits inside it so a hot centroid still can't become
+          // one unsplittable giant (same bound as build/append)
+          spark.read.parquet(p.getPath.toString).coalesce(1)
+            .write.option("maxRecordsPerFile", maxRecordsPerFile)
+            .mode("overwrite").parquet(tmp.toString)
+          val backup = new Path(root, s"_graft_replaced_cid=$c")
+          fs.delete(backup, true)
+          require(fs.rename(p.getPath, backup),
+            s"failed to stage original partition cid=$c for replacement")
+          require(fs.rename(tmp, p.getPath),
+            s"failed to publish compacted partition cid=$c")
+          fs.delete(backup, true)
+          Some(c.toInt)
+        }
+      }
+  }
+
   /** Probe count defaulting to [[Similarity.autoNprobe]] of the
     * persisted model's centroid count — probes co-scale with k, same
     * contract as the in-memory [[Similarity.ivfTopK]] (VERDICT r4 #2). */

@@ -94,6 +94,45 @@ class IvfIndexSpec extends SparkSpec {
       "appended index diverged from in-memory search over the union")
   }
 
+  test("compact merges fragmented partitions without changing any search result") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path, nCentroids = Some(8), fitSamplePct = Some(100))
+    // two appends fragment the partitions (each adds a file per cid)
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding")
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding")
+    val before = spark.read.parquet(s"$path/assignments")
+      .select("id").orderBy("id").collect().toSeq
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val preSearch = IvfIndex.search(spark, idx, queries,
+      "vec_id", "embedding", k = 10, nprobe = Some(4)).collect().toSet
+
+    val compacted = IvfIndex.compact(spark, idx, maxFiles = 1)
+    assert(compacted.nonEmpty, "three writes per cid must exceed maxFiles=1")
+    // rows bit-identical, every partition now within the file bound
+    val after = spark.read.parquet(s"$path/assignments")
+      .select("id").orderBy("id").collect().toSeq
+    assert(after == before, "compaction changed the row set")
+    val fs = new org.apache.hadoop.fs.Path(s"$path/assignments")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=*"))
+      .filter(_.isDirectory).foreach { p =>
+        val files = fs.listStatus(p.getPath).count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        assert(files <= 1, s"${p.getPath.getName} still holds $files files")
+      }
+    // idempotent: a second pass finds nothing to do
+    assert(IvfIndex.compact(spark, idx, maxFiles = 1).isEmpty)
+    val postSearch = IvfIndex.search(spark, idx, queries,
+      "vec_id", "embedding", k = 10, nprobe = Some(4)).collect().toSet
+    assert(postSearch == preSearch, "compaction changed search results")
+  }
+
   test("model round-trips exactly; a cid predicate prunes the assignment scan") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
