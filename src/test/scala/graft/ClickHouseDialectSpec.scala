@@ -114,6 +114,25 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(c("LowCardinality(Whatever)").isEmpty, "unknown types stay None")
   }
 
+  test("write and read type maps are mutual inverses on the supported lattice") {
+    // a type that survives write → DDL text → read-back unchanged is
+    // safe for round-trip pipelines (snapshot export + re-import);
+    // BinaryType is deliberately absent — it lands as String (lossy by
+    // design, ClickHouse has no separate bytes type)
+    val types: Seq[DataType] = Seq(StringType, BooleanType, ByteType,
+      ShortType, IntegerType, LongType, FloatType, DoubleType, DateType,
+      TimestampType, DecimalType(12, 2), ArrayType(StringType),
+      ArrayType(ArrayType(DoubleType)))
+    for (dt <- types) {
+      val plain = ClickHouseDdl.columnType(dt, nullable = false)
+      assert(ClickHouseDialect.catalystType(plain).contains(dt),
+        s"$dt -> $plain failed to round-trip")
+      val wrapped = ClickHouseDdl.columnType(dt, nullable = true)
+      assert(ClickHouseDialect.catalystType(wrapped).contains(dt),
+        s"$dt -> $wrapped (nullable) failed to round-trip")
+    }
+  }
+
   test("dialect scoping: handles clickhouse URLs only; truncate is plain") {
     assert(ClickHouseDialect.canHandle("jdbc:clickhouse://host:8123/cdc"))
     assert(ClickHouseDialect.canHandle("jdbc:ch://host:8123/cdc"))
