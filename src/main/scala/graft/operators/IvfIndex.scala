@@ -120,14 +120,19 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(s"${index.path}/assignments")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.globStatus(new Path(root, "_graft_replaced_cid=*")).foreach { st =>
+    // globStatus returns NULL (not empty) when the base path itself is
+    // absent — a mistyped index path must fail with a message, not NPE
+    def glob(pattern: String) =
+      Option(fs.globStatus(new Path(root, pattern))).getOrElse(Array.empty)
+    require(fs.exists(root), s"no assignments tree at $root — not an index?")
+    glob("_graft_replaced_cid=*").foreach { st =>
       val c = st.getPath.getName.stripPrefix("_graft_replaced_cid=")
       val live = new Path(root, s"cid=$c")
       if (!fs.exists(live)) require(fs.rename(st.getPath, live),
         s"failed to restore interrupted compaction of cid=$c")
       else fs.delete(st.getPath, true)
     }
-    fs.globStatus(new Path(root, "cid=*")).toSeq
+    glob("cid=*").toSeq
       .filter(_.isDirectory)
       .flatMap { p =>
         val dataFiles = fs.listStatus(p.getPath).count { st =>
