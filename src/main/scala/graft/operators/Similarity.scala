@@ -383,6 +383,14 @@ object Similarity {
         val kc = nCentroids.getOrElse(autoCentroids(n))
         val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
         val np = nprobe.getOrElse(autoNprobe(kc))
+        // loudness symmetry with the LSH clamp: IVF recall at a small
+        // probed fraction is a property of the corpus (clusterable
+        // embeddings keep it high; uniform vectors track the fraction)
+        // — name the operating point so a shortfall is diagnosable
+        // from the log, not a silent surprise
+        if (nprobe.isEmpty)
+          log.info(f"IVF auto layout: n=$n centroids=$kc nprobe=$np " +
+            f"(probed fraction ${np.toDouble / kc}%.4f, fit sample $pct%%)")
         val centroids = fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
         val v = Par.widen(vecs).select(
             col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))

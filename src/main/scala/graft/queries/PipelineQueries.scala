@@ -223,6 +223,11 @@ object PipelineQueries extends QueryPack {
     // windows whose END the final watermark passed — which the oracle
     // recomputes relationally (windows with end ≤ max(ts) − 1 day).
     "stream_counts_watermarked" -> ((s, dir) => {
+      // the determinism argument above leans on the trailing no-data
+      // batch advancing the watermark after the last data batch — pin
+      // the conf (its default) rather than inherit whatever the host
+      // session was configured with
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val agg = CdcStream.eventCountsWatermarked(
         CdcStream.readEvents(s, dir), delay = "1 day")
       CdcStream.runToMemory(agg, OutputMode.Append())

@@ -74,6 +74,10 @@ object ClickHouseDialect extends JdbcDialect {
     val lower = t.toLowerCase(Locale.ROOT)
     if (lower.startsWith("nullable(") && t.endsWith(")"))
       catalystType(t.substring("nullable(".length, t.length - 1))
+    // LowCardinality is a dictionary-encoding wrapper, not a type —
+    // real ClickHouse schemas use it on most string dims
+    else if (lower.startsWith("lowcardinality(") && t.endsWith(")"))
+      catalystType(t.substring("lowcardinality(".length, t.length - 1))
     else if (lower.startsWith("array(") && t.endsWith(")"))
       catalystType(t.substring("array(".length, t.length - 1))
         .map(ArrayType(_, containsNull = true))

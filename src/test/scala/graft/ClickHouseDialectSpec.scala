@@ -111,7 +111,10 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(c("Enum8('INSERT' = 1, 'UPDATE' = 2, 'DELETE' = 3)")
       .contains(StringType))
     assert(c("UInt64").contains(DecimalType(20, 0)), "UInt64 overflows Long")
-    assert(c("LowCardinality(Whatever)").isEmpty, "unknown types stay None")
+    assert(c("LowCardinality(String)").contains(StringType),
+      "LowCardinality is an encoding wrapper, not a type")
+    assert(c("LowCardinality(Nullable(String))").contains(StringType))
+    assert(c("AggregateFunction(sum, Int64)").isEmpty, "unknown types stay None")
   }
 
   test("write and read type maps are mutual inverses on the supported lattice") {
