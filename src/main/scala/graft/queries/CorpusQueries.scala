@@ -47,9 +47,19 @@ object CorpusQueries extends QueryPack {
     // exchange.
     "dedup_survivors" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val clusters = PipelineOps.dedupClusters(
-        Dedup.jaccardPairs(docs, "doc_id", "text",
-          n = 3, tau = 0.5, dfCap = 1000L))
+      // the cluster map is J3's output, staged once per JVM (the
+      // staged-ground-truth discipline): this entry's operator is the
+      // SURVIVOR anti-join, and re-running the whole pair+closure
+      // pipeline here double-counted J3's cost in J11's number
+      val clusters = s.read.parquet(
+        clusterDirs.computeIfAbsent(dir, d => {
+          val p = Staging.path("clusters", d)
+          PipelineOps.dedupClusters(
+              Dedup.jaccardPairs(Tables.load(s, d, "documents"),
+                "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
+            .write.mode("overwrite").parquet(p)
+          p
+        }))
       val drop = clusters
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       docs.join(drop, Seq("doc_id"), "left_anti")
@@ -184,6 +194,10 @@ object CorpusQueries extends QueryPack {
     PipelineOps.sampleRand(
       Tables.load(s, dir, "documents").select("doc_id", "source"),
       n = 20, seed = 7L)
+
+  // source dir -> staged cluster-map parquet (see dedup_survivors)
+  private val clusterDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""

@@ -201,6 +201,34 @@ object ClickHouseDdl {
     * matching ParquetSink's month-partitioned tree. */
   def toYYYYMM(col: String): String = s"toYYYYMM($col)"
 
+  /** The reference's Kafka-engine queue table
+    * (01-init-tables.sql:40-49): a single raw String column consumed
+    * from a topic, parameterized by the same settings
+    * `CdcStream.kafkaSourceOptions` maps to Spark (broker list, topic,
+    * consumer group, max block ↔ maxOffsetsPerTrigger). Generated so a
+    * user standing up the reference's ClickHouse side from graft gets
+    * the full init surface; the MATERIALIZED VIEWs that parse the
+    * queue are deliberately NOT generated — their JSON-extraction
+    * logic is re-expressed natively as [[graft.sources.CdcJson]], and
+    * a Spark deployment lands TYPED rows via the JDBC sink instead of
+    * re-parsing inside ClickHouse. */
+  def kafkaEngineTable(table: String, brokerList: String, topic: String,
+                       groupName: String, format: String = "JSONAsString",
+                       numConsumers: Int = 2, maxBlockSize: Long = 1048576L,
+                       ifNotExists: Boolean = true): String = {
+    val exists = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"""CREATE TABLE $exists$table (
+       |    raw String
+       |) ENGINE = Kafka
+       |SETTINGS
+       |    kafka_broker_list = '$brokerList',
+       |    kafka_topic_list = '$topic',
+       |    kafka_group_name = '$groupName',
+       |    kafka_format = '$format',
+       |    kafka_num_consumers = $numConsumers,
+       |    kafka_max_block_size = $maxBlockSize;""".stripMargin
+  }
+
   /** The reference's INSERT/UPDATE/DELETE event enum
     * (01-init-tables.sql:10). */
   val EventTypeEnum8: String =

@@ -56,6 +56,17 @@ class ClickHouseDialectSpec extends AnyFunSuite {
       s"generated DDL diverged from the reference:\n$ddl")
   }
 
+  test("golden: both Kafka-engine queue tables match the reference") {
+    for ((table, topic, group) <- Seq(
+        ("nodes_kafka_queue", "neo4j-cdc-nodes", "clickhouse_nodes_consumer"),
+        ("relationships_kafka_queue", "neo4j-cdc-relationships",
+          "clickhouse_relationships_consumer"))) {
+      val ddl = ClickHouseDdl.kafkaEngineTable(table, "kafka:9092", topic, group)
+      assert(toks(ddl) == toks(referenceDdl(table)),
+        s"generated queue DDL diverged from the reference:\n$ddl")
+    }
+  }
+
   test("ReplacingMergeTree DDL carries the version column and nullable wrappers") {
     val schema = StructType(Seq(
       StructField("entity_id", StringType, nullable = false),
