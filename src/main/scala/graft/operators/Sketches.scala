@@ -105,6 +105,66 @@ object Sketches {
       .select(col("i"), col("j"), round(col("sig_sim"), 4).as("sig_sim"))
   }
 
+  /** D7: INCREMENTAL near-dup detection — which docs of a NEW batch
+    * near-duplicate something in the HISTORICAL corpus. The daily-
+    * ingest shape of D3: a training pipeline ingesting m docs/day
+    * against an n-doc history must not pay the n² (or even (n+m)²)
+    * candidate cost of re-deduping the union; here candidates are the
+    * cross band-key join only — cost ∝ m·(bucket overlap), and the
+    * history side can be a PRECOMPUTED signature table
+    * ([[minhashSignatures]] written parquet at last run, the
+    * IvfIndex-append analog for sketches) via `corpusSigs`.
+    *
+    * Same seeds/banding as [[minhashLsh]], so signatures are
+    * comparable across runs by construction. No posting list at all:
+    * the cross join IS the candidate generator, with the corpus-side
+    * buckets capped two-pass ([[Skew.capHotKeys]]) — an over-cap
+    * bucket is the exact-dup spike exact dedup owns, same contract as
+    * D3. Batch-internal (new×new) dups are [[minhashLsh]] on the
+    * batch alone; this operator's output is (i = new doc, j = corpus
+    * doc, sig_sim ≥ minSigSim).
+    */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 16, bands: Int = 4,
+                        minSigSim: Double = 0.5,
+                        maxBucket: Long = 10000L,
+                        corpusSigs: Option[DataFrame] = None): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    def bandKeys(sigs: DataFrame) = sigs.select(
+      col("doc_id"),
+      array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until r).map(i => col(s"h${b * r + i}")): _*)): _*)
+        .as("bks"))
+      .select(col("doc_id"), explode(col("bks")).as("bk"))
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val histSigs = corpusSigs
+      .getOrElse(minhashSignatures(corpus, idCol, textCol, n, k))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cap the CORPUS side (the quadratic-fan-out risk: one hot
+    // history bucket × every colliding new doc); the new batch joins
+    // it directly — ids only through the shuffle, sigs re-attach after
+    val hist = Skew.capHotKeys(bandKeys(histSigs), maxBucket, Seq("bk"))
+      .withColumnRenamed("doc_id", "j")
+    val cand = bandKeys(newSigs).withColumnRenamed("doc_id", "i")
+      .join(hist, "bk")
+      .where(col("i") =!= col("j")) // overlapping id spaces
+      .select("i", "j").distinct()
+    val si = newSigs.toDF(newSigs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "i" else s"${c}_i"): _*)
+    val sj = histSigs.toDF(histSigs.columns.toIndexedSeq
+      .map(c => if (c == "doc_id") "j" else s"${c}_j"): _*)
+    val agree = (0 until k).map(s =>
+      when(col(s"h${s}_i") === col(s"h${s}_j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("sig_sim", agree)
+      .filter(col("sig_sim") >= minSigSim)
+      .select(col("i"), col("j"), round(col("sig_sim"), 4).as("sig_sim"))
+  }
+
   /** 64-bit SimHash per document: bit b of the sketch is the sign of
     * Σ_tokens (bit b of xxhash64(token) ? +1 : -1). One native codegen
     * expression per row ([[graft.functions.SimHash64]]) — a pure

@@ -32,6 +32,35 @@ object SketchQueries extends QueryPack {
       Sketches.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("i", "j")),
 
+    // D7: incremental dedup — the daily-ingest shape (new batch =
+    // every 10th doc, history = the rest): which new docs near-dup
+    // something already in the corpus. Candidates are the cross
+    // band-key join only (cost ∝ batch, not corpus²).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sketches.minhashLshAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .orderBy("i", "j")
+    }),
+
+    // D7 contract check: recall vs the exact capped-Jaccard pair set
+    // RESTRICTED to batch↔history pairs (same ground truth as the D3
+    // check, same 0.7 floor — the estimator is identical; orientation
+    // normalized to i = the batch doc on both sides).
+    "dedup_incremental_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val inc = Sketches.minhashLshAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val exactCross = exactJaccard(s, dir)
+        .filter((col("i") % 10 === 0) =!= (col("j") % 10 === 0))
+        .select(
+          when(col("i") % 10 === 0, col("i")).otherwise(col("j")).as("i"),
+          when(col("i") % 10 === 0, col("j")).otherwise(col("i")).as("j"))
+      recallRow(inc, exactCross, minRecall = 0.7)
+    }),
+
     // E2: random-hyperplane LSH ANN, auto-scaled tables × bits with
     // cost-based fallback (small query batches score exactly — less
     // work than hashing, recall 1.0), top-10.
@@ -288,6 +317,10 @@ object SketchQueries extends QueryPack {
     "dedup_minhash_lsh_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
+    "dedup_incremental_check" ->
+      s"""$exactJaccardCte
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex
+         WHERE (i % 10 = 0) <> (j % 10 = 0)""",
     "dedup_simhash_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",

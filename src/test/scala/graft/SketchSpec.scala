@@ -26,6 +26,34 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.85, s"minhash recall $recall")
   }
 
+  test("incremental minhash against a corpus == the full op's cross pairs") {
+    // batch = every 10th doc, history = the rest: the incremental
+    // operator must find exactly the batch↔history pairs the full
+    // union run finds (no bucket caps bind at this SF), whether the
+    // history signatures are computed inline or PRECOMPUTED (the
+    // persisted-signature daily-ingest path)
+    val isNew = col("doc_id") % 10 === 0
+    val batch = docs.filter(isNew)
+    val history = docs.filter(!isNew)
+    val full = Sketches.minhashLsh(docs, "doc_id", "text")
+    val cross = full.filter((col("i") % 10 === 0) =!= (col("j") % 10 === 0))
+      .select(
+        when(col("i") % 10 === 0, col("i")).otherwise(col("j")).as("i"),
+        when(col("i") % 10 === 0, col("j")).otherwise(col("i")).as("j"),
+        col("sig_sim"))
+    val inc = Sketches.minhashLshAgainst(batch, history, "doc_id", "text")
+    assert(inc.count() > 0, "test split produced no cross pairs")
+    assert(inc.exceptAll(cross).count() == 0 &&
+           cross.exceptAll(inc).count() == 0,
+      "incremental dedup diverged from the full run's cross pairs")
+    val pre = Sketches.minhashSignatures(history, "doc_id", "text", 3, 16)
+    val incPre = Sketches.minhashLshAgainst(batch, history, "doc_id", "text",
+      corpusSigs = Some(pre))
+    assert(incPre.exceptAll(inc).count() == 0 &&
+           inc.exceptAll(incPre).count() == 0,
+      "precomputed-signature path diverged from the inline path")
+  }
+
   test("simhash hamming bands are lossless for maxHamming <= 3") {
     val sk = Sketches.simhashSketch(docs, "doc_id", "text")
     val a = sk.select(col("doc_id").as("i"), col("simhash").as("si"))
