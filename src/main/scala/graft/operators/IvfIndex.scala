@@ -215,6 +215,39 @@ object IvfIndex {
   def search(spark: SparkSession, index: IvfIndex, queries: DataFrame,
              idCol: String, vecCol: String,
              k: Int = 10, nprobe: Option[Int] = None): DataFrame = {
+    probedCandidates(spark, index, queries, idCol, vecCol, nprobe)
+      .transform(Similarity.topK(_, k))
+  }
+
+  /** Threshold search — the incremental-dedup shape of [[search]]:
+    * every (query, indexed) pair with cosine ≥ `tau` among the probed
+    * partitions, with no top-k rank cap (a heavily-duplicated batch
+    * doc can near-dup MORE than k corpus docs; truncating at k would
+    * silently under-report exactly the worst offenders). This is the
+    * embedding twin of [[Sketches.minhashLshAgainst]]: screen today's
+    * vectors against the indexed corpus at O(batch · probed
+    * partitions), never corpus². Same probe-recall contract as search:
+    * pairs whose corpus side lives outside the probed centroids are
+    * missed — the documented IVF trade, bounded by nprobe. */
+  def searchThreshold(spark: SparkSession, index: IvfIndex,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      tau: Double, nprobe: Option[Int] = None): DataFrame = {
+    val cand = probedCandidates(spark, index, queries, idCol, vecCol, nprobe)
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+    cand.withColumn("cosine", round(cos, 4))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+  }
+
+  /** Shared probe stage: queries exploded over their nprobe nearest
+    * centroids, joined to the partition-pruned assignments, scored
+    * columns attached — [[search]] ranks it, [[searchThreshold]]
+    * filters it. */
+  private def probedCandidates(spark: SparkSession, index: IvfIndex,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String,
+                               nprobe: Option[Int]): DataFrame = {
     val np = math.min(resolveNprobe(index, nprobe), index.centroids.length)
     val q = queries
       .select(col(idCol).as("q_id"), VectorFunctions.asDouble(col(vecCol)).as("qv"))
@@ -227,6 +260,5 @@ object IvfIndex {
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
               col("v"), col("nrm"))
-      .transform(Similarity.topK(_, k))
   }
 }

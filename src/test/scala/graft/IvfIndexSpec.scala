@@ -94,6 +94,40 @@ class IvfIndexSpec extends SparkSpec {
       "appended index diverged from in-memory search over the union")
   }
 
+  test("searchThreshold with full probing equals the exact threshold cross-search") {
+    import graft.functions.VectorFunctions
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = Some(8), fitSamplePct = Some(100))
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    // probing every centroid removes the IVF approximation entirely —
+    // the result must be EXACTLY the brute-force threshold pairs
+    val got = IvfIndex.searchThreshold(spark, idx, queries,
+      "vec_id", "embedding", tau = 0.3, nprobe = Some(8))
+    val v = vecs.select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2(col("v")))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("qv"), col("v")), col("qn"), col("nrm"))
+    val exact = v.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", round(cos, 4))
+      .filter(col("cosine") >= 0.3)
+      .select("q_id", "vec_id", "cosine")
+    assert(got.count() > 0)
+    assert(got.exceptAll(exact).count() == 0 &&
+           exact.exceptAll(got).count() == 0,
+      "full-probe threshold search diverged from the exact cross-search")
+    // partial probing returns a strict SUBSET (the documented trade) —
+    // never an extra or rescored pair
+    val sub = IvfIndex.searchThreshold(spark, idx, queries,
+      "vec_id", "embedding", tau = 0.3, nprobe = Some(2))
+    assert(sub.exceptAll(got).count() == 0,
+      "partial probing produced pairs full probing lacks")
+  }
+
   test("compact merges fragmented partitions without changing any search result") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
