@@ -189,6 +189,46 @@ object Sketches {
           B.expression(col("graft_toks")))).as("simhash"))
   }
 
+  /** The SimHash twin of [[minhashLshAgainst]]: new-batch docs within
+    * hamming distance `maxHamming` of a HISTORICAL doc, candidates
+    * from the cross hamming-band join only. Because the 4×16-bit
+    * banding is LOSSLESS for maxHamming ≤ 3 (pigeonhole, see
+    * [[simhashPairs]]), the incremental result equals the full union
+    * run's cross pairs EXACTLY (no estimator noise) wherever the
+    * corpus-side bucket cap doesn't bind. `corpusSketches` accepts the
+    * persisted sketch table from a previous run — the sketch is one
+    * long per doc, the cheapest possible dedup state to carry
+    * run-over-run. Output: (i = new doc, j = corpus doc, hamming). */
+  def simhashPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          maxHamming: Int = 3, maxBucket: Long = 10000L,
+                          corpusSketches: Option[DataFrame] = None): DataFrame = {
+    def bandKeys(sk: DataFrame) = sk.select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bits"))
+    val newSk = simhashSketch(newDocs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val histSk = corpusSketches
+      .getOrElse(simhashSketch(corpus, idCol, textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = Skew.capHotKeys(bandKeys(histSk), maxBucket, Seq("band", "bits"))
+      .withColumnRenamed("doc_id", "j")
+    val cand = bandKeys(newSk).withColumnRenamed("doc_id", "i")
+      .join(hist, Seq("band", "bits"))
+      .where(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    val si = newSk.select(col("doc_id").as("i"), col("simhash").as("sh_i"))
+    val sj = histSk.select(col("doc_id").as("j"), col("simhash").as("sh_j"))
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** D4: near-dup pairs via SimHash hamming bands: the 64-bit sketch
     * splits into 4 × 16-bit bands. Any pair within hamming distance 3
     * must agree exactly on ≥1 band (pigeonhole: 3 differing bits can

@@ -54,6 +54,31 @@ class SketchSpec extends SparkSpec {
       "precomputed-signature path diverged from the inline path")
   }
 
+  test("incremental simhash against a corpus == the full op's cross pairs exactly") {
+    // lossless banding ⇒ EXACT equality with the union run's cross
+    // pairs (unlike the minhash twin there is no estimator noise)
+    val isNew = col("doc_id") % 10 === 0
+    val full = Sketches.simhashPairs(docs, "doc_id", "text")
+    val cross = full.filter((col("i") % 10 === 0) =!= (col("j") % 10 === 0))
+      .select(
+        when(col("i") % 10 === 0, col("i")).otherwise(col("j")).as("i"),
+        when(col("i") % 10 === 0, col("j")).otherwise(col("i")).as("j"),
+        col("hamming"))
+    val inc = Sketches.simhashPairsAgainst(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text")
+    assert(full.count() > 0, "corpus must contain simhash near-dups")
+    assert(inc.exceptAll(cross).count() == 0 &&
+           cross.exceptAll(inc).count() == 0,
+      "incremental simhash diverged from the full run's cross pairs")
+    // the persisted-sketch path (one long per doc carried run-over-run)
+    val pre = Sketches.simhashSketch(docs.filter(!isNew), "doc_id", "text")
+    val incPre = Sketches.simhashPairsAgainst(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text",
+      corpusSketches = Some(pre))
+    assert(incPre.exceptAll(inc).count() == 0 &&
+           inc.exceptAll(incPre).count() == 0)
+  }
+
   test("simhash hamming bands are lossless for maxHamming <= 3") {
     val sk = Sketches.simhashSketch(docs, "doc_id", "text")
     val a = sk.select(col("doc_id").as("i"), col("simhash").as("si"))
