@@ -137,8 +137,14 @@ object PipelineOps {
                    org.apache.spark.sql.expressions.Window.currentRow)
     val start = sum(col(tokCol)).over(w) - col(tokCol)
     docs
-      .withColumn("seq_id", floor(start / lit(budget.toDouble)))
-      .withColumn("seq_offset", (start % budget).cast("long"))
+      .withColumn("graft_start", start)
+      // INTEGRAL divide, not floor(x / double): the double quotient
+      // loses exactness once a shard's running token offset passes
+      // 2^53 — at trillion-token shards that is a real horizon, and a
+      // mis-rounded seq_id silently misplaces a document boundary
+      .withColumn("seq_id", expr(s"graft_start div $budget"))
+      .withColumn("seq_offset", (col("graft_start") % budget).cast("long"))
+      .drop("graft_start")
   }
 
   /** Near-dup cluster canonicalization: connected components over a
@@ -216,6 +222,18 @@ object PipelineOps {
       labels = next
       iter += 1
     }
+    // loudness discipline (same as the LSH recall clamp): min-label
+    // propagation converges in diameter iterations, and near-dup
+    // graphs are shallow — but a LONG dup chain (a doc edited
+    // repeatedly, each revision near-dupping the previous) can exceed
+    // maxIters, and silently returning the unconverged labels splits
+    // one cluster into several canonical "keepers"
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"dedupClusters stopped at maxIters=$maxIters before reaching the " +
+          "label fixpoint — components wider than the iteration budget are " +
+          "SPLIT into multiple clusters. Raise maxIters (iterations needed " +
+          "= component diameter).")
     labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
   }
 }

@@ -265,7 +265,7 @@ object CorpusQueries extends QueryPack {
                          - n_bpe AS strt
                 FROM t)
           SELECT doc_id, source, CAST(n_bpe AS BIGINT) AS n_bpe,
-                 CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+                 CAST(strt // 512 AS BIGINT) AS seq_id,
                  CAST(strt % 512 AS BIGINT) AS seq_offset
           FROM c ORDER BY doc_id""",
     "corpus_stats_approx" ->
