@@ -124,6 +124,20 @@ class PlanSpec extends SparkSpec {
       s"LSH ANN must join on bucket keys, found ${loops.size} loop joins")
   }
 
+  test("incremental dedup finds candidates via the cross band join, never a loop join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = staticPlanOf(graft.operators.Sketches.minhashLshAgainst(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"))
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty,
+      s"batch×history candidates must equi-join on band keys, found ${loops.size} loop joins")
+  }
+
   test("sample_rand is a bounded top-n, not a global sort") {
     val plan = formatted("sample_rand")
     assert(plan.contains("TakeOrderedAndProject"),
