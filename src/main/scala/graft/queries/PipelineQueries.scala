@@ -50,6 +50,9 @@ object PipelineQueries extends QueryPack {
   // make a re-run a no-op anyway)
   private val jdbcLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // dir -> staged relationship-event wire payloads (stream_latest_rel)
+  private val relStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val monthlyLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -353,6 +356,48 @@ object PipelineQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // H5 driver proof of latestBy's one-combinator-both-streams claim:
+    // the RELATIONSHIP stream (raw rel JSON → parseRels → typed RelEv)
+    // through the SAME generic combinator H2 uses for node events,
+    // with its own record type and key (newest order per customer).
+    // Oracle = the batch FINAL over orders.
+    "stream_latest_rel" -> ((s, dir) => {
+      import s.implicits._
+      val staging = relStagedDirs.computeIfAbsent(dir, d => {
+        val p = Staging.path("stream_rel_json", d)
+        graft.sources.CdcJson
+          .synthesizeRelJson(Tables.load(s, d, "orders"))
+          .write.mode("overwrite").text(p)
+        p
+      })
+      val raw = s.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("value", org.apache.spark.sql.types.StringType))
+        .text(staging)
+      val evs = graft.sources.CdcJson.parseRels(raw, "value")
+        .select(col("event_id"),
+          unix_micros(col("event_timestamp")).as("ts_us"),
+          col("source_id"), col("target_id"),
+          col("relationship_type").as("rel_type"))
+        .as[CdcStream.RelEv]
+      // event_id is the connector's STRING id — tiebreak numerically
+      // ("100" < "99" lexically would pick the wrong order)
+      val updates = CdcStream.latestBy[String, CdcStream.RelEv](
+        evs, _.source_id,
+        newer = (a, b) => a.ts_us > b.ts_us ||
+          (a.ts_us == b.ts_us && a.event_id.toLong > b.event_id.toLong)).toDF()
+      CdcStream.runToMemory(updates, OutputMode.Update())
+        .groupBy("source_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("target_id"), col("rel_type")),
+          struct(col("ts_us"), col("event_id").cast("long"))).as("st"))
+        .select(col("source_id"), col("st.event_id").as("last_order"),
+          col("st.ts_us").as("last_ts_us"),
+          col("st.target_id").as("last_target"),
+          col("st.rel_type").as("rel_type"))
+        .orderBy("source_id")
+    }),
+
     // H2: incremental flatMapGroupsWithState latest-state == the batch
     // ReplacingMergeTree FINAL (cdc_latest_state twin). The final
     // max_by collapse dedupes re-emissions if AvailableNow split the
@@ -438,6 +483,14 @@ object PipelineQueries extends QueryPack {
                 count(DISTINCT user_id) AS n_users,
                 round(sum(value), 4) AS value_sum
          FROM events GROUP BY 1 ORDER BY 1""",
+    "stream_latest_rel" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS source_id,
+                CAST(o_orderkey AS VARCHAR) AS last_order,
+                epoch_us(o_orderdate) AS last_ts_us,
+                CAST(o_orderkey AS VARCHAR) AS last_target,
+                'ORDERED' AS rel_type
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1 ORDER BY source_id""",
     "stream_land_monthly" ->
       """SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS month,
                 count(*) AS cnt, count(DISTINCT user_id) AS n_users,

@@ -40,6 +40,13 @@ object CdcStream {
   final case class St(user_id: Long, ts_us: Long, event_id: Long,
                       event_type: String, value: Double)
 
+  /** A relationship CDC event in flight — the second record type the
+    * generic [[latestBy]] serves (the reference runs nodes AND
+    * relationships through the same dedup semantics,
+    * 01-init-tables.sql:23-37). */
+  final case class RelEv(event_id: String, ts_us: Long, source_id: String,
+                         target_id: String, rel_type: String)
+
   /** [[Ev]] still carrying its TIMESTAMP event-time column: the
     * EventTimeTimeout path ([[latestByExpiring]]) requires the
     * watermarked column to survive into the stateful operator's input
