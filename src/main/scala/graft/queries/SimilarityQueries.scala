@@ -70,6 +70,32 @@ object SimilarityQueries extends QueryPack {
           col("n_vecs"), col("ctr"))
         .orderBy("label", "dim")),
 
+    // E7: embedding outlier screening — the 20 vectors LEAST cosine-
+    // similar to the corpus mean, the cheap data-quality pass that
+    // catches corrupted/degenerate embeddings before they poison
+    // dedup/ANN results. The mean is a bounded model fit (dim doubles
+    // via one posexplode hash-agg with map-side partials — the
+    // embed_centroids shuffle shape, label-free); scoring is a pure
+    // projection + TakeOrderedAndProject. The mean is rounded to 6 dp
+    // on BOTH sides so Spark's partial-agg summation order and
+    // DuckDB's sequential avg agree bit-for-bit before any cosine
+    // arithmetic amplifies an ulp.
+    "embed_outliers" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      val mean = v.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(avg(col("x")), 6).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      val mNorm = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
+      val cos = VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("v"), typedlit(mean.toSeq)),
+        VectorFunctions.l2(col("v")), lit(mNorm))
+      v.withColumn("mean_cos", round(cos, 4))
+        .select("vec_id", "mean_cos")
+        .orderBy(col("mean_cos").asc, col("vec_id"))
+        .limit(20)
+    }),
+
     // E4 contract check (oracle-backed): the int8-quantized search
     // must recover ≥ 0.9 of the exact threshold-search result pairs
     // — quantization error can both drop borderline pairs and admit
@@ -145,6 +171,20 @@ object SimilarityQueries extends QueryPack {
          FROM q JOIN n ON q_id <> vec_id
          WHERE list_dot_product(qv, v) / (qn * nrm) >= 0.3
          ORDER BY q_id, vec_id""",
+    "embed_outliers" ->
+      """WITH u AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings),
+         m AS (SELECT pos, round(avg(x), 6) AS m FROM u GROUP BY pos),
+         mv AS (SELECT list(m ORDER BY pos) AS mvec FROM m),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT vec_id,
+                       round(list_dot_product(v, mvec) /
+                             (sqrt(list_dot_product(v, v)) *
+                              sqrt(list_dot_product(mvec, mvec))), 4) AS mean_cos
+                FROM v, mv)
+         SELECT vec_id, mean_cos FROM sc
+         ORDER BY mean_cos ASC, vec_id LIMIT 20""",
     "embed_centroids" ->
       """WITH u AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
                            generate_subscripts(embedding, 1) AS i
