@@ -96,6 +96,22 @@ object SimilarityQueries extends QueryPack {
         .limit(20)
     }),
 
+    // E8: embedding corpus integrity — the one-row health report an
+    // ingest gate runs before any vector math: null payloads, NaN
+    // components, zero-norm vectors (undefined cosine), and dimension
+    // drift (a mixed-dim corpus silently breaks every dot product).
+    // One pass, pure aggregates; the graph_integrity analog for the
+    // embedding store.
+    "embed_integrity" -> ((s, dir) => {
+      val v = VectorFunctions.asDouble(col("embedding"))
+      Tables.load(s, dir, "embeddings").agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("embedding").isNull, 1)).as("null_vecs"),
+        count_distinct(size(col("embedding"))).as("n_dims"),
+        count(when(exists(v, x => isnan(x)), 1)).as("nan_vecs"),
+        count(when(VectorFunctions.dot(v, v) === 0.0d, 1)).as("zero_norm_vecs"))
+    }),
+
     // E4 contract check (oracle-backed): the int8-quantized search
     // must recover ≥ 0.9 of the exact threshold-search result pairs
     // — quantization error can both drop borderline pairs and admit
@@ -171,6 +187,17 @@ object SimilarityQueries extends QueryPack {
          FROM q JOIN n ON q_id <> vec_id
          WHERE list_dot_product(qv, v) / (qn * nrm) >= 0.3
          ORDER BY q_id, vec_id""",
+    "embed_integrity" ->
+      """SELECT count(*) AS n_vecs,
+                count(CASE WHEN embedding IS NULL THEN 1 END) AS null_vecs,
+                count(DISTINCT len(embedding)) AS n_dims,
+                count(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                                x -> isnan(x))) > 0
+                           THEN 1 END) AS nan_vecs,
+                count(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])) = 0
+                           THEN 1 END) AS zero_norm_vecs
+         FROM embeddings""",
     "embed_outliers" ->
       """WITH u AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
                            generate_subscripts(embedding, 1) AS pos
