@@ -25,6 +25,22 @@ object TextQueries extends QueryPack {
     "zh" -> Seq("hash", "scan"))
 
   val queries: Map[String, Q] = Map(
+    // F8: document-store ingest gate — null/blank payloads, control
+    // characters, and length extremes in one aggregate pass; the text
+    // member of the integrity-gate trio (graph_integrity /
+    // embed_integrity). Runs BEFORE tokenization-dependent ops, which
+    // is the point: size(null)=-1 class hazards start here.
+    "text_integrity" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("text").isNull, 1)).as("null_docs"),
+        count(when(col("text").isNotNull &&
+          trim(col("text")) === "", 1)).as("blank_docs"),
+        count(when(col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1))
+          .as("ctl_char_docs"),
+        max(length(col("text"))).cast("long").as("max_chars"),
+        min(length(col("text"))).cast("long").as("min_chars"))),
+
     // F1: per-document quality metrics — length, token count, stopword
     // ratio, composite score. One narrow projection, zero shuffles
     // (the ORDER BY is the oracle-determinism tail only).
@@ -215,6 +231,16 @@ object TextQueries extends QueryPack {
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   val oracles: Map[String, String] = Map(
+    "text_integrity" ->
+      """SELECT count(*) AS n_docs,
+                count(CASE WHEN text IS NULL THEN 1 END) AS null_docs,
+                count(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                           THEN 1 END) AS blank_docs,
+                count(CASE WHEN regexp_matches(text,
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 END) AS ctl_char_docs,
+                CAST(max(length(text)) AS BIGINT) AS max_chars,
+                CAST(min(length(text)) AS BIGINT) AS min_chars
+         FROM documents""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks, $normSql AS norm FROM documents)
           SELECT doc_id,
