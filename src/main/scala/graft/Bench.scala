@@ -64,8 +64,12 @@ object Bench {
       val adjudicated =
         if (err.isEmpty && times.min > 0 && times.max / times.min > 2.0) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          times :+ (System.nanoTime() - t0) / 1e9
+          // only append on success — a failed re-run's near-zero
+          // time-to-exception would otherwise become the reported min,
+          // the exact hazard the no-timing-row-on-error rule exists for
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) times :+ (System.nanoTime() - t0) / 1e9 else times
         } else times
       // a failed query gets NO timing row: time-to-exception is near
       // zero and would read as the fastest query in the bench JSON
@@ -107,7 +111,14 @@ object Bench {
     // (QueryPack.checks + the _check suffix), not here.
     val isCheck = SparkEntry.checkNames
     val checkTotal = results.filter(r => isCheck(r._1)).map(_._2.min).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","op_secs":${total - checkTotal},"check_secs":$checkTotal,"queries":$qs,"runs":$runsJson,"unstable":$unstable,"load_avg":$loadAvg,"cpus":$cpusAvail,"errors":$errJson,"sf":"$sfDir"}"""
+    // streaming entries run the Structured Streaming engine inside the
+    // timed call and pay ~1 s of engine startup per run — fixed cost
+    // that is not plan cost. Reported as their own bucket so the batch
+    // operators' trendline stays readable (same move as check_secs).
+    val isStream = SparkEntry.streamNames
+    val streamTotal = results
+      .filter(r => isStream(r._1) && !isCheck(r._1)).map(_._2.min).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","op_secs":${total - checkTotal - streamTotal},"stream_secs":$streamTotal,"check_secs":$checkTotal,"queries":$qs,"runs":$runsJson,"unstable":$unstable,"load_avg":$loadAvg,"cpus":$cpusAvail,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO land the line in a file: round BENCH_r*.json records have
     // carried parsed:null because the sbt log prefix defeats the

@@ -34,4 +34,8 @@ object SparkEntry {
     * the bench reports their time apart from operator time. */
   def checkNames: Set[String] =
     packs.flatMap(_.checks).toSet ++ queries.keySet.filter(_.endsWith("_check"))
+
+  /** Entries that run the Structured Streaming engine in the timed
+    * path — benched apart as `stream_secs` (engine startup dominates). */
+  def streamNames: Set[String] = packs.flatMap(_.streams).toSet
 }

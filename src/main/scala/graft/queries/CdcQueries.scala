@@ -38,6 +38,18 @@ object CdcQueries extends QueryPack {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // The reference's verification query VERBATIM shape
+    // (test-scenarios/run_tests.py:91): per event type, total events
+    // AND distinct entities — count pairs with countDistinct in one
+    // hash-agg (distinct rewritten by Catalyst into a two-phase
+    // partial agg, still one shuffle keyed on event_type+entity).
+    "cdc_verify_counts" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count_distinct(col("user_id")).as("n_entities"))
+        .orderBy("event_type")),
+
     // A2: ReplacingMergeTree FINAL — one row per entity, newest wins.
     // Hash-agg max_by (single shuffle, map-side partial agg) instead of
     // a window sort: shuffle payload is ~|entities|, not ~|events|.
@@ -318,6 +330,10 @@ object CdcQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "cdc_event_type_counts" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "cdc_verify_counts" ->
+      """SELECT event_type, count(*) AS cnt,
+                count(DISTINCT user_id) AS n_entities
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // newest-wins ordering pinned to MICROsecond precision (epoch_us)
     // on the oracle side too: Spark floors the nanos timestamp to
     // micros at load, so ordering by raw nanos here could tie-break

@@ -67,6 +67,36 @@ object OlapQueries extends QueryPack {
         .orderBy("nation")
     }),
 
+    // J5 driver proof (VERDICT r5 #5): the bucketed co-located join
+    // layout round-trips CONTENT, not just plan shape. Once per JVM
+    // per dir, orders + customer are written bucketed-and-sorted on
+    // the join key (the shuffle paid at write time); the timed entry
+    // joins the bucketed tables and aggregates, and the oracle is a
+    // PLAIN DuckDB join over the source parquet — so a bucketing bug
+    // that drops/duplicates rows hash-mismatches. The zero-exchange
+    // claim stays asserted in PipelineSpec (plan property, not data).
+    "bucketed_join" -> ((s, dir) => {
+      val (ordT, custT) = bucketedTables.computeIfAbsent(dir, d => {
+        val suffix = Staging.md5Hex(d).take(8)
+        val ordT = s"graft_orders_b_$suffix"
+        val custT = s"graft_customer_b_$suffix"
+        graft.sinks.ParquetSink.writeBucketed(
+          Tables.load(s, d, "orders"), "o_custkey", 8, ordT,
+          Some(Staging.path("bucket_orders", d)))
+        graft.sinks.ParquetSink.writeBucketed(
+          Tables.load(s, d, "customer")
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", 8, custT,
+          Some(Staging.path("bucket_customer", d)))
+        (ordT, custT)
+      })
+      s.table(ordT).join(s.table(custT), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // C4: time-range pruned aggregate — the PARTITION BY toYYYYMM
     // query pattern (min/max parquet stats prune row groups).
     "time_range_prune" -> ((s, dir) =>
@@ -79,7 +109,18 @@ object OlapQueries extends QueryPack {
         .orderBy("o_orderstatus"))
   )
 
+  // source dir -> (orders, customer) bucketed table names, written
+  // once per JVM (the bucketing shuffle is write-time cost by design —
+  // re-timing it per run would measure the write, not the join)
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   val oracles: Map[String, String] = Map(
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,

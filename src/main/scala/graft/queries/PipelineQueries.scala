@@ -89,7 +89,12 @@ object PipelineQueries extends QueryPack {
     // normalization leg (bins sum to 1) with a literal expectation.
     "mm_feature_stub" -> ((s, dir) => {
       import s.implicits._
+      // null-payload parity with the oracle: decodeStub coerces a null
+      // payload to empty (n_bytes=0, hist_ok=true) while DuckDB derives
+      // NULLs — filter null text on BOTH sides so a corpus that grows a
+      // null row can't hash-diverge (ADVICE r5; none exist today)
       val media = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
         .as[Multimodal.Media]
       Multimodal.extractFeatures(media)
@@ -301,9 +306,14 @@ object PipelineQueries extends QueryPack {
     // real duplicate delivery, the at-least-once replay the operator
     // exists to absorb); dropDuplicatesWithinWatermark must recover
     // EXACTLY the original event set however AvailableNow batches the
-    // files: duplicates inside the watermark horizon hit live dedup
-    // state, duplicates behind it are dropped as late rows — both
-    // paths erase them. Full-row oracle against the undoubled table.
+    // files. The watermark delay deliberately EXCEEDS the dataset's
+    // event-time span (ADVICE r5): with a short delay, a batching that
+    // lands BOTH copies of an old event behind an already-advanced
+    // watermark would drop the event entirely — late-row loss, not
+    // dedup. A span-exceeding delay keeps every row inside the
+    // horizon, so duplicates always hit live dedup state and the
+    // result is batching-independent. (Bounded-state behavior under a
+    // SHORT horizon stays covered by the CdcStream spec.)
     "stream_dedup_exact" -> ((s, dir) => {
       val staging = dupStagedDirs.computeIfAbsent(dir, d => {
         val p = Staging.path("dup_events", d)
@@ -317,7 +327,7 @@ object PipelineQueries extends QueryPack {
         .withColumn("fp", md5(concat_ws("|",
           col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))))
-      val deduped = CdcStream.dedupExactStream(raw, "fp", "ts", "1 day")
+      val deduped = CdcStream.dedupExactStream(raw, "fp", "ts", "3650 days")
       CdcStream.runToMemory(deduped, OutputMode.Append())
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
@@ -421,11 +431,20 @@ object PipelineQueries extends QueryPack {
     })
   )
 
+  /** Entries whose timed path starts the streaming engine each run
+    * (runToMemory / a fresh query). The landed-store entries
+    * (stream_jdbc_land, stream_land_monthly, storage_stats) stream once
+    * per JVM and then time a batch scan, so they stay operator-bucketed. */
+  override val streams: Set[String] = Set(
+    "stream_event_counts", "stream_json_parse", "stream_progress",
+    "stream_counts_watermarked", "stream_dedup_exact",
+    "stream_latest_expiring", "stream_latest_rel", "stream_latest_state")
+
   val oracles: Map[String, String] = Map(
     "mm_feature_stub" ->
       """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
                            hex(encode(text)) AS h
-                    FROM documents),
+                    FROM documents WHERE text IS NOT NULL),
          f AS (SELECT doc_id, n,
                       len(list_filter(range(1, n + 1),
                                       i -> substring(h, i * 2, 1) = '0')) AS z

@@ -18,4 +18,11 @@ trait QueryPack {
     * suffix-less ones, NEXT TO their definitions, so a new embedded-
     * baseline entry can't silently pollute the operator trendline. */
   def checks: Set[String] = Set.empty
+
+  /** Entries whose timed path runs the Structured Streaming engine
+    * (readStream → AvailableNow → sink) — their per-run cost is
+    * dominated by ~1 s of engine startup, not plan execution, so the
+    * bench reports them as `stream_secs` apart from operator time.
+    * Declared next to the definitions, like [[checks]]. */
+  def streams: Set[String] = Set.empty
 }

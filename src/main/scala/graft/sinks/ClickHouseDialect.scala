@@ -83,8 +83,25 @@ object ClickHouseDialect extends JdbcDialect {
         .map(ArrayType(_, containsNull = true))
     else if (lower.startsWith("datetime")) Some(TimestampType)
     else if (lower.startsWith("decimal")) {
-      val args = t.substring(t.indexOf('(') + 1, t.length - 1).split(',')
-      Some(DecimalType(args(0).trim.toInt, args(1).trim.toInt))
+      // All legitimate ClickHouse spellings: Decimal(P, S), Decimal(P)
+      // (scale 0), and the sized aliases Decimal32/64/128(S) with fixed
+      // precision 9/18/38. Decimal256 exceeds Spark's 38-digit max and
+      // anything malformed falls back to None (Spark's default JDBC
+      // mapping) instead of throwing out of the read path.
+      val paren = lower.indexOf('(')
+      if (paren < 0 || !t.endsWith(")")) None
+      else try {
+        val args = t.substring(paren + 1, t.length - 1).split(',')
+          .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        (lower.substring(0, paren), args) match {
+          case ("decimal", Array(p, sc)) => Some(DecimalType(p, sc))
+          case ("decimal", Array(p))     => Some(DecimalType(p, 0))
+          case ("decimal32", Array(sc))  => Some(DecimalType(9, sc))
+          case ("decimal64", Array(sc))  => Some(DecimalType(18, sc))
+          case ("decimal128", Array(sc)) => Some(DecimalType(38, sc))
+          case _                         => None
+        }
+      } catch { case _: NumberFormatException => None }
     }
     // enums read back as their string labels (the reference's
     // event_type round-trips as INSERT/UPDATE/DELETE strings)

@@ -252,11 +252,15 @@ object ParquetSink {
     * writer-partitions) — at 100 TB pick buckets so a bucket fits an
     * executor's scan budget. */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,
-                    tableName: String): Unit =
-    df.write
+                    tableName: String, path: Option[String] = None): Unit = {
+    val w = df.write
       .format("parquet")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .mode("overwrite")
-      .saveAsTable(tableName)
+    // explicit path → external table: the catalog entry (which carries
+    // the bucketing metadata the planner needs) stays in the session,
+    // the data lands where the caller can manage its lifecycle
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

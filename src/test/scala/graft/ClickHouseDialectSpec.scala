@@ -128,6 +128,21 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(c("AggregateFunction(sum, Int64)").isEmpty, "unknown types stay None")
   }
 
+  test("read-side map covers every legitimate decimal spelling (ADVICE r5)") {
+    def c(n: String) = ClickHouseDialect.catalystType(n)
+    assert(c("Decimal(10)").contains(DecimalType(10, 0)), "one-arg = scale 0")
+    assert(c("Decimal32(4)").contains(DecimalType(9, 4)))
+    assert(c("Decimal64(8)").contains(DecimalType(18, 8)))
+    assert(c("Decimal128(20)").contains(DecimalType(38, 20)))
+    assert(c("Nullable(Decimal64(2))").contains(DecimalType(18, 2)))
+    // past Spark's 38-digit max, or malformed → None (Spark default
+    // mapping applies) rather than an exception out of the read path
+    assert(c("Decimal256(10)").isEmpty)
+    assert(c("Decimal").isEmpty)
+    assert(c("Decimal(x, y)").isEmpty)
+    assert(c("Decimal(1, 2, 3)").isEmpty)
+  }
+
   test("write and read type maps are mutual inverses on the supported lattice") {
     // a type that survives write → DDL text → read-back unchanged is
     // safe for round-trip pipelines (snapshot export + re-import);

@@ -167,6 +167,66 @@ class IvfIndexSpec extends SparkSpec {
     assert(postSearch == preSearch, "compaction changed search results")
   }
 
+  test("compact rewrites >=3 fragmented partitions from one batched job") {
+    // VERDICT r5 #3: the per-partition coalesce(1) loop launched one
+    // Spark job per fragmented cid (k jobs at k centroids); the
+    // batched rewrite must keep the job count CONSTANT in the number
+    // of fragmented partitions.
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path, nCentroids = Some(8), fitSamplePct = Some(100))
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding")
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val compacted =
+      try {
+        val c = IvfIndex.compact(spark, idx, maxFiles = 1)
+        // listener delivery is async — settle before reading the count
+        Thread.sleep(1000)
+        c
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(compacted.size >= 3,
+      s"expected >=3 fragmented partitions, got ${compacted.size}")
+    // one staged write (AQE may split it into a couple of jobs) — but
+    // NEVER one job per partition, which is what the loop shape cost
+    assert(jobs.get() <= 4,
+      s"compact launched ${jobs.get()} jobs for ${compacted.size} " +
+        "fragmented partitions — the rewrite is not batched")
+  }
+
+  test("compact's recovery sweep restores an interrupted swap") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = Some(8), fitSamplePct = Some(100))
+    val root = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = spark.read.parquet(root.toString).count()
+    // simulate a crash between the two renames: live dir staged to the
+    // backup name, replacement never published
+    val live = fs.globStatus(new org.apache.hadoop.fs.Path(root, "cid=*"))
+      .filter(_.isDirectory).head.getPath
+    val c = live.getName.stripPrefix("cid=")
+    val backup = new org.apache.hadoop.fs.Path(root, s"_graft_replaced_cid=$c")
+    assert(fs.rename(live, backup))
+    // next compact call must restore the partition before doing anything
+    IvfIndex.compact(spark, idx, maxFiles = 100)
+    assert(fs.exists(live), "interrupted swap was not restored")
+    assert(!fs.exists(backup), "backup left behind after restore")
+    assert(spark.read.parquet(root.toString).count() == before,
+      "rows lost across the interrupted-swap recovery")
+  }
+
   test("model round-trips exactly; a cid predicate prunes the assignment scan") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
