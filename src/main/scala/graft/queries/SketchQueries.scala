@@ -161,15 +161,7 @@ object SketchQueries extends QueryPack {
     // in-memory search + compare.
     "sim_ivf_index_check" -> ((s, dir) => {
       val vecs = Tables.load(s, dir, "embeddings")
-      val path = indexDirs.computeIfAbsent(dir, d => {
-        // Staging.path, NOT a hand-built name: only the graft_staging_
-        // prefix is covered by the crash-recovery sweep (review finding)
-        val p = Staging.path("ivf_index", d)
-        graft.operators.IvfIndex.build(vecs, "vec_id", "embedding", p,
-          nCentroids = Some(16), fitSamplePct = Some(10))
-        p
-      })
-      val idx = graft.operators.IvfIndex.load(s, path)
+      val idx = graft.operators.IvfIndex.load(s, stagedIndex(s, dir))
       val queries = vecs.filter(col("vec_id") % 100 === 0)
       val fromDisk = graft.operators.IvfIndex.search(s, idx, queries,
         "vec_id", "embedding", k = 10, nprobe = Some(6))
@@ -177,8 +169,56 @@ object SketchQueries extends QueryPack {
         "vec_id", "embedding", k = 10, nprobe = Some(6))
       fromDisk.exceptAll(inMem).agg(count(lit(1)).as("extra"))
         .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
+    }),
+
+    // E6 drift gate (VERDICT r5 #4): the frozen-model append path's
+    // monitoring signal, driver-checked as a verdict — an
+    // in-distribution batch (a slice of the indexed corpus) must read
+    // ~1 on both drift signals while a translated copy of the SAME
+    // batch must concentrate (top centroid holds most rows) and read
+    // clearly high on occupancy. The oracle pins the verdict booleans
+    // plus the batch size.
+    "sim_ivf_drift_check" -> ((s, dir) => {
+      val vecs = Tables.load(s, dir, "embeddings")
+      val idx = graft.operators.IvfIndex.load(s, stagedIndex(s, dir))
+      val inDist = vecs.filter(col("vec_id") % 10 === 3)
+      val drifted = inDist.withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.5f)))
+      val a = graft.operators.IvfIndex
+        .driftStats(s, idx, inDist, "vec_id", "embedding")
+        .select(col("n").as("n_batch"), col("drift_ratio").as("a_ratio"),
+          col("occupancy_ratio").as("a_occ"))
+      val b = graft.operators.IvfIndex
+        .driftStats(s, idx, drifted, "vec_id", "embedding")
+        .select(col("occupancy_ratio").as("b_occ"),
+          col("top_cid_frac").as("b_top"))
+      // thresholds measured across sf0.001/0.01/0.1 (in-dist occ
+      // 1.2–1.75, drifted occ 5.8–9.6; drifted top frac dips to 0.46
+      // when the shift straddles two centroids — the occupancy RATIO
+      // is the robust discriminator, the top-frac floor only guards
+      // degeneracy)
+      a.crossJoin(b) // single-row aggregates both sides
+        .select(col("n_batch"),
+          (col("a_ratio") < 1.5 && col("a_occ") < 3.0).as("indist_ok"),
+          (col("b_top") > 0.3 && col("b_occ") > col("a_occ") * 2.0)
+            .as("drift_detected"))
     })
   )
+
+  /** The persisted IVF index for `dir`, built once per JVM at a pinned
+    * configuration (16 centroids, 10% fit sample) — shared by the
+    * index zero-diff check and the drift gate. Staging.path, NOT a
+    * hand-built name: only the graft_staging_ prefix is covered by the
+    * crash-recovery sweep (review finding). */
+  private def stagedIndex(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    indexDirs.computeIfAbsent(dir, d => {
+      val p = Staging.path("ivf_index", d)
+      graft.operators.IvfIndex.build(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", p,
+        nCentroids = Some(16), fitSamplePct = Some(10))
+      p
+    })
 
   // source dir -> built index path (one build per JVM; see the
   // matching staging pattern in PipelineQueries.stagedDirs)
@@ -314,6 +354,15 @@ object SketchQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "sim_ivf_index_check" ->
       """SELECT CAST(0 AS BIGINT) AS extra, CAST(0 AS BIGINT) AS missing""",
+    // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
+    // no distance) so a degenerate vector can't skew the count compare
+    "sim_ivf_drift_check" ->
+      """SELECT count(*) AS n_batch, true AS indist_ok,
+                true AS drift_detected
+         FROM embeddings
+         WHERE vec_id % 10 = 3
+           AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) > 0""",
     "dedup_minhash_lsh_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",

@@ -227,6 +227,59 @@ class IvfIndexSpec extends SparkSpec {
       "rows lost across the interrupted-swap recovery")
   }
 
+  test("driftStats separates a drifted batch from an in-distribution one") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nCentroids = Some(8), fitSamplePct = Some(100))
+    // held-out slice of the SAME distribution vs a TRANSLATED batch
+    // (every component shifted by +0.5 — several noise sigmas for this
+    // ~unit-norm corpus). On a near-isotropic corpus a translation
+    // keeps the distance-to-centroid distribution unchanged (any fixed
+    // direction scores the same best-of-k cosine as data — measured:
+    // the antipodal batch's mean_dist matched in-dist to 3 decimals),
+    // which is exactly why driftStats carries the occupancy signal:
+    // the shifted batch collapses onto the one centroid nearest the
+    // shift direction and the histogram skew reads immediately.
+    val inDist = vecs.filter(col("vec_id") % 2 === 1)
+    val drifted = inDist.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.5f)))
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()(0)
+    val a = row(IvfIndex.driftStats(spark, idx, inDist, "vec_id", "embedding"))
+    val b = row(IvfIndex.driftStats(spark, idx, drifted, "vec_id", "embedding"))
+    info(s"in-dist: mean=${a.getAs[Double]("mean_dist")} ratio=${a.getAs[Double]("drift_ratio")} " +
+      s"top=${a.getAs[Double]("top_cid_frac")} occ=${a.getAs[Double]("occupancy_ratio")}")
+    info(s"drifted: mean=${b.getAs[Double]("mean_dist")} ratio=${b.getAs[Double]("drift_ratio")} " +
+      s"top=${b.getAs[Double]("top_cid_frac")} occ=${b.getAs[Double]("occupancy_ratio")}")
+    assert(a.getAs[Long]("n") > 0 && b.getAs[Long]("n") > 0)
+    assert(a.getAs[Double]("base_mean") > 0, "baseline missing or degenerate")
+    // the separation contract: in-distribution reads ~1 on both
+    // signals (the fit baseline is measured in-sample, so a held-out
+    // slice sits a little above 1 on distance — bounded, not ~2);
+    // the drifted batch reads clearly high on occupancy
+    assert(a.getAs[Double]("drift_ratio") < 1.3,
+      s"held-out same-distribution batch flagged as drifted: $a")
+    assert(a.getAs[Double]("occupancy_ratio") < 2.0,
+      s"held-out batch occupancy flagged: $a")
+    assert(b.getAs[Double]("top_cid_frac") > 0.5,
+      s"translated batch did not concentrate: $b")
+    assert(b.getAs[Double]("occupancy_ratio") >
+        a.getAs[Double]("occupancy_ratio") * 2.0,
+      s"translated batch not separated from in-distribution: $a vs $b")
+    // a pre-baseline index refuses with the upgrade instruction
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/fit_baseline"), true)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.driftStats(spark, idx, inDist, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("writeFitBaseline"))
+    // and the documented upgrade path restores it
+    IvfIndex.writeFitBaseline(spark, idx)
+    assert(row(IvfIndex.driftStats(spark, idx, inDist, "vec_id", "embedding"))
+      .getAs[Double]("drift_ratio") < 1.3)
+  }
+
   test("model round-trips exactly; a cid predicate prunes the assignment scan") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
