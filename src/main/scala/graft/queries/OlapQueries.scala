@@ -90,10 +90,14 @@ object OlapQueries extends QueryPack {
           Some(Staging.path("bucket_customer", d)))
         (ordT, custT)
       })
+      // 2-dp rounding, not the usual 4: five segments concentrate the
+      // sum near 1e11, where a double's ulp (~1.5e-5) already exceeds
+      // 4-dp — engines legitimately disagree in the 4th decimal from
+      // summation order alone (caught at the 10x scale run)
       s.table(ordT).join(s.table(custT), "o_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("total"))
+          round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("c_mktsegment")
     }),
 
@@ -118,7 +122,7 @@ object OlapQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                round(sum(o_totalprice), 4) AS total
+                round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q1_agg" ->
