@@ -174,27 +174,32 @@ object Dedup {
         vecs.limit(0).select(col(idCol).as("i"), col(idCol).as("j"),
           lit(0.0).as("cosine"))
       case Some(d) =>
-        // COST-BASED fallback (auto mode only): when the recall-
-        // preserving table count makes expected candidate volume
-        // (tables·targetBucket·n) approach the all-pairs count (n²/2),
-        // LSH is saturated — the hashing buys nothing over exact
-        // scoring, and the exact baseline has recall 1.0 under the
-        // SAME output contract. Happens at small corpora / low τ (the
-        // n^ρ curve's bad end). The n ≤ 8192 bound is what makes
-        // bypassing the all-pairs guard sound: ≤ 33.5M exact pairs is
-        // unconditionally cheap, whereas on LARGER saturated corpora
-        // the comparison flips for degenerate inputs — a near-
-        // identical-mass corpus is cheap under LSH (maxBucket drops
-        // the spike) but quadratic under exact, so there the LSH plan
-        // runs even saturated (review finding). Pinning bits or
-        // tables opts out.
+        // COST-BASED fallback (auto mode only): exact all-pairs has
+        // recall 1.0 under the SAME output contract, so below the
+        // crossover it strictly dominates. The model, with constants
+        // measured on the 10x scale run: the exact path is ONE
+        // broadcast-loop stage of fused-codegen dot products (~1e8
+        // pairs/s at 32 threads), while each LSH candidate pays ~20x
+        // that (per-table shuffle stages, bucket explode, distinct) —
+        // at n = 20k the recall-preserving ~90 tables cost 13.3 s
+        // against 2.1 s exact. So: fall back while the exact pair
+        // count n/2-per-row stays within ~16x the expected per-row
+        // candidate volume (tables·targetBucket) — conservative vs
+        // the measured 20x — AND n is small enough that the exact
+        // join is unconditionally safe (n ≤ 32768: ≤ 5.4e8 pairs,
+        // ≤ 16 MB broadcast side). The hard cap is what makes
+        // bypassing the all-pairs guard sound; past it the LSH plan
+        // runs even if the model says exact would win on wall-clock,
+        // because a degenerate near-identical-mass corpus is cheap
+        // under LSH (maxBucket drops the spike) but quadratic under
+        // exact (review finding). Pinning bits or tables opts out.
         val resolved: Option[(Int, Int)] =
           if (bits.nonEmpty || tables.nonEmpty) None
           else {
             val n = vecs.count()
             val b = Similarity.autoBits(n, targetBucket)
             val t = Similarity.autoTables(b, tau)
-            if (t.toLong * targetBucket >= n / 2 && n <= 8192L)
+            if (n <= 32768L && n / 2 <= 16L * t * targetBucket)
               return embeddingPairs(vecs, idCol, vecCol, tau,
                 allowAllPairs = true)
             Some((t, b))

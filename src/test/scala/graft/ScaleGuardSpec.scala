@@ -241,9 +241,9 @@ class ScaleGuardSpec extends SparkSpec {
     val n = emb.count()
     val b = Similarity.autoBits(n)
     val t = Similarity.autoTables(b, 0.4)
-    assert(t.toLong * 64L >= n / 2 && n <= 8192L,
-      s"test data (n=$n, bits=$b, tables=$t) no longer saturates LSH — " +
-        "regenerate the expectations or shrink the corpus")
+    assert(n <= 32768L && n / 2 <= 16L * t * 64L,
+      s"test data (n=$n, bits=$b, tables=$t) outgrew the pair-dedup " +
+        "cost-crossover — regenerate the expectations or shrink the corpus")
     assert(emb.filter(col("vec_id") % 100 === 0).count() <= t * b,
       "query batch outgrew the brute-force fallback condition")
     val autoPairs = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4)
