@@ -171,6 +171,45 @@ object SketchQueries extends QueryPack {
         .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
     }),
 
+    // E6 storage gate: IvfIndex.stats (the system.parts analog over
+    // the cid layout) driver-checked end-to-end through a real
+    // build + 2 appends + compact cycle on its OWN small index (the
+    // shared staged index must stay append-free — sim_ivf_index_check
+    // compares it against an in-memory twin of the original corpus):
+    // the fragmentation flag must match compact's work list exactly,
+    // row accounting must survive the whole cycle, and the compacted
+    // layout must be fragment-free.
+    "sim_ivf_storage_check" -> ((s, dir) => {
+      val vecs = Tables.load(s, dir, "embeddings")
+      val path = fragIndexDirs.computeIfAbsent(dir, d => {
+        val p = Staging.path("ivf_frag", d)
+        val idx = graft.operators.IvfIndex.build(
+          vecs.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", p,
+          nCentroids = Some(8), fitSamplePct = Some(100))
+        graft.operators.IvfIndex.append(idx,
+          vecs.filter(col("vec_id") % 4 === 1), "vec_id", "embedding")
+        graft.operators.IvfIndex.append(idx,
+          vecs.filter(col("vec_id") % 4 === 2), "vec_id", "embedding")
+        p
+      })
+      val idx = graft.operators.IvfIndex.load(s, path)
+      // MATERIALIZE the pre-compact stats (one bounded row) before
+      // compacting: a lazy pre-DataFrame would plan against file
+      // paths the compaction renames away and fail at execution
+      val pre = graft.operators.IvfIndex.stats(s, idx, maxFiles = 1)
+        .agg(sum(col("rows")).as("pre_rows"),
+          sum(when(col("fragmented"), 1).otherwise(0)).as("pre_frag"))
+        .collect()(0)
+      val compacted = graft.operators.IvfIndex.compact(s, idx, maxFiles = 1)
+      graft.operators.IvfIndex.stats(s, idx, maxFiles = 1)
+        .agg(sum(col("rows")).as("n_indexed"),
+          sum(when(col("fragmented"), 1).otherwise(0)).as("post_frag"))
+        .select(col("n_indexed"),
+          (lit(pre.getAs[Long]("pre_rows")) === col("n_indexed") &&
+            lit(pre.getAs[Long]("pre_frag")) === lit(compacted.size.toLong) &&
+            col("post_frag") === 0).as("layout_ok"))
+    }),
+
     // E6 drift gate (VERDICT r5 #4): the frozen-model append path's
     // monitoring signal, driver-checked as a verdict — an
     // in-distribution batch (a slice of the indexed corpus) must read
@@ -223,6 +262,11 @@ object SketchQueries extends QueryPack {
   // source dir -> built index path (one build per JVM; see the
   // matching staging pattern in PipelineQueries.stagedDirs)
   private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // source dir -> the storage-gate's own fragmented index (built+
+  // appended once per JVM; its first stats/compact cycle is the
+  // exercised verdict, later calls see the compacted steady state)
+  private val fragIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // source dir -> staged exact-baseline parquet. The checks' ground
@@ -354,6 +398,9 @@ object SketchQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "sim_ivf_index_check" ->
       """SELECT CAST(0 AS BIGINT) AS extra, CAST(0 AS BIGINT) AS missing""",
+    "sim_ivf_storage_check" ->
+      """SELECT count(*) AS n_indexed, true AS layout_ok
+         FROM embeddings WHERE vec_id % 4 < 3""",
     // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
     // no distance) so a degenerate vector can't skew the count compare
     "sim_ivf_drift_check" ->

@@ -204,6 +204,32 @@ class IvfIndexSpec extends SparkSpec {
         "fragmented partitions — the rewrite is not batched")
   }
 
+  test("stats reports per-cid layout and flags exactly what compact rewrites") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp()
+    val idx = IvfIndex.build(vecs.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", path, nCentroids = Some(8), fitSamplePct = Some(100))
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding")
+    IvfIndex.append(idx, vecs.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding")
+    val before = IvfIndex.stats(spark, idx, maxFiles = 1).collect()
+    assert(before.map(_.getAs[Long]("rows")).sum == vecs.count(),
+      "stats row accounting lost rows across build+append")
+    val flagged = before.filter(_.getAs[Boolean]("fragmented"))
+      .map(_.getAs[Int]("cid")).toSet
+    assert(flagged.nonEmpty, "three writes per cid must fragment at maxFiles=1")
+    // the flag IS compact's work list
+    val compacted = IvfIndex.compact(spark, idx, maxFiles = 1).toSet
+    assert(compacted == flagged,
+      s"compact rewrote $compacted but stats flagged $flagged")
+    val after = IvfIndex.stats(spark, idx, maxFiles = 1).collect()
+    assert(after.forall(!_.getAs[Boolean]("fragmented")),
+      "fragmentation remains after compact")
+    assert(after.map(_.getAs[Long]("rows")).sum == vecs.count(),
+      "compaction changed the row accounting")
+  }
+
   test("compact's recovery sweep restores an interrupted swap") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val path = tmp()
