@@ -222,11 +222,24 @@ object Similarity {
         // the saturation inequality alone stops bounding n once a
         // caller raises targetBucket, and an unbounded brute path
         // would materialize nq·n rows with the Guard bypassed.
-        if (bits.isEmpty && tables.isEmpty &&
-            t.toLong * targetBucket >= n / 2 && n <= 8192L) {
+        // Second leg (r6, from the 10x scale run): an ABSOLUTE bound
+        // on what brute force would materialize — nq·n ≤ 32M
+        // candidate rows is bounded-cheap at ANY corpus size (one
+        // codegen stage, ~0.5 s at 32 threads; measured 3.4 s for the
+        // ~90-table LSH plan at nq=200, n=20k), and unlike the
+        // saturation leg it cannot flip on a sparse query batch over
+        // a huge corpus: nq is probed with a limit bounded by
+        // 32M / n + 1, so a 10⁹-row corpus admits only nq ≤ 0.03 —
+        // i.e. effectively never falls back, which is correct there.
+        if (bits.isEmpty && tables.isEmpty) {
+          val dotCap = t.toLong * b            // arithmetic leg
+          val matCap = 32000000L / math.max(1L, n) // materialization leg
+          val probeTo = math.max(dotCap, matCap)
           val nq = vecs.filter(col(idCol) % queryMod === 0)
-            .select().limit(t * b + 1).count()
-          if (nq <= t * b)
+            .select().limit((math.min(probeTo, Int.MaxValue - 1L) + 1).toInt)
+            .count()
+          val saturated = t.toLong * targetBucket >= n / 2 && n <= 8192L
+          if ((saturated && nq <= dotCap) || nq * n <= 32000000L)
             return bruteForceTopK(vecs, idCol, vecCol, k, queryMod,
               allowAllPairs = true) // ≤ the work the LSH plan would do
         }

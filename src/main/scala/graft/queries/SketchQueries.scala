@@ -171,6 +171,39 @@ object SketchQueries extends QueryPack {
         .crossJoin(inMem.exceptAll(fromDisk).agg(count(lit(1)).as("missing")))
     }),
 
+    // D-incremental exact leg: the Bloom-filter screen (carried state
+    // = ~1.2 MB/M docs, the daily-ingest exact-dedup primitive) as a
+    // driver verdict — history's filter must flag EVERY batch row
+    // whose text exists in history (no false negatives, the Bloom
+    // property) and pass clean rows at ~the build fpp (bounded here
+    // at 5% + small-sample slack).
+    "dedup_bloom_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = bloomDirs.computeIfAbsent(dir, d => {
+        val p = Staging.path("bloom", d) + "/bloom.bin"
+        graft.operators.Sketches.buildExactBloom(
+          Tables.load(s, d, "documents").filter(col("doc_id") % 2 === 0),
+          "text", p)
+        p
+      })
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val screened = graft.operators.Sketches
+        .screenExactBloom(batch, "text", path)
+      val histTexts = docs.filter(col("doc_id") % 2 === 0)
+        .select("text").distinct().withColumn("in_hist", lit(true))
+      screened.join(histTexts, Seq("text"), "left")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("in_hist") && !col("maybe_dup"), 1).otherwise(0))
+            .as("false_neg"),
+          sum(when(col("in_hist").isNull && col("maybe_dup"), 1).otherwise(0))
+            .as("fp"),
+          sum(when(col("in_hist").isNull, 1).otherwise(0)).as("clean"))
+        .select(col("n_batch"),
+          (col("false_neg") === 0).as("no_false_neg"),
+          (col("fp") <= greatest(lit(5L), (col("clean") * 0.05).cast("long")))
+            .as("fp_ok"))
+    }),
+
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
     // the cid layout) driver-checked end-to-end through a real
     // build + 2 appends + compact cycle on its OWN small index (the
@@ -267,6 +300,9 @@ object SketchQueries extends QueryPack {
   // appended once per JVM; its first stats/compact cycle is the
   // exercised verdict, later calls see the compacted steady state)
   private val fragIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // source dir -> persisted bloom filter (built on history once/JVM)
+  private val bloomDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // source dir -> staged exact-baseline parquet. The checks' ground
@@ -401,6 +437,9 @@ object SketchQueries extends QueryPack {
     "sim_ivf_storage_check" ->
       """SELECT count(*) AS n_indexed, true AS layout_ok
          FROM embeddings WHERE vec_id % 4 < 3""",
+    "dedup_bloom_check" ->
+      """SELECT count(*) AS n_batch, true AS no_false_neg, true AS fp_ok
+         FROM documents WHERE doc_id % 3 = 0""",
     // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
     // no distance) so a degenerate vector can't skew the count compare
     "sim_ivf_drift_check" ->

@@ -193,6 +193,32 @@ class SketchSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("exact-dedup bloom screen: no false negatives, bounded false positives") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .resolve("bloom.bin").toString
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    Sketches.buildExactBloom(history, "text", path)
+    val screened = Sketches.screenExactBloom(docs, "text", path)
+    val histTexts = history.select("text").distinct()
+    // Bloom guarantee: a fingerprint that was inserted is ALWAYS hit —
+    // zero rows with history text may pass unflagged
+    assert(screened.filter(!col("maybe_dup"))
+      .join(histTexts, Seq("text"), "left_semi").count() == 0,
+      "bloom screen missed a true duplicate")
+    // genuinely-new texts flag at ~the build fpp (0.01); allow 5x +
+    // slack for small-sample variance
+    val clean = screened.join(histTexts, Seq("text"), "left_anti")
+    val n = clean.count()
+    val fp = clean.filter(col("maybe_dup")).count()
+    assert(fp <= math.max(5L, (0.05 * n).toLong),
+      s"false-positive rate out of bound: $fp of $n clean docs flagged")
+    // a rebuilt filter round-trips through its staged-rename persist
+    Sketches.buildExactBloom(history, "text", path)
+    assert(Sketches.screenExactBloom(docs, "text", path)
+      .filter(!col("maybe_dup"))
+      .join(histTexts, Seq("text"), "left_semi").count() == 0)
+  }
+
   test("ANN candidates report exact cosine values") {
     // every (q, vec) the LSH path returns must carry the same cosine
     // as direct computation — the approximation is only in WHICH
