@@ -229,6 +229,139 @@ object Sketches {
       .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
   }
 
+  // ── Bloom-filter incremental EXACT dedup ──────────────────────────
+  // The [[minhashLshAgainst]] analog for [[Dedup.exact]]'s notion of
+  // duplicate: the carried state is a persisted Bloom filter of content
+  // fingerprints (~1.2 MB per million docs at fpp 0.01), and a daily
+  // batch screens against it at O(batch) with ZERO shuffle, instead of
+  // an anti-join against the full history. Built on Spark's own
+  // runtime-filter kernels — `BloomFilterAggregate` (codegen'd xxhash64
+  // insert, map-side partial merge, one driver-side filter) and
+  // `might_contain` (the screen rides the plan as a binary literal, the
+  // same order of driver traffic as a broadcast dim). The aggregate's
+  // buffer IS `org.apache.spark.util.sketch.BloomFilter`, so persisted
+  // bytes re-open with `BloomFilter.readFrom` and filters sized with
+  // identical (capacity, fpp) merge with `mergeInPlace` — which is what
+  // makes the run-over-run append path below work.
+
+  /** Serialized batch filter, sized for `capacity` items at `fpp`.
+    * Returns None for an empty batch (the aggregate evals to null). */
+  private def bloomBytes(docs: DataFrame, textCol: String,
+                         capacity: Long, fpp: Double): Option[Array[Byte]] = {
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(capacity, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(B.expression(xxhash64(col(textCol))),
+        Literal(capacity), Literal(bits))
+    Option(docs.select(B.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0))
+  }
+
+  private def bloomFs(df: DataFrame, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration))
+  }
+
+  /** Read a persisted filter's bytes; None if absent (first run). */
+  def readExactBloom(df: DataFrame, path: String): Option[Array[Byte]] = {
+    val (p, fs) = bloomFs(df, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  /** Crash-safe staged-rename publish: a reader never sees a torn
+    * filter, and a crash mid-write leaves the previous filter live. */
+  private def writeExactBloom(df: DataFrame, path: String,
+                              bytes: Array[Byte]): Unit = {
+    val (p, fs) = bloomFs(df, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.staging")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"failed to publish bloom filter at $path")
+  }
+
+  /** Build and persist the filter over a history corpus. Size it for
+    * the corpus you expect to ACCUMULATE, not today's — filters built
+    * or appended with the same (`expectedItems`, `fpp`) stay
+    * merge-compatible, and fpp only degrades toward the design point
+    * as inserts approach capacity. Returns the capacity used.
+    * Past ~1e9 items a single filter is GBs — shard by
+    * `pmod(xxhash64(text), k)` into k filters at that scale. */
+  def buildExactBloom(docs: DataFrame, textCol: String, path: String,
+                      expectedItems: Option[Long] = None,
+                      fpp: Double = 0.01): Long = {
+    val n = math.max(1L, expectedItems.getOrElse(docs.count()))
+    writeExactBloom(docs, path,
+      bloomBytes(docs, textCol, n, fpp).getOrElse {
+        // empty corpus: publish an empty filter of the right shape so
+        // the first daily append still finds merge-compatible state
+        // (create(n, fpp) and the aggregate's (n, optimalNumOfBits)
+        // sizing produce identical bits/hash counts)
+        val empty = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+        val out = new java.io.ByteArrayOutputStream()
+        empty.writeTo(out)
+        out.toByteArray
+      })
+    n
+  }
+
+  /** Insert a batch's fingerprints into the persisted filter — the
+    * run-over-run append a daily job does after landing its survivors.
+    * `capacityItems`/`fpp` MUST match the build call (merge requires
+    * identical sizing; violations throw). Empty batch is a no-op. */
+  def mergeExactBloom(batch: DataFrame, textCol: String, path: String,
+                      capacityItems: Long, fpp: Double = 0.01): Unit =
+    bloomBytes(batch, textCol, math.max(1L, capacityItems), fpp)
+      .foreach { batchBytes =>
+        val merged = readExactBloom(batch, path) match {
+          case None => batchBytes
+          case Some(prev) =>
+            import org.apache.spark.util.sketch.BloomFilter.readFrom
+            val a = readFrom(new java.io.ByteArrayInputStream(prev))
+            a.mergeInPlace(
+              readFrom(new java.io.ByteArrayInputStream(batchBytes)))
+            val out = new java.io.ByteArrayOutputStream(prev.length)
+            a.writeTo(out)
+            out.toByteArray
+        }
+        writeExactBloom(batch, path, merged)
+      }
+
+  /** Screen a batch against the persisted filter: adds `flagCol` =
+    * "content fingerprint PROBABLY seen in the filtered history".
+    * Guarantees: NO false negatives (a true duplicate of an inserted
+    * document is always flagged — the Bloom property), false positives
+    * at ~the build fpp. Route flagged rows to a verifying anti-join
+    * against the store when ε loss of clean docs is unacceptable — the
+    * two-phase shape screens the ~99% cheap and pays the join only on
+    * the maybes (that wiring is
+    * [[graft.streaming.CdcStream.dedupExactBloomLand]]). */
+  def screenExactBloom(batch: DataFrame, textCol: String, path: String,
+                       flagCol: String = "maybe_dup"): DataFrame = {
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bytes = readExactBloom(batch, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no bloom filter at $path — run buildExactBloom"))
+    batch.withColumn(flagCol,
+      B.column(org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(
+          Literal(bytes, org.apache.spark.sql.types.BinaryType),
+          B.expression(xxhash64(col(textCol))))))
+  }
+
   /** D4: near-dup pairs via SimHash hamming bands: the 64-bit sketch
     * splits into 4 × 16-bit bands. Any pair within hamming distance 3
     * must agree exactly on ≥1 band (pigeonhole: 3 differing bits can
@@ -242,74 +375,6 @@ object Sketches {
     *   `maxBucket` — a bucket beyond it is the exact-dup spike that
     *   [[Dedup.exact]] must collapse first, not near-dup long-tail.
     */
-  /** Build and persist a Bloom filter over a corpus's exact content
-    * fingerprints — the carried state for INCREMENTAL exact dedup
-    * (the [[minhashLshAgainst]] analog for [[Dedup.exact]]'s notion
-    * of duplicate): a daily batch screens against yesterday's filter
-    * at O(batch) with memory-bounded state (~1.2 MB per million docs
-    * at fpp 0.01), instead of an anti-join that shuffles against the
-    * full history. Built with Spark's own `BloomFilterAggregate`
-    * (the runtime-filter kernel — codegen'd xxhash64 insert, map-side
-    * partial merge, one driver-side filter), persisted as the
-    * aggregate's serialized form via a crash-safe staged rename.
-    * Returns the item count the filter was sized for. */
-  def buildExactBloom(docs: DataFrame, textCol: String, path: String,
-                      expectedItems: Option[Long] = None,
-                      fpp: Double = 0.01): Long = {
-    import org.apache.spark.sql.{GraftExpressionBridge => B}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    val n = math.max(1L, expectedItems.getOrElse(docs.count()))
-    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(B.expression(xxhash64(col(textCol))),
-        Literal(n), Literal(bits))
-    val bytes = docs.select(B.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.staging")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"failed to publish bloom filter at $path")
-    n
-  }
-
-  /** Screen a batch against a persisted exact-dedup Bloom filter:
-    * adds `flagCol` = "content fingerprint PROBABLY seen in the
-    * filtered history". Guarantees: NO false negatives (a true
-    * duplicate of an inserted document is always flagged — the Bloom
-    * property), false positives at ~the build fpp. Route flagged rows
-    * to a verifying anti-join against the store when ε loss of clean
-    * docs is unacceptable — the two-phase shape screens the ~99% cheap
-    * and pays the join only on the maybes. The filter rides the plan
-    * as a literal (codegen'd `might_contain`, no UDF); filters are
-    * MB-scale, the same order as a broadcast dim. */
-  def screenExactBloom(batch: DataFrame, textCol: String, path: String,
-                       flagCol: String = "maybe_dup"): DataFrame = {
-    import org.apache.spark.sql.{GraftExpressionBridge => B}
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no bloom filter at $path — run buildExactBloom")
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
-    batch.withColumn(flagCol,
-      B.column(org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(
-          Literal(bytes, org.apache.spark.sql.types.BinaryType),
-          B.expression(xxhash64(col(textCol))))))
-  }
-
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
     // same four-consumer persist rationale as [[minhashLsh]]: the

@@ -53,6 +53,10 @@ object PipelineQueries extends QueryPack {
   // dir -> staged relationship-event wire payloads (stream_latest_rel)
   private val relStagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // dir -> landed output of the Bloom-dedup stream (streams once per
+  // JVM, timed re-runs read the landed store — the jdbcLanded pattern)
+  private val bloomLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val monthlyLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -334,6 +338,52 @@ object PipelineQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // H10 (new r6): streaming exact dedup against ALL history with
+    // BOUNDED carried state — the Bloom-filter complement to H6
+    // (whose exact state is horizon-limited by the watermark). Two
+    // overlapping "daily" chunks (doc_id%2==0, then %3==0; overlap =
+    // %6==0) stream ONE FILE PER MICRO-BATCH, so chunk 2's overlap is
+    // suppressed by the PERSISTED filter carried over from batch 1 —
+    // cross-batch state, not in-batch dedup. Flagged maybes ε-verify
+    // against the landed store, so a Bloom false positive cannot drop
+    // a clean doc: the landed set is EXACTLY chunk1 ∪ chunk2, and
+    // batching-independent (both chunks in one batch ⇒ the in-batch
+    // dropDuplicates leg yields the same set).
+    "stream_bloom_dedup" -> ((s, dir) => {
+      val landed = bloomLanded.computeIfAbsent(dir, d => {
+        val stage = Staging.path("bloom_stream", d)
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        // full-row fingerprint (doc_id leads and is unique, so fp is
+        // unique per row — the dedup winner is deterministic)
+        val fp = md5(concat_ws("|", col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+        val in = s"$stage/in"
+        docs.filter(col("doc_id") % 2 === 0).withColumn("fp", fp)
+          .coalesce(1).write.mode("overwrite").parquet(in)
+        docs.filter(col("doc_id") % 3 === 0).withColumn("fp", fp)
+          .coalesce(1).write.mode("append").parquet(in)
+        val bloomPath = s"$stage/state/bf.bin"
+        val capacity = docs.count()
+        val emptyFp = docs.limit(0).withColumn("fp", fp)
+        graft.operators.Sketches.buildExactBloom(
+          emptyFp, "fp", bloomPath, expectedItems = Some(capacity))
+        val out = s"$stage/out"
+        val stream = s.readStream.schema(emptyFp.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        CdcStream.dedupExactBloomLand(stream, "fp", bloomPath, capacity,
+          s"$stage/ckpt",
+          save = b => b.write.mode("append").parquet(out),
+          verifyAgainst = Some(() =>
+            if (new java.io.File(out).exists()) s.read.parquet(out)
+            else emptyFp),
+          queryName = Some("stream_bloom_dedup"))
+        out
+      })
+      s.read.parquet(landed)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // H8 (was spec-only): latestByExpiring — the state-TTL deployment
     // shape of H2. Eviction is GC, not a data change (an evicted key's
     // later event re-creates and re-emits it), so the rollup of every
@@ -490,6 +540,9 @@ object PipelineQueries extends QueryPack {
     "stream_dedup_exact" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS value
          FROM events ORDER BY event_id""",
+    "stream_bloom_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 ORDER BY doc_id""",
     "stream_counts_watermarked" ->
       """WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
          SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,

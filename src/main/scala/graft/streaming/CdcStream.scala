@@ -194,6 +194,71 @@ object CdcStream {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  /** Streaming exact dedup against ALL history with BOUNDED state —
+    * the Bloom-filter complement to [[dedupExactStream]]. The
+    * watermark variant's state is exact but horizon-limited (a
+    * duplicate older than the delay passes); this one's carried state
+    * is the persisted content-fingerprint filter from
+    * [[graft.operators.Sketches.buildExactBloom]] — MB-scale for
+    * millions of docs, never O(keys in state store) — so a document
+    * seen LAST MONTH is still suppressed. Per micro-batch:
+    *
+    *   1. batch-local `dropDuplicates(textCol)` (the filter only
+    *      learns a batch's fingerprints after the batch lands, so
+    *      within-batch dups are its blind spot — closed here exactly);
+    *   2. screen against the filter (`might_contain` literal, zero
+    *      shuffle) — unflagged rows are NEW with certainty (no false
+    *      negatives);
+    *   3. flagged rows ε-verify: anti-join the ~fpp maybes against
+    *      `verifyAgainst` (the landed store) so a Bloom false positive
+    *      cannot drop a clean document — output is EXACTLY deduped.
+    *      Pass None to skip the join and accept ε loss (cheapest);
+    *   4. `save` the survivors, then merge their fingerprints into the
+    *      filter (staged-rename publish).
+    *
+    * Save-before-merge ⇒ a crash between the two replays the batch
+    * against the PRE-batch filter: survivors re-land (at-least-once,
+    * absorbed downstream like every sink here) but nothing is lost —
+    * the reverse order could drop data. `capacityItems`/`fpp` must
+    * match the filter's build sizing (merge compatibility). */
+  def dedupExactBloomLand(df: DataFrame, textCol: String,
+                          bloomPath: String, capacityItems: Long,
+                          checkpointDir: String,
+                          save: DataFrame => Unit,
+                          verifyAgainst: Option[() => DataFrame] = None,
+                          fpp: Double = 0.01,
+                          queryName: Option[String] = None): Unit = {
+    val w = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val local = batch.toDF().dropDuplicates(textCol)
+        val flag = "__maybe_dup"
+        val screened = graft.operators.Sketches
+          .screenExactBloom(local, textCol, bloomPath, flag)
+        val fresh = screened.filter(!col(flag)).drop(flag)
+        val survivors = verifyAgainst match {
+          case Some(hist) =>
+            fresh.unionByName(
+              screened.filter(col(flag)).drop(flag)
+                .join(hist().select(textCol).distinct(),
+                  Seq(textCol), "left_anti"))
+          case None => fresh
+        }
+        // two consumers (save + fingerprint merge); without the pin
+        // the screen/verify plan runs twice
+        val pinned = survivors.persist()
+        try {
+          save(pinned)
+          graft.operators.Sketches
+            .mergeExactBloom(pinned, textCol, bloomPath, capacityItems, fpp)
+        } finally pinned.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = queryName.fold(w)(w.queryName).start()
+    q.awaitTermination()
+  }
+
   /** Land a stream into the monthly-partitioned parquet layout — the
     * streaming twin of [[graft.sinks.ParquetSink.writeMonthly]], so a
     * CDC stream's landing zone is born with the reference's MergeTree

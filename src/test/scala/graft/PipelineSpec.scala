@@ -447,6 +447,64 @@ class PipelineSpec extends SparkSpec {
     assert(stateRows == 2, s"dedup state should hold exactly C+D: $stateRows")
   }
 
+  test("dedupExactBloomLand: cross-batch suppression via the persisted filter") {
+    import graft.operators.Sketches
+    val root = Files.createTempDirectory("graft_bloom_stream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val withFp = docs.withColumn("fp",
+      md5(concat_ws("|", col("doc_id"), col("text"))))
+    val in = s"$root/in"
+    withFp.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    withFp.filter(col("doc_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(in)
+    val bloomPath = s"$root/state/bf.bin"
+    val cap = docs.count()
+    Sketches.buildExactBloom(withFp.limit(0), "fp", bloomPath, Some(cap))
+    val out = s"$root/out"
+    def verify = Some(() =>
+      if (new java.io.File(out).exists()) spark.read.parquet(out)
+      else withFp.limit(0))
+    val stream = spark.readStream.schema(withFp.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    CdcStream.dedupExactBloomLand(stream, "fp", bloomPath, cap,
+      s"$root/ckpt", save = b => b.write.mode("append").parquet(out),
+      verifyAgainst = verify)
+    // one file per micro-batch ⇒ the %6==0 overlap arrived in a LATER
+    // batch and was suppressed by carried filter state, not in-batch
+    val landed = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(i => i % 2 == 0 || i % 3 == 0).sorted.toSeq
+    assert(landed == want, "landed set must be exactly chunk1 ∪ chunk2")
+    // day 3 is a pure replay of day 1: a fresh stream (new checkpoint)
+    // over the same payloads lands NOTHING — the filter remembers all
+    // history, where the watermark variant would have forgotten it
+    val in2 = s"$root/in2"
+    withFp.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(in2)
+    CdcStream.dedupExactBloomLand(
+      spark.readStream.schema(withFp.schema).parquet(in2),
+      "fp", bloomPath, cap, s"$root/ckpt2",
+      save = b => b.write.mode("append").parquet(out),
+      verifyAgainst = verify)
+    assert(spark.read.parquet(out).count() == want.size.toLong,
+      "a full replay must land zero new rows")
+    // a genuinely new doc still passes the screen and lands
+    val in3 = s"$root/in3"
+    withFp.limit(0).sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L, "novel", "nf")),
+      withFp.schema).write.parquet(in3)
+    CdcStream.dedupExactBloomLand(
+      spark.readStream.schema(withFp.schema).parquet(in3),
+      "fp", bloomPath, cap, s"$root/ckpt3",
+      save = b => b.write.mode("append").parquet(out),
+      verifyAgainst = verify)
+    assert(spark.read.parquet(out).count() == want.size + 1L,
+      "a new document must land")
+  }
+
   test("frame sampling and resize: chunk arithmetic, budget, determinism") {
     import spark.implicits._
     val media = Tables.load(spark, sfDir, "documents")
