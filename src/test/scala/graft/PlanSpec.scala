@@ -138,6 +138,25 @@ class PlanSpec extends SparkSpec {
       s"batch×history candidates must equi-join on band keys, found ${loops.size} loop joins")
   }
 
+  test("bloom screen rides the scan: no exchange, no join, filter as literal") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_planbloom")
+      .resolve("bf.bin").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.Sketches.buildExactBloom(
+      docs.limit(50), "text", path, expectedItems = Some(1000L))
+    val screened = graft.operators.Sketches
+      .screenExactBloom(docs.select("doc_id", "text"), "text", path)
+      .filter(!col("maybe_dup"))
+    val plan = staticPlanOf(screened)
+    val s = plan.toString
+    // the screen is a scalar predicate over the scan — the whole point
+    // vs an anti-join is that the history never joins or shuffles
+    assert(!s.contains("Exchange"), s"bloom screen must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"bloom screen must not join:\n$s")
+    new java.io.File(path).delete()
+  }
+
   test("sample_rand is a bounded top-n, not a global sort") {
     val plan = formatted("sample_rand")
     assert(plan.contains("TakeOrderedAndProject"),
