@@ -208,14 +208,18 @@ object PipelineOps {
     var iter = 0
     var prevSum = labels.agg(sum("lbl")).head().getLong(0)
     while (!converged && iter < maxIters) {
-      // each node takes the min of its own label and its neighbors'
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("n", "b"), "b")
-        .groupBy(col("a").as("n")).agg(min(col("lbl")).as("nlbl"))
+      // each node takes the min of its own label and its neighbors' —
+      // the self-label rides the aggregation as a unioned row, so one
+      // join + one hash-agg (2 shuffles) replaces the naive
+      // join/agg/join-back (3): a third fewer exchanges per iteration,
+      // which is the whole per-iteration cost at cluster scale
       // checkpointing truncates the per-iteration lineage (standard
       // for iterative graph algorithms) so plan size stays constant
-      val next = ck(labels.join(viaNeighbors, "n")
-        .select(col("n"), least(col("lbl"), col("nlbl")).as("lbl")))
+      val next = ck(edges
+        .join(labels.withColumnRenamed("n", "b"), "b")
+        .select(col("a"), col("lbl"))
+        .union(labels.select(col("n").as("a"), col("lbl")))
+        .groupBy(col("a").as("n")).agg(min(col("lbl")).as("lbl")))
       val sumNow = next.agg(sum("lbl")).head().getLong(0)
       converged = sumNow == prevSum
       prevSum = sumNow
