@@ -38,6 +38,51 @@ object Dedup {
       .select(col("row.*"))
   }
 
+  /** D9: sub-document (span-level) dedup — the C4/Gopher-style pass
+    * that removes REPEATED SPANS across the corpus (boilerplate
+    * headers, navigation lines, license blocks) while keeping each
+    * document's unique content, where whole-document dedup (D1–D6)
+    * keeps or drops documents atomically. The caller chooses the span
+    * unit by supplying `spansCol: array<string>` — newline splits,
+    * sentences, or fixed k-word chunks ([[TextOps.wordChunks]]) — so
+    * the operator is granularity-agnostic.
+    *
+    * Keep rule: a span's globally FIRST occurrence survives (winner =
+    * min (doc, idx) — deterministic, order-independent); every later
+    * occurrence is dropped. Per doc, surviving spans are reassembled
+    * in original order with `sep`.
+    *
+    * Scale shape: winner election is one hash-agg on the span content
+    * (`min(struct)` — map-side combined, so a boilerplate span with
+    * 10^8 occurrences costs each map task one buffer entry, not a
+    * reducer hot key); the keep check is an equi-join back on the span
+    * (AQE skew-join splits hot-span partitions); reassembly is a
+    * per-doc hash-agg whose buffer is bounded by document size. No
+    * all-pairs term anywhere.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, spansCol: String,
+                sep: String = " "): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(spansCol).as("spans"))
+    val spans = base.select(col("doc_id"),
+      posexplode(col("spans")).as(Seq("idx", "span")))
+    val winners = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    val kept = spans.join(winners, "span")
+      .filter(col("w.doc_id") === col("doc_id") && col("w.idx") === col("idx"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+          x => x.getField("span"))).as("clean_text"))
+    // docs whose every span was claimed elsewhere drop out of `kept`
+    // entirely — restore them as empty survivors, not missing rows
+    base.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** D2: all document pairs with n-gram-shingle Jaccard ≥ tau, via an
     * inverted index — candidates only for pairs sharing ≥1 shingle, so
     * the heavy operation is an equi-join shuffle on the shingle key,

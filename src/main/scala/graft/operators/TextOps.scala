@@ -55,6 +55,22 @@ object TextOps {
                  as: String = "graft_toks"): DataFrame =
     Par.widen(df).select(keep :+ tokens(col(textCol)).as(as): _*)
 
+  /** Fixed-size k-word chunks of a token array — the span unit for
+    * [[Dedup.spanDedup]] on corpora without natural line/sentence
+    * boundaries (chunk i = tokens [i·k, i·k+k), last chunk ragged).
+    * DuckDB mirror: `array_to_string(toks[(i*k+1):(i*k+k)], ' ')`
+    * over `unnest(generate_series(0, ceil(len(toks)/k) - 1))`.
+    */
+  def wordChunks(toks: Column, k: Int): Column = {
+    require(k > 0, "chunk size must be positive")
+    when(size(toks) <= 0, array().cast("array<string>"))
+      // sequence() with start > stop counts DOWN — the empty-array
+      // case above keeps it from fabricating chunk [0, -1]
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(toks) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+  }
+
   /** Distinct word n-gram shingles of the token array. Shingling (vs
     * unigram word sets) is what makes Jaccard discriminative on a
     * small vocabulary: contiguous n-grams capture ordering, so only

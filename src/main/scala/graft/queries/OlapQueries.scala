@@ -20,8 +20,11 @@ object OlapQueries extends QueryPack {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          // price sums: 2-dp like bucketed_join — at the 10x dataset
+          // they reach ~2.8e10, where summation order alone moves the
+          // 4th decimal across engines (caught at the 10x scale run)
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -128,8 +131,8 @@ object OlapQueries extends QueryPack {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice), 4) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
                 round(avg(l_discount), 4) AS avg_disc,
                 count(*) AS count_order

@@ -205,6 +205,24 @@ object TextQueries extends QueryPack {
         .orderBy("rule")
     }),
 
+    // F9 (new r6): PII detection/redaction — per-pattern counts on the
+    // original text plus md5 of the scrubbed form (replacement parity
+    // proven without hauling payloads through the compare). Patterns
+    // live in the Java∩RE2-identical subset so the DuckDB oracle runs
+    // the LITERAL same regexes. Null texts excluded on both sides.
+    "text_pii" -> ((s, dir) =>
+      graft.operators.Pii.redact(
+          Tables.load(s, dir, "documents")
+            .filter(col("text").isNotNull).select("doc_id", "text"),
+          "text")
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_ids").cast("long").as("n_ids"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")),
+
     // F4: content fingerprints — md5 of the normal form plus a prefix
     // fingerprint (rolling-hash analog: near-dups created by
     // truncation share the prefix fingerprint). Pure projection.
@@ -230,7 +248,27 @@ object TextQueries extends QueryPack {
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
+  // the SAME pattern strings the operator uses (SQL splices them into
+  // the oracle; the spec asserts they equal Pii's constants so the two
+  // sides cannot drift)
+  private[graft] val piiEmail = graft.operators.Pii.Email
+  private[graft] val piiIp = graft.operators.Pii.Ipv4
+  private[graft] val piiId = graft.operators.Pii.IdNum
+  private[graft] val piiPhone = graft.operators.Pii.Phone
+
   val oracles: Map[String, String] = Map(
+    "text_pii" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$piiIp')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$piiId')) AS BIGINT) AS n_ids,
+                 CAST(len(regexp_extract_all(text, '$piiPhone')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '$piiEmail', '<EMAIL>', 'g'),
+                   '$piiIp', '<IP>', 'g'),
+                   '$piiId', '<ID>', 'g'),
+                   '$piiPhone', '<PHONE>', 'g')) AS scrub_md5
+          FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
     "text_integrity" ->
       """SELECT count(*) AS n_docs,
                 count(CASE WHEN text IS NULL THEN 1 END) AS null_docs,

@@ -20,6 +20,66 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("pii: detection counts and order-stable redaction") {
+    import graft.operators.Pii
+    val docs = Seq(
+      (1L, "contact john.doe+x@exam-ple.org today"),
+      (2L, "server at 192.168.10.1 port 80"),
+      (3L, "ssn 123-45-6789 leaked"),
+      (4L, "call +1(415)555-0199 now"),
+      (5L, "clean text, no pii at all")
+    ).toDF("doc_id", "text")
+    val got = Pii.redact(docs, "text").orderBy("doc_id").collect()
+    def row(i: Int) = got(i)
+    assert(row(0).getAs[Int]("n_emails") == 1)
+    assert(row(0).getAs[String]("scrubbed") == "contact <EMAIL> today")
+    // the IP is ALSO phone-shaped on the raw text (digits + dots):
+    // both counters see it — counts are independent diagnostics —
+    // but scrub order (ip before phone) redacts it exactly once
+    assert(row(1).getAs[Int]("n_ips") == 1)
+    assert(row(1).getAs[Int]("n_phones") == 1)
+    assert(row(1).getAs[String]("scrubbed") == "server at <IP> port 80")
+    assert(row(2).getAs[Int]("n_ids") == 1)
+    assert(row(2).getAs[String]("scrubbed") == "ssn <ID> leaked")
+    assert(row(3).getAs[Int]("n_phones") == 1)
+    assert(row(3).getAs[String]("scrubbed") == "call <PHONE> now")
+    assert(Seq("n_emails", "n_ips", "n_ids", "n_phones")
+      .forall(c => row(4).getAs[Int](c) == 0))
+    assert(row(4).getAs[String]("scrubbed") == "clean text, no pii at all")
+  }
+
+  test("span dedup: first occurrence survives, docs reassembled in order") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c d"),       // chunks (k=2): "a b", "c d"
+      (2L, "c d e f"),       // "c d" loses to doc1; "e f" survives
+      (3L, "a b"),           // entire doc claimed by doc1 → empty
+      (4L, "x y a b z")      // "x y" new, "a b" loses, ragged "z" new
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.wordChunks(split(col("text"), " "), 2).as("spans"))
+    val got = Dedup.spanDedup(docs, "doc_id", "spans")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 2L, "x y z")))
+  }
+
+  test("wordChunks: ragged tail, empty input, chunk arithmetic") {
+    import graft.operators.TextOps
+    val got = Seq("a b c d e", "a", "")
+      .toDF("text")
+      .select(TextOps.wordChunks(split(col("text"), " "), 2).as("c"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b", "c d", "e"))
+    assert(got(1) == Seq("a"))
+    assert(got(2) == Seq("")) // split("") is [""] — one empty token
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val docs = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "other text")
