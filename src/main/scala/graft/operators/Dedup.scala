@@ -63,12 +63,47 @@ object Dedup {
   def spanDedup(docs: DataFrame, idCol: String, spansCol: String,
                 sep: String = " "): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(spansCol).as("spans"))
-    val spans = base.select(col("doc_id"),
-      posexplode(col("spans")).as(Seq("idx", "span")))
+    base.transform(b => rebuildFromKept(b, keepFirst(explodeSpans(b)), sep))
+  }
+
+  /** D9 incremental leg: span dedup of a DAILY BATCH against the
+    * historical corpus, carried as the span Bloom filter from
+    * [[Sketches.buildExactBloom]] over exploded spans. A batch span is
+    * cut when the filter has (probably) seen it OR a same-batch
+    * earlier occurrence claims it; survivors rebuild as in
+    * [[spanDedup]]. After landing, fold survivors back with
+    * `Sketches.mergeExactBloom(explodedKept, "span", path, capacity)`.
+    *
+    * ε stance: a Bloom false positive here cuts a NOVEL span (~fpp of
+    * clean spans — content loss, not correctness loss; boilerplate
+    * removal tolerates ε over-trimming by design, unlike document
+    * dedup where [[graft.streaming.CdcStream.dedupExactBloomLand]]
+    * verifies). Screen cost is O(batch spans), zero history shuffle.
+    */
+  def spanDedupAgainst(batch: DataFrame, idCol: String, spansCol: String,
+                       bloomPath: String, sep: String = " "): DataFrame = {
+    val base = batch.select(col(idCol).as("doc_id"), col(spansCol).as("spans"))
+    val fresh = Sketches
+      .screenExactBloom(explodeSpans(base), "span", bloomPath, "hist_dup")
+      .filter(!col("hist_dup")).drop("hist_dup")
+    base.transform(b => rebuildFromKept(b, keepFirst(fresh), sep))
+  }
+
+  private def explodeSpans(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), posexplode(col("spans")).as(Seq("idx", "span")))
+
+  /** Global first-occurrence filter: winner = min (doc, idx) — a
+    * map-side-combined hash-agg, then a (doc,idx)-exact keep check. */
+  private def keepFirst(spans: DataFrame): DataFrame = {
     val winners = spans.groupBy("span")
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-    val kept = spans.join(winners, "span")
+    spans.join(winners, "span")
       .filter(col("w.doc_id") === col("doc_id") && col("w.idx") === col("idx"))
+      .select("doc_id", "idx", "span")
+  }
+
+  private def rebuildFromKept(base: DataFrame, kept: DataFrame,
+                              sep: String): DataFrame = {
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(sep,

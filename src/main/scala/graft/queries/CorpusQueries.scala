@@ -62,6 +62,43 @@ object CorpusQueries extends QueryPack {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // D9 incremental verdict: spanDedupAgainst through a REAL persisted
+    // span filter (history = even docs, batch = every third doc).
+    // Structural guarantees checked quantitatively: survivors never
+    // include a history span (Bloom no-false-negative ⇒ kept ≤ the
+    // exact fresh-span count) and false positives cut at most ~fpp of
+    // the novel spans (bounded at 5% + small-sample slack).
+    "dedup_spans_incremental_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      def spansOf(part: org.apache.spark.sql.DataFrame) =
+        part.select(col("doc_id"), graft.operators.TextOps.wordChunks(
+          split(col("text"), " "), 3).as("spans"))
+      val path = spanBloomDirs.computeIfAbsent(dir, d => {
+        val p = Staging.path("span_bloom", d) + "/bloom.bin"
+        graft.operators.Sketches.buildExactBloom(
+          spansOf(Tables.load(s, d, "documents")
+              .filter(col("text").isNotNull && col("doc_id") % 2 === 0))
+            .select(posexplode(col("spans")).as(Seq("idx", "span"))),
+          "span", p)
+        p
+      })
+      val batch = spansOf(docs.filter(col("doc_id") % 3 === 0))
+      val out = Dedup.spanDedupAgainst(batch, "doc_id", "spans", path)
+      val batchSpans = batch
+        .select(posexplode(col("spans")).as(Seq("idx", "span")))
+      val histSpans = spansOf(docs.filter(col("doc_id") % 2 === 0))
+        .select(explode(col("spans")).as("span")).distinct()
+      val exact = batchSpans.join(histSpans, Seq("span"), "left_anti")
+        .agg(countDistinct(col("span")).as("exact_kept"))
+      out.agg(count(lit(1)).as("n_docs"), sum("n_kept").as("kept"))
+        .crossJoin(exact)
+        .select(col("n_docs"),
+          (col("kept") <= col("exact_kept")).as("kept_le_exact"),
+          (col("exact_kept") - col("kept") <=
+            greatest(lit(5L), (col("exact_kept") * 0.05).cast("long")))
+            .as("fp_ok"))
+    }),
+
     "dedup_survivors" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       // the cluster map is J3's output, staged once per JVM (the
@@ -212,6 +249,10 @@ object CorpusQueries extends QueryPack {
       Tables.load(s, dir, "documents").select("doc_id", "source"),
       n = 20, seed = 7L)
 
+  // source dir -> persisted history-span bloom filter (once per JVM)
+  private val spanBloomDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // source dir -> staged cluster-map parquet (see dedup_survivors)
   private val clusterDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -237,6 +278,9 @@ object CorpusQueries extends QueryPack {
                   WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans_incremental_check" ->
+      """SELECT count(*) AS n_docs, true AS kept_le_exact, true AS fp_ok
+         FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0""",
     "dedup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents WHERE text IS NOT NULL),

@@ -69,6 +69,27 @@ class TextDedupSpec extends SparkSpec {
       (4L, 3L, 2L, "x y z")))
   }
 
+  test("spanDedupAgainst: history spans cut, batch first-occurrence kept") {
+    import graft.operators.{Sketches, TextOps}
+    val path = java.nio.file.Files.createTempDirectory("graft_spanbloom")
+      .resolve("bloom.bin").toString
+    def spansOf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        TextOps.wordChunks(split(col("text"), " "), 2).as("spans"))
+    val history = spansOf(Seq((1L, "a b c d")))  // spans "a b", "c d"
+    Sketches.buildExactBloom(
+      history.select(posexplode(col("spans")).as(Seq("idx", "span"))),
+      "span", path)
+    val batch = spansOf(Seq((10L, "c d x y"), (11L, "x y z w")))
+    val got = Dedup.spanDedupAgainst(batch, "doc_id", "spans", path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_text")))
+    // "c d" cut by history; "x y" kept once at doc 10 (batch-internal
+    // first occurrence), cut at doc 11; "z w" novel
+    assert(got.toSeq == Seq((10L, 1L, "x y"), (11L, 1L, "z w")))
+  }
+
   test("wordChunks: ragged tail, empty input, chunk arithmetic") {
     import graft.operators.TextOps
     val got = Seq("a b c d e", "a", "")
