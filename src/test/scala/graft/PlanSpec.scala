@@ -157,6 +157,24 @@ class PlanSpec extends SparkSpec {
     new java.io.File(path).delete()
   }
 
+  test("span dedup elects winners with a partial (map-side) aggregate") {
+    val plan = formatted("dedup_spans")
+    // min(struct) must partial-aggregate before its exchange — the
+    // hot-span safety argument (a 10^8-occurrence boilerplate span
+    // combines map-side instead of landing on one reducer)
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"no partial min aggregation in:\n$plan")
+  }
+
+  test("text_pii is a pure projection: no exchange before the output sort") {
+    val plan = formatted("text_pii")
+    // one scan, regex projections, and the oracle-determinism sort —
+    // any other exchange means the scrub stopped being per-row
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"pii scrub should only shuffle for the sort:\n$plan")
+    assert(!plan.contains("Join"), "pii scrub must not join")
+  }
+
   test("sample_rand is a bounded top-n, not a global sort") {
     val plan = formatted("sample_rand")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -219,6 +219,20 @@ class SketchSpec extends SparkSpec {
       .join(histTexts, Seq("text"), "left_semi").count() == 0)
   }
 
+  test("bloom merge with mismatched sizing fails loud, not silently") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bloommis")
+      .resolve("bloom.bin").toString
+    Sketches.buildExactBloom(docs.limit(10), "text", path,
+      expectedItems = Some(1000L))
+    // a filter appended with different capacity has different
+    // bits/hash counts — merging would silently corrupt membership;
+    // the sketch layer must refuse
+    intercept[Exception] {
+      Sketches.mergeExactBloom(docs.limit(10), "text", path,
+        capacityItems = 50000L)
+    }
+  }
+
   test("ANN candidates report exact cosine values") {
     // every (q, vec) the LSH path returns must carry the same cosine
     // as direct computation — the approximation is only in WHICH
