@@ -204,6 +204,30 @@ object SketchQueries extends QueryPack {
             .as("fp_ok"))
     }),
 
+    // D10 (HLL state): the reference verify query's count +
+    // countDistinct pair (run_tests.py:91) answered from MERGED
+    // per-day sketch state instead of a re-scan — two "daily" states
+    // (event_id parity) built, unioned, uniqMerge'd, estimated.
+    // FULL-oracle shape: DuckDB recomputes total + exact distinct;
+    // the est_ok verdict pins the sketch estimate to ±max(2, 5%) of
+    // exact, so a drifting estimator hash-mismatches.
+    "cdc_uniq_state_check" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val days = Seq(0, 1).map(d => graft.operators.Sketches.distinctState(
+        events.filter(col("event_id") % 2 === d), Seq("event_type"), "user_id"))
+      val est = graft.operators.Sketches.estimateDistinct(
+        graft.operators.Sketches.mergeDistinctStates(
+          days.reduce(_ unionAll _), Seq("event_type")))
+      val exact = events.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("uniq_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("total"), col("uniq_exact"),
+          (abs(col("uniq_est") - col("uniq_exact")) <=
+            greatest(lit(2L), (col("uniq_exact") * 0.05).cast("long")))
+            .as("est_ok"))
+        .orderBy("event_type")
+    }),
+
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
     // the cid layout) driver-checked end-to-end through a real
     // build + 2 appends + compact cycle on its OWN small index (the
@@ -440,6 +464,10 @@ object SketchQueries extends QueryPack {
     "dedup_bloom_check" ->
       """SELECT count(*) AS n_batch, true AS no_false_neg, true AS fp_ok
          FROM documents WHERE doc_id % 3 = 0""",
+    "cdc_uniq_state_check" ->
+      """SELECT event_type, count(*) AS total,
+                count(DISTINCT user_id) AS uniq_exact, true AS est_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
     // no distance) so a degenerate vector can't skew the count compare
     "sim_ivf_drift_check" ->

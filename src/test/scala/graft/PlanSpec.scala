@@ -166,6 +166,18 @@ class PlanSpec extends SparkSpec {
       s"no partial min aggregation in:\n$plan")
   }
 
+  test("hll distinct state partially aggregates map-side; sketch crosses the shuffle") {
+    // the uniqState story: one sketch row per (map task, key) reaches
+    // the exchange — without partial_hll_sketch_agg the shuffle would
+    // carry every raw value and the state build degrades to the
+    // countDistinct re-shuffle it exists to replace
+    val plan = staticPlanOf(graft.operators.Sketches.distinctState(
+      Tables.load(spark, sfDir, "events"), Seq("event_type"), "user_id"))
+      .toString
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"state build must combine sketches map-side:\n$plan")
+  }
+
   test("text_pii is a pure projection: no exchange before the output sort") {
     val plan = formatted("text_pii")
     // one scan, regex projections, and the oracle-determinism sort —
