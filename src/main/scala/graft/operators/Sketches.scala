@@ -458,4 +458,81 @@ object Sketches {
         col("rows_state").as("total"),
         hll_sketch_estimate(col("uniq_state")).cast("long")
           .as("uniq_est")): _*)
+
+  // -------------------------------------------------------------------
+  // Theta sketch state — distinct counting WITH set algebra. HLL
+  // unions only; theta sketches also INTERSECT and DIFFERENCE, which
+  // is what corpus-overlap questions need: "how many distinct
+  // fingerprints does today's batch share with the benchmark set /
+  // the landed corpus?" answered from two KB-scale sketch rows
+  // instead of a distinct-join over both sides. The scale role is a
+  // pre-screen for [[graft.operators.PipelineOps.decontaminate]]:
+  // estimate |batch ∩ benchmark| per key first, and pay the exact
+  // anti-join only where the estimate says contamination exists.
+  // Sketches are exact below ~2^lgK retained hashes (theta = 1), so
+  // small-side overlaps come back exact, and the estimate degrades
+  // gracefully (~1.6% at lgK=12) beyond.
+
+  /** One theta sketch of `valueCol` per `keyCols` group (empty
+    * keyCols ⇒ one global row). Same daily-landing contract as
+    * [[distinctState]]: binary `theta_state` round-trips parquet. */
+  def thetaState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("theta_state"))
+
+  /** Union-merge day-states per key — the accumulation leg. */
+  def mergeThetaStates(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(col): _*)
+      .agg(theta_union_agg(col("theta_state")).as("theta_state"))
+
+  /** Per-key overlap between two theta states (equi-join on keys; a
+    * keyless pair of global states joins as two 1-row scalars):
+    * distinct cardinality of each side plus their intersection —
+    * |A|, |B|, |A ∩ B| — from sketch rows, never the values. */
+  def thetaOverlap(a: DataFrame, b: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val (ra, rb) = (a.withColumnRenamed("theta_state", "ts_a"),
+      b.withColumnRenamed("theta_state", "ts_b"))
+    val joined =
+      if (keyCols.isEmpty) ra.crossJoin(rb) // two 1-row global states
+      else ra.join(rb, keyCols)
+    joined.select(keyCols.map(col) ++ Seq(
+      theta_sketch_estimate(col("ts_a")).cast("long").as("uniq_a"),
+      theta_sketch_estimate(col("ts_b")).cast("long").as("uniq_b"),
+      theta_sketch_estimate(theta_intersection(col("ts_a"), col("ts_b")))
+        .cast("long").as("overlap_est")): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // KLL quantile state — the DISTRIBUTION member of the state suite
+  // (Bloom membership / HLL cardinality / theta set-algebra / KLL
+  // quantiles; ClickHouse's quantileState/quantileMerge). Per-key
+  // mergeable sketches of a numeric column (document length, quality
+  // score, event value) land daily; corpus-level percentiles finalize
+  // from state without re-reading history. Normalized rank error at
+  // the default k=200 is ~1.65% — the verdict entries pin it.
+
+  /** One KLL(bigint) sketch of `valueCol` per `keyCols` group. */
+  def quantileState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    k: Int = 200): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(kll_sketch_agg_bigint(col(valueCol).cast("long"), k)
+        .as("kll_state"))
+
+  /** Merge day-states per key (kll_merge_agg — sketch-in/sketch-out,
+    * map-side combinable like the HLL/theta merges). */
+  def mergeQuantileStates(states: DataFrame, keyCols: Seq[String],
+                          k: Int = 200): DataFrame =
+    states.groupBy(keyCols.map(col): _*)
+      .agg(kll_merge_agg_bigint(col("kll_state"), k).as("kll_state"))
+
+  /** Finalize: one column per requested rank (q50/q90/..., the
+    * normalized-rank naming), plus the sketch's item count. */
+  def quantiles(state: DataFrame, ranks: Seq[Double]): DataFrame =
+    state.select(
+      state.columns.filterNot(_ == "kll_state").map(col) ++
+        Seq(kll_sketch_get_n_bigint(col("kll_state")).as("n")) ++
+        ranks.map(r => kll_sketch_get_quantile_bigint(
+          col("kll_state"), lit(r)).as(s"q${(r * 100).round}")): _*)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -226,6 +226,67 @@ object SketchQueries extends QueryPack {
             greatest(lit(2L), (col("uniq_exact") * 0.05).cast("long")))
             .as("est_ok"))
         .orderBy("event_type")
+    }),
+
+    // Theta-state overlap (the decontaminate pre-screen): |hist|,
+    // |batch|, |hist ∩ batch| on distinct text from two KB sketch
+    // rows. FULL-oracle shape: DuckDB recomputes the three exact
+    // cardinalities; est_ok pins all three estimates (sides ±5%,
+    // intersection ±10% — exact below 2^14 retained, so the slack
+    // only does work once the corpus outgrows exact mode).
+    "corpus_overlap_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val est = graft.operators.Sketches.thetaOverlap(
+        graft.operators.Sketches.thetaState(hist, Nil, "text", lgK = 14),
+        graft.operators.Sketches.thetaState(batch, Nil, "text", lgK = 14),
+        Nil)
+      val hx = hist.select("text").distinct()
+      val bx = batch.select("text").distinct()
+      def tol(est: Column, exact: Column, pct: Double) =
+        abs(est - exact) <= greatest(lit(5L), (exact * pct).cast("long"))
+      hx.agg(count(lit(1)).as("uniq_hist"))
+        .crossJoin(bx.agg(count(lit(1)).as("uniq_batch")))
+        .crossJoin(hx.intersect(bx).agg(count(lit(1)).as("overlap")))
+        .crossJoin(est)
+        .select(col("uniq_hist"), col("uniq_batch"), col("overlap"),
+          (tol(col("uniq_a"), col("uniq_hist"), 0.05) &&
+            tol(col("uniq_b"), col("uniq_batch"), 0.05) &&
+            tol(col("overlap_est"), col("overlap"), 0.10)).as("est_ok"))
+    }),
+
+    // KLL-state per-lang length percentiles from merged day-states.
+    // Verdict = the sketch's INCLUSIVE-rank guarantee (±1.65% at
+    // k=200, checked at ±3%): each estimate must sit between the
+    // exact order statistics at rank r ∓ 0.03. n_ok pins the
+    // sketch's item accounting to the exact row count.
+    "text_len_quantiles_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val days = Seq(0, 1).map(d => graft.operators.Sketches.quantileState(
+        docs.filter(col("doc_id") % 2 === d), Seq("lang"), "n_chars"))
+      val qs = graft.operators.Sketches.quantiles(
+        graft.operators.Sketches.mergeQuantileStates(
+          days.reduce(_ unionAll _), Seq("lang")), Seq(0.5, 0.9, 0.99))
+      // per-lang sorted value arrays: bounded (|docs per lang|) and
+      // check-only — the exact order statistics the verdict brackets
+      val exact = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sort_array(collect_list(col("n_chars").cast("long"))).as("xs"))
+      def ok(est: Column, r: Double): Column = {
+        val lo = element_at(col("xs"),
+          greatest(lit(1L), ceil(lit(r - 0.03) * col("n_docs"))).cast("int"))
+        val hi = element_at(col("xs"),
+          least(col("n_docs"), ceil(lit(r + 0.03) * col("n_docs"))).cast("int"))
+        est.between(lo, hi)
+      }
+      qs.join(exact, "lang")
+        .select(col("lang"), col("n_docs"),
+          (col("n") === col("n_docs")).as("n_ok"),
+          ok(col("q50"), 0.5).as("p50_ok"),
+          ok(col("q90"), 0.9).as("p90_ok"),
+          ok(col("q99"), 0.99).as("p99_ok"))
+        .orderBy("lang")
     }),
 
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
@@ -468,6 +529,17 @@ object SketchQueries extends QueryPack {
       """SELECT event_type, count(*) AS total,
                 count(DISTINCT user_id) AS uniq_exact, true AS est_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "corpus_overlap_check" ->
+      """WITH h AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+              b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0)
+         SELECT (SELECT count(*) FROM h) AS uniq_hist,
+                (SELECT count(*) FROM b) AS uniq_batch,
+                (SELECT count(*) FROM h JOIN b USING (text)) AS overlap,
+                true AS est_ok""",
+    "text_len_quantiles_check" ->
+      """SELECT lang, count(*) AS n_docs, true AS n_ok, true AS p50_ok,
+                true AS p90_ok, true AS p99_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
     // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
     // no distance) so a degenerate vector can't skew the count compare
     "sim_ivf_drift_check" ->

@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Sketches
 
-/** Invariants for the persisted HLL distinct-count state (the
-  * uniqState/uniqMerge analog): merge losslessness w.r.t. the sketch,
-  * error bound vs exact, loud mismatched-lgK refusal, and parquet
-  * round-trip of the binary state column.
+/** Invariants for the persisted sketch-state suite — HLL distinct
+  * count (uniqState/uniqMerge analog), theta set-overlap, KLL
+  * quantiles: merge losslessness w.r.t. the sketch, error bounds vs
+  * exact, loud mismatched-lgK refusal, and parquet round-trip of the
+  * binary state columns.
   */
 class HllStateSpec extends SparkSpec {
 
   private lazy val events = Tables.load(spark, sfDir, "events")
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
 
   test("merged day-states == from-scratch state, estimate-identical per key") {
     // three "days" by event_id residue; union-of-sketches must equal
@@ -48,6 +50,51 @@ class HllStateSpec extends SparkSpec {
     val b = Sketches.distinctState(events, Seq("event_type"), "user_id", lgK = 13)
     assertThrows[Exception] {
       Sketches.mergeDistinctStates(a.unionAll(b), Seq("event_type")).collect()
+    }
+  }
+
+  test("theta overlap is exact below capacity, merged or direct") {
+    // sf0.001 corpora sit far under 2^14 retained hashes, so the
+    // sketches are in exact mode: |A|, |B|, |A ∩ B| must EQUAL the
+    // distinct-join ground truth — and building the history side from
+    // two merged day-states must not change a digit
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val histState = Sketches.mergeThetaStates(
+      Seq(0, 2).map(d => Sketches.thetaState(
+        hist.filter(col("doc_id") % 4 === d), Nil, "text", lgK = 14))
+        .reduce(_ unionAll _), Nil)
+    val got = Sketches.thetaOverlap(histState,
+      Sketches.thetaState(batch, Nil, "text", lgK = 14), Nil).head()
+    val hx = hist.select("text").distinct()
+    val bx = batch.select("text").distinct()
+    assert(got.getAs[Long]("uniq_a") == hx.count())
+    assert(got.getAs[Long]("uniq_b") == bx.count())
+    assert(got.getAs[Long]("overlap_est") == hx.intersect(bx).count())
+  }
+
+  test("kll quantile estimates honor the rank guarantee; n exact; merge == day union") {
+    val days = Seq(0, 1).map(d => Sketches.quantileState(
+      docs.filter(col("doc_id") % 2 === d), Seq("lang"), "n_chars"))
+    val qs = Sketches.quantiles(
+      Sketches.mergeQuantileStates(days.reduce(_ unionAll _), Seq("lang")),
+      Seq(0.5, 0.9, 0.99))
+    val exact = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("n_chars").cast("long"))).as("xs"))
+    val rows = qs.join(exact, "lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = r.getAs[scala.collection.Seq[Long]]("xs")
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n") == n, s"${r.getAs[String]("lang")} n")
+      Seq(0.5 -> "q50", 0.9 -> "q90", 0.99 -> "q99").foreach { case (p, c) =>
+        val est = r.getAs[Long](c)
+        val lo = xs(math.max(0, math.ceil((p - 0.03) * n).toInt - 1))
+        val hi = xs(math.min(n - 1, math.ceil((p + 0.03) * n).toLong - 1).toInt)
+        assert(est >= lo && est <= hi,
+          s"${r.getAs[String]("lang")} $c: $est outside [$lo, $hi]")
+      }
     }
   }
 

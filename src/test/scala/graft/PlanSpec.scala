@@ -178,6 +178,17 @@ class PlanSpec extends SparkSpec {
       s"state build must combine sketches map-side:\n$plan")
   }
 
+  test("theta and kll state builds partially aggregate map-side too") {
+    val theta = staticPlanOf(graft.operators.Sketches.thetaState(
+      Tables.load(spark, sfDir, "documents"), Seq("lang"), "text")).toString
+    assert(theta.contains("partial_theta_sketch_agg"),
+      s"theta state must combine sketches map-side:\n$theta")
+    val kll = staticPlanOf(graft.operators.Sketches.quantileState(
+      Tables.load(spark, sfDir, "documents"), Seq("lang"), "n_chars")).toString
+    assert(kll.contains("partial_kll_sketch_agg"),
+      s"kll state must combine sketches map-side:\n$kll")
+  }
+
   test("text_pii is a pure projection: no exchange before the output sort") {
     val plan = formatted("text_pii")
     // one scan, regex projections, and the oracle-determinism sort —
