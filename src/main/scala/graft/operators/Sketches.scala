@@ -535,4 +535,74 @@ object Sketches {
         Seq(kll_sketch_get_n_bigint(col("kll_state")).as("n")) ++
         ranks.map(r => kll_sketch_get_quantile_bigint(
           col("kll_state"), lit(r)).as(s"q${(r * 100).round}")): _*)
+
+  // -------------------------------------------------------------------
+  // Frequent-items (topK) state — the HEAVY-HITTER member of the state
+  // suite (Bloom membership / HLL cardinality / theta set-algebra /
+  // KLL quantiles / frequent items; ClickHouse's topKState/topKMerge).
+  // "Most active entities per event type" over an accumulated history
+  // is a full groupBy(entity).count + rank re-shuffle on every run;
+  // the mergeable answer is a per-key DataSketches ItemsSketch row via
+  // Spark 4.1's native approx_top_k_accumulate / _combine / _estimate
+  // (TypedImperativeAggregate → ObjectHashAggregate, map-side partial
+  // merge — no UDF, the sketch crosses the shuffle, never the item
+  // stream). Counts are EXACT while a key's distinct items fit the
+  // tracked capacity (the sketch only purges beyond it — then counts
+  // carry the documented ≤ N·3.5/maxMapSize overestimate bound and
+  // heavy hitters above the error line are never dropped).
+  //
+  // Two loud-contract choices, matching the suite's posture:
+  //  - NULL values are not items: filtered before accumulation (Spark's
+  //    accumulate would otherwise track null as a first-class item and
+  //    hand the estimate a null-keyed row; HLL/theta/KLL members all
+  //    ignore nulls, and the reference's topK analog does too).
+  //  - Mismatched capacities REFUSE to merge: Spark's _combine silently
+  //    re-sizes (a purged 10⁴-capacity sketch folded into a 2¹⁰ merge
+  //    compounds error with no signal), so [[mergeTopkStates]] guards
+  //    every input state row and raise_error's on a capacity that
+  //    differs from the declared one — same refuse-mismatched-state
+  //    stance as the HLL lgK throw and the Bloom sizing require.
+
+  /** One frequent-items sketch of `valueCol` per `keyCols` group.
+    * State is an ordinary DataFrame (struct with a binary sketch) that
+    * round-trips parquet — the daily-landing contract of the suite.
+    * Size `maxItemsTracked` for the per-key distinct-item count you
+    * expect to stay exact for; beyond it the sketch degrades to its
+    * bounded-overestimate mode instead of failing. */
+  def topkState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                maxItemsTracked: Int = 10000): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(call_function("approx_top_k_accumulate",
+        col(valueCol), lit(maxItemsTracked)).as("topk_state"))
+
+  /** Merge day-states per key (the topKMerge leg) — sketch rows in,
+    * sketch rows out, map-side combinable. Every input state must have
+    * been built at `maxItemsTracked`: a mismatched capacity fails loud
+    * per-row (see the suite posture above) instead of silently
+    * re-sizing through Spark's permissive _combine. */
+  def mergeTopkStates(states: DataFrame, keyCols: Seq[String],
+                      maxItemsTracked: Int = 10000): DataFrame = {
+    val guarded = states.withColumn("topk_state",
+      when(col("topk_state.maxItemsTracked") === lit(maxItemsTracked),
+        col("topk_state"))
+        .otherwise(raise_error(concat(
+          lit("mergeTopkStates: state built at maxItemsTracked="),
+          col("topk_state.maxItemsTracked").cast("string"),
+          lit(s" but merge declared $maxItemsTracked — refusing the " +
+            "silent re-size (rebuild or re-declare)")))))
+    guarded.groupBy(keyCols.map(col): _*)
+      .agg(call_function("approx_top_k_combine",
+        col("topk_state"), lit(maxItemsTracked)).as("topk_state"))
+  }
+
+  /** Finalize a state to its top-`k` items: adds `topk` =
+    * array<struct<item, count>> sorted by descending count (tie order
+    * among equal counts is sketch-internal — callers comparing against
+    * an exact ranking must compare count-validity, not array order). */
+  def topk(state: DataFrame, k: Int): DataFrame =
+    state.select(
+      state.columns.filterNot(_ == "topk_state").map(col) ++
+        Seq(call_function("approx_top_k_estimate",
+          col("topk_state"), lit(k)).as("topk")): _*)
 }

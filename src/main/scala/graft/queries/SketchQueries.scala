@@ -289,6 +289,55 @@ object SketchQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Frequent-items (topK) state: "most active users per event type"
+    // answered from MERGED per-day sketch rows (ClickHouse topKState/
+    // topKMerge) instead of a history re-scan. FULL-oracle shape with
+    // a TIE-ROBUST verdict: tie order among equal counts is sketch-
+    // internal and legitimately differs run-to-run, so the check never
+    // compares array order — it verifies (a) every returned count
+    // equals the exact per-user count (the sketch is in exact mode:
+    // distinct users per type sit far under the 32k capacity at every
+    // validated SF), and (b) every returned item's exact count clears
+    // the k-th largest exact count (any tie-broken top-k is valid).
+    "cdc_topk_state_check" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val cap = 32768
+      val days = Seq(0, 1).map(d => graft.operators.Sketches.topkState(
+        events.filter(col("event_id") % 2 === d), Seq("event_type"),
+        "user_id", maxItemsTracked = cap))
+      val est = graft.operators.Sketches.topk(
+          graft.operators.Sketches.mergeTopkStates(
+            days.reduce(_ unionAll _), Seq("event_type"),
+            maxItemsTracked = cap), k = 10)
+        .select(col("event_type"), explode(col("topk")).as("e"))
+        .select(col("event_type"), col("e.item").as("item"),
+          col("e.count").as("est"))
+      val exact = events.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      // per-type k-th largest exact count (with multiplicity): the
+      // validity floor any tie-broken top-k must clear. The per-type
+      // count array is bounded (|users per type|) and check-only —
+      // same construct as the KLL check's order statistics.
+      val kth = exact.groupBy("event_type")
+        .agg(sort_array(collect_list(col("cnt")), asc = false).as("cs"),
+          count(lit(1)).as("n_users"))
+        .select(col("event_type"),
+          element_at(col("cs"),
+            least(lit(10L), col("n_users")).cast("int")).as("kth_cnt"))
+      est.join(exact.withColumnRenamed("user_id", "item"),
+          Seq("event_type", "item"), "left")
+        .join(kth, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(when(col("cnt").isNull || col("est") =!= col("cnt"), 1)
+            .otherwise(0)).as("bad"),
+          sum(when(col("cnt") < col("kth_cnt"), 1).otherwise(0)).as("below"))
+        .select(col("event_type"), col("n_returned"),
+          (col("bad") === 0).as("counts_exact_ok"),
+          (col("below") === 0).as("topk_valid"))
+        .orderBy("event_type")
+    }),
+
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
     // the cid layout) driver-checked end-to-end through a real
     // build + 2 appends + compact cycle on its OWN small index (the
@@ -540,6 +589,12 @@ object SketchQueries extends QueryPack {
       """SELECT lang, count(*) AS n_docs, true AS n_ok, true AS p50_ok,
                 true AS p90_ok, true AS p99_ok
          FROM documents GROUP BY lang ORDER BY lang""",
+    "cdc_topk_state_check" ->
+      """SELECT event_type,
+                LEAST(10, count(DISTINCT user_id)) AS n_returned,
+                true AS counts_exact_ok, true AS topk_valid
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     // n_batch mirrors driftStats' zero-norm exclusion (no direction ⇒
     // no distance) so a degenerate vector can't skew the count compare
     "sim_ivf_drift_check" ->

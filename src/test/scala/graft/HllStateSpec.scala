@@ -111,4 +111,100 @@ class HllStateSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  // helper: estimate rows as (key, item -> count) maps, which is the
+  // tie-order-insensitive view (equal-count items order arbitrarily)
+  private def topkCounts(est: org.apache.spark.sql.DataFrame)
+    : Map[String, Map[Long, Long]] =
+    est.select(col("event_type"), explode(col("topk")).as("e"))
+      .select("event_type", "e.item", "e.count").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+
+  test("topk merged day-states carry exact counts; any tie-broken top-k is valid") {
+    val days = Seq(0, 1, 2).map(d => Sketches.topkState(
+      events.filter(col("event_id") % 3 === d), Seq("event_type"), "user_id"))
+    val merged = topkCounts(Sketches.topk(
+      Sketches.mergeTopkStates(days.reduce(_ unionAll _), Seq("event_type")),
+      k = 10))
+    val exact = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (et, items) =>
+      val ex = exact(et)
+      assert(items.size == math.min(10, ex.size), s"$et size")
+      // exact mode (distinct users per type << capacity): every
+      // returned count equals the true count
+      items.foreach { case (item, c) =>
+        assert(ex.get(item).contains(c), s"$et item $item: $c vs ${ex.get(item)}")
+      }
+      // validity under ties: every returned item's true count clears
+      // the k-th largest true count
+      val kth = ex.values.toSeq.sorted(Ordering[Long].reverse)
+        .apply(math.min(10, ex.size) - 1)
+      items.foreach { case (item, _) =>
+        assert(ex(item) >= kth, s"$et item $item below kth count $kth")
+      }
+    }
+  }
+
+  test("topk merge refuses a state built at a different capacity, loudly") {
+    val a = Sketches.topkState(events, Seq("event_type"), "user_id",
+      maxItemsTracked = 10000)
+    val b = Sketches.topkState(events, Seq("event_type"), "user_id",
+      maxItemsTracked = 1024)
+    val e = intercept[Exception] {
+      Sketches.mergeTopkStates(a.unionAll(b), Seq("event_type")).collect()
+    }
+    assert(e.getMessage.contains("refusing") ||
+      Option(e.getCause).exists(_.getMessage.contains("refusing")))
+  }
+
+  test("topk ignores null values (they are not items)") {
+    val withNulls = events.withColumn("user_id",
+      when(col("event_id") % 2 === 0, null).otherwise(col("user_id")))
+    val est = topkCounts(Sketches.topk(
+      Sketches.topkState(withNulls, Seq("event_type"), "user_id"), k = 5))
+    val exact = withNulls.filter(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    est.foreach { case (et, items) =>
+      items.foreach { case (item, c) =>
+        assert(exact(et).get(item).contains(c), s"$et item $item")
+      }
+    }
+  }
+
+  test("topk state round-trips through parquet unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_topk_state").toString
+    try {
+      val state = Sketches.topkState(events, Seq("event_type"), "user_id")
+      state.write.mode("overwrite").parquet(dir)
+      val back = topkCounts(Sketches.topk(
+        Sketches.mergeTopkStates(spark.read.parquet(dir), Seq("event_type")),
+        k = 10))
+      val direct = topkCounts(Sketches.topk(state, k = 10))
+      // counts must agree item-for-item; tie order at the k boundary
+      // may differ, so compare the item->count maps' common structure
+      assert(back.keySet == direct.keySet)
+      back.foreach { case (et, items) =>
+        val d = direct(et)
+        assert(items.size == d.size)
+        // every round-tripped item that the direct estimate also
+        // returned must carry the identical count
+        items.foreach { case (item, c) =>
+          d.get(item).foreach(dc => assert(dc == c, s"$et item $item"))
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
