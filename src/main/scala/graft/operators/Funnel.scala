@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-analog event-sequence analytics: `windowFunnel` and
+  * `retention` (the parametric aggregate functions the reference's
+  * ClickHouse side ships for exactly this event-stream shape —
+  * README.md:318's monitoring queries are the degenerate 1-step case).
+  *
+  * Both are per-entity aggregations over an event stream, so the scale
+  * shape is ONE hash aggregation keyed by the entity column — partial
+  * aggregation map-side, only per-entity state (a sorted event array
+  * bounded by that entity's event count for the funnel; k booleans for
+  * retention) crosses the shuffle. No UDF/UDAF: the funnel's
+  * chain-search DP runs inside a codegen'd higher-order `aggregate`
+  * over the sorted per-user array, so the whole operator is Exchange +
+  * ObjectHashAggregate + projection. An entity's event history must
+  * fit an aggregation buffer (same contract as sessionize/collect_list
+  * operators; a 100 TB deployment funnels within a time slice, not an
+  * unbounded history — partition pruning on the scan bounds it).
+  */
+object Funnel {
+
+  /** Max funnel level per entity: the length of the longest chain of
+    * events e₁ < e₂ < … < e_L (strict (ts, tieCol) order — the tie
+    * column makes the order total, so equal-timestamp events chain
+    * deterministically) with e_i matching `steps(i-1)` and
+    * ts_L − ts_1 ≤ `windowMicros`, maximized over ALL chain starts —
+    * ClickHouse windowFunnel's default mode, pinned to a total order.
+    *
+    * Single chronological sweep per entity: `best(k)` carries the
+    * LATEST chain-start timestamp among chains of length k seen so
+    * far. A later start strictly dominates for extension (every stored
+    * chain already ends before the current event in the total order,
+    * so only the window constraint binds, and a later t₁ loosens it) —
+    * which is what makes one left-to-right `aggregate` equivalent to
+    * the exists-any-chain semantics the oracle recomputes by explicit
+    * join. Output: (userCol, level) with level ∈ [0, steps.length].
+    */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, steps: Seq[Column],
+                   windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val k = steps.length
+    val flagged = events.select(
+      col(userCol) +:
+        unix_micros(col(tsCol)).as("ts_us") +:
+        col(tieCol).cast("long").as("tie") +:
+        steps.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    // sorted chronological history: struct sort is lexicographic by
+    // field order, so (ts_us, tie) leads and the order is total
+    val hist = flagged.groupBy(userCol)
+      .agg(sort_array(collect_list(struct(
+        col("ts_us") +: col("tie") +:
+          (1 to k).map(i => col(s"s$i")): _*))).as("evs"))
+    // DP state: best(i) = latest chain-start among length-i chains
+    // (null = none). Transitions read the PRE-event state (acc.*), so
+    // one event never serves two steps of the same chain, and chains
+    // always end strictly earlier in the total order than the event
+    // extending them.
+    val init = struct((1 to k).map(i =>
+      lit(null).cast("long").as(s"b$i")): _*)
+    val folded = hist.select(col(userCol), aggregate(col("evs"), init,
+      (acc, e) => {
+        val trans = (1 to k).map { i =>
+          val ext =
+            if (i == 1) when(e.getField("s1"), e.getField("ts_us"))
+            else when(e.getField(s"s$i") &&
+              acc.getField(s"b${i - 1}").isNotNull &&
+              e.getField("ts_us") - acc.getField(s"b${i - 1}") <=
+                lit(windowMicros),
+              acc.getField(s"b${i - 1}"))
+          greatest(acc.getField(s"b$i"), ext).as(s"b$i")
+        }
+        struct(trans: _*)
+      }).as("best"))
+    // build inside-out: the last-wrapped branch wins, so wrap from
+    // level 1 up and the highest reached level takes precedence
+    folded.select(col(userCol),
+      (1 to k).foldLeft(lit(0)) { (els, i) =>
+        when(col(s"best.b$i").isNotNull, i).otherwise(els)
+      }.cast("int").as("level"))
+  }
+
+  /** ClickHouse `retention` analog: per entity, r₁ = matched
+    * `conds(0)`, and rᵢ (i ≥ 2) = r₁ AND matched `conds(i-1)` — no
+    * ordering or window, the cohort-definition semantics. One hash
+    * aggregation (k boolean max-aggregates, map-side combined).
+    * Output: (userCol, r1..rk booleans). */
+  def retention(events: DataFrame, userCol: String,
+                conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val flags = events.groupBy(userCol)
+      .agg(
+        max(when(conds.head, 1).otherwise(0)).as("m1"),
+        conds.zipWithIndex.tail.map { case (c, i) =>
+          max(when(c, 1).otherwise(0)).as(s"m${i + 1}") }: _*)
+    flags.select(
+      col(userCol) +:
+        (col("m1") === 1).as("r1") +:
+        conds.indices.tail.map(i =>
+          (col("m1") === 1 && col(s"m${i + 1}") === 1).as(s"r${i + 1}")): _*)
+  }
+}

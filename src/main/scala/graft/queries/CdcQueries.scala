@@ -296,6 +296,34 @@ object CdcQueries extends QueryPack {
       snapshotProjection(graft.sources.Snapshot.fromOrc(s, staging,
         entityCol = "c_custkey", labelCols = Seq("c_mktsegment"),
         asOf = snapshotAsOf))
+    }),
+
+    // ClickHouse windowFunnel analog: signup → click → purchase within
+    // a 4 h window, maximized over all chain starts (the CH default
+    // mode pinned to a total (ts, event_id) order so equal-timestamp
+    // events chain deterministically). The oracle recomputes the
+    // exists-any-chain semantics by explicit join — the Spark side's
+    // single-sweep DP must agree user-for-user for the level histogram
+    // to hash-match.
+    "cdc_funnel" -> ((s, dir) => {
+      val lv = graft.operators.Funnel.windowFunnel(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 4L * 3600 * 1000000)
+      lv.groupBy("level").agg(count(lit(1)).as("n_users")).orderBy("level")
+    }),
+
+    // ClickHouse retention analog: cohort flags (did signup; signup ∧
+    // click; signup ∧ purchase) summed to the cohort report row.
+    "cdc_retention_cohort" -> ((s, dir) => {
+      val r = graft.operators.Funnel.retention(
+        Tables.load(s, dir, "events"), "user_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      r.agg(sum(when(col("r1"), 1L).otherwise(0L)).as("n_r1"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("n_r2"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("n_r3"))
     })
   )
 
@@ -408,6 +436,47 @@ object CdcQueries extends QueryPack {
          FROM customer ORDER BY entity_id""",
     "snapshot_csv" -> snapshotOracleSql,
     "snapshot_orc" -> snapshotOracleSql,
-    "snapshot_jdbc" -> snapshotOracleSql
+    "snapshot_jdbc" -> snapshotOracleSql,
+    // exists-any-chain windowFunnel semantics recomputed by explicit
+    // join: s1 = chain starts, c2 = all (start, second) continuations
+    // in strict (ts, event_id) order within the window OF THE START,
+    // c3 = users with a full chain. Level = longest prefix reached.
+    "cdc_funnel" ->
+      """WITH s1 AS (SELECT user_id, epoch_us(ts) AS t1, event_id AS i1
+                     FROM events WHERE event_type = 'signup'),
+           c2 AS (SELECT DISTINCT s1.user_id, s1.t1, epoch_us(e.ts) AS t2,
+                         e.event_id AS i2
+                  FROM s1 JOIN events e ON e.user_id = s1.user_id
+                  WHERE e.event_type = 'click'
+                    AND (epoch_us(e.ts) > s1.t1
+                         OR (epoch_us(e.ts) = s1.t1 AND e.event_id > s1.i1))
+                    AND epoch_us(e.ts) - s1.t1 <= 14400000000),
+           c3 AS (SELECT DISTINCT c2.user_id
+                  FROM c2 JOIN events e ON e.user_id = c2.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND (epoch_us(e.ts) > c2.t2
+                         OR (epoch_us(e.ts) = c2.t2 AND e.event_id > c2.i2))
+                    AND epoch_us(e.ts) - c2.t1 <= 14400000000),
+           lv AS (SELECT u.user_id,
+                    CASE WHEN c3.user_id IS NOT NULL THEN 3
+                         WHEN x2.user_id IS NOT NULL THEN 2
+                         WHEN x1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS level
+                  FROM (SELECT DISTINCT user_id FROM events) u
+                  LEFT JOIN (SELECT DISTINCT user_id FROM s1) x1 USING (user_id)
+                  LEFT JOIN (SELECT DISTINCT user_id FROM c2) x2 USING (user_id)
+                  LEFT JOIN c3 USING (user_id))
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM lv GROUP BY level ORDER BY level""",
+    "cdc_retention_cohort" ->
+      """WITH f AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS m1,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+                FROM events GROUP BY user_id)
+         SELECT CAST(sum(m1) AS BIGINT) AS n_r1,
+                CAST(sum(CASE WHEN m1 = 1 AND m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+                CAST(sum(CASE WHEN m1 = 1 AND m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
+         FROM f"""
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** windowFunnel / retention invariants: the single-sweep DP must agree
+  * with brute-force chain enumeration (the exists-any-chain semantics
+  * the DuckDB oracle recomputes by join), including the cases that
+  * break naive implementations — later-start domination, equal-ts
+  * tie-breaking on the tie column, and one event never serving two
+  * steps of the same chain.
+  */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def funnelOf(rows: Seq[(Long, Long, Long, String)],
+                       window: Long): Map[Long, Int] = {
+    // rows: (user, ts_us, event_id, type); ts column built from µs
+    val df = rows.toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Funnel.windowFunnel(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"), window)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("later chain start dominates: a min-anchored funnel would undercount") {
+    // start@0 reaches only level 2 in window 60; start@50 reaches 3
+    val lv = funnelOf(Seq(
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "a"),
+      (1L, 60L, 3L, "b"), (1L, 100L, 4L, "c")), window = 60L)
+    assert(lv(1L) == 3)
+  }
+
+  test("window binds on the chain START, not step-to-step gaps") {
+    // a@0 b@50 c@70: all gaps < 60 but c is 70 from the start
+    val lv = funnelOf(Seq(
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "b"), (1L, 70L, 3L, "c")),
+      window = 60L)
+    assert(lv(1L) == 2)
+  }
+
+  test("equal timestamps chain only in tie-column order") {
+    // b shares a's ts: chains iff event_id greater
+    val lv = funnelOf(Seq(
+      (1L, 10L, 5L, "a"), (1L, 10L, 6L, "b"),
+      (2L, 10L, 5L, "b"), (2L, 10L, 6L, "a")), window = 100L)
+    assert(lv(1L) == 2 && lv(2L) == 1)
+  }
+
+  test("one event never serves two consecutive steps of the same chain") {
+    // steps 2 and 3 both match type b — a single b after the a must
+    // only reach level 2; a second b completes the chain
+    val df = Seq((1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"),
+        (2L, 0L, 3L, "a"), (2L, 10L, 4L, "b"), (2L, 20L, 5L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val lv = Funnel.windowFunnel(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "b"), windowMicros = 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv(1L) == 2 && lv(2L) == 3)
+  }
+
+  test("DP agrees with brute-force chain enumeration on random streams") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("a", "b", "c", "x")
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to 12).map { i =>
+        (u, rnd.nextInt(1000).toLong, u * 100 + i,
+          types(rnd.nextInt(types.length)))
+      }
+    }
+    val window = 300L
+    val got = funnelOf(rows, window)
+    // brute force: enumerate every (ts, event_id)-increasing chain of
+    // length ≤ 3 — O(n³) per user, fine at 12 events
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      def matches(e: (Long, Long, Long, String), step: Int) =
+        e._4 == Seq("a", "b", "c")(step)
+      val l1 = sorted.exists(matches(_, 0))
+      val l2 = sorted.combinations(2).exists { case Seq(e1, e2) =>
+        matches(e1, 0) && matches(e2, 1) && e2._2 - e1._2 <= window }
+      val l3 = sorted.combinations(3).exists { case Seq(e1, e2, e3) =>
+        matches(e1, 0) && matches(e2, 1) && matches(e3, 2) &&
+          e3._2 - e1._2 <= window }
+      val want = if (l3) 3 else if (l2) 2 else if (l1) 1 else 0
+      assert(got(u) == want, s"user $u: got ${got(u)} want $want")
+    }
+  }
+
+  test("retention flags are cond1-gated and unordered") {
+    val df = Seq(
+      (1L, "a"), (1L, "c"),          // r1, r3 (no b)
+      (2L, "b"), (2L, "c"),          // nothing (no a ⇒ all false)
+      (3L, "c"), (3L, "a"))          // r1, r3 — order irrelevant
+      .toDF("user_id", "event_type")
+    val r = Funnel.retention(df, "user_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ((true, false, true)))
+    assert(r(2L) == ((false, false, false)))
+    assert(r(3L) == ((true, false, true)))
+  }
+
+  test("funnel on real events matches a spot-checked user") {
+    // end-to-end type plumbing on the sf0.001 events table: levels in
+    // range, all users accounted for
+    val events = Tables.load(spark, sfDir, "events")
+    val lv = Funnel.windowFunnel(events, "user_id", "ts", "event_id",
+      Seq(col("event_type") === "signup", col("event_type") === "click",
+        col("event_type") === "purchase"), 4L * 3600 * 1000000)
+    val n = events.select("user_id").distinct().count()
+    assert(lv.count() == n)
+    assert(lv.agg(min("level"), max("level")).head match {
+      case r => r.getInt(0) >= 0 && r.getInt(1) <= 3
+    })
+  }
+}
