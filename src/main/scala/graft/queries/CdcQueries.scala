@@ -324,6 +324,42 @@ object CdcQueries extends QueryPack {
       r.agg(sum(when(col("r1"), 1L).otherwise(0L)).as("n_r1"),
         sum(when(col("r2"), 1L).otherwise(0L)).as("n_r2"),
         sum(when(col("r3"), 1L).otherwise(0L)).as("n_r3"))
+    }),
+
+    // Daily-volume anomaly gate — the operational extension of
+    // validate_counts: flag (event_type, day) whose count deviates
+    // > 3σ from the TRAILING 7-day baseline (RANGE frame on calendar
+    // day distance, current day excluded, ≥ 3 baseline days). The 3σ
+    // test is evaluated in integer arithmetic — (n·cnt − S)²·(n−1) >
+    // 9·n·(n·Q − S²) with S=Σx, Q=Σx² over the window, the
+    // multiplied-out sample-variance inequality — so the verdict bit
+    // cannot flip on engine-specific float rounding; products stay
+    // double-exact below 2^53 (counts to ~10⁶/day; beyond that the
+    // same test runs in decimal). One shuffle on event_type for the
+    // window, after the daily rollup has already collapsed the data.
+    "cdc_anomaly_daily" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("d")
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("n_base", count(lit(1)).over(w))
+        .withColumn("s_base", sum(col("cnt")).over(w))
+        .withColumn("q_base", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("n_base") >= 3)
+        .withColumn("dev", col("n_base") * col("cnt") - col("s_base"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("n_base"),
+          (col("dev") * col("dev") * (col("n_base") - 1) >
+            lit(9L) * col("n_base") *
+              (col("n_base") * col("q_base") - col("s_base") * col("s_base")))
+            .as("anomaly"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -477,6 +513,31 @@ object CdcQueries extends QueryPack {
          SELECT CAST(sum(m1) AS BIGINT) AS n_r1,
                 CAST(sum(CASE WHEN m1 = 1 AND m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
                 CAST(sum(CASE WHEN m1 = 1 AND m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
-         FROM f"""
+         FROM f""",
+    // same multiplied-out integer 3σ test as the Spark side — both
+    // engines compare exact integers, so the verdict bit agrees
+    "cdc_anomaly_daily" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*) AS cnt,
+                  date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS d
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, cnt,
+                  count(*) OVER w AS n_base,
+                  sum(cnt) OVER w AS s_base,
+                  sum(cnt * cnt) OVER w AS q_base
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+                n_base,
+                (n_base * cnt - s_base) * (n_base * cnt - s_base)
+                  * (n_base - 1)
+                  > 9 * n_base * (n_base * q_base - s_base * s_base)
+                  AS anomaly
+         FROM win WHERE n_base >= 3
+         ORDER BY event_type, day"""
   )
 }
