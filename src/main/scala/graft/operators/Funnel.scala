@@ -83,6 +83,18 @@ object Funnel {
       }.cast("int").as("level"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1).*(?2)…')` analog for the
+    * chain-of-conditions pattern class: true iff the entity's stream
+    * contains events matching every step in order (strict total
+    * (ts, tieCol) order, no time window — the window-free special
+    * case of [[windowFunnel]], so the same DP serves both; CH's
+    * time-operator patterns `(?t>n)` are windowFunnel's job).
+    * Output: (userCol, matched). */
+  def sequenceMatch(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, steps: Seq[Column]): DataFrame =
+    windowFunnel(events, userCol, tsCol, tieCol, steps, Long.MaxValue)
+      .select(col(userCol), (col("level") === steps.length).as("matched"))
+
   /** ClickHouse `retention` analog: per entity, r₁ = matched
     * `conds(0)`, and rᵢ (i ≥ 2) = r₁ AND matched `conds(i-1)` — no
     * ordering or window, the cohort-definition semantics. One hash

@@ -326,6 +326,46 @@ object CdcQueries extends QueryPack {
         sum(when(col("r3"), 1L).otherwise(0L)).as("n_r3"))
     }),
 
+    // ClickHouse sequenceMatch analog — the window-free member of the
+    // event-sequence trio, with JSON-property step predicates (steps
+    // are arbitrary Columns, not just type tags): signup, then a
+    // purchase carrying prop k=7, then an error carrying k=13, in
+    // order. The property predicates keep the cohort non-degenerate —
+    // plain type chains all match over a month of dense activity.
+    "cdc_sequence_match" -> ((s, dir) => {
+      val m = graft.operators.Funnel.sequenceMatch(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase" &&
+            get_json_object(col("props"), "$.k") === "7",
+          col("event_type") === "error" &&
+            get_json_object(col("props"), "$.k") === "13"))
+      m.groupBy("matched").agg(count(lit(1)).as("n_users"))
+        .orderBy("matched")
+    }),
+
+    // ClickHouse histogram analog: fixed 8-bin value distribution per
+    // event type over that type's [min, max]. The bin formula —
+    // least(7, floor((v − lo) · 8.0 / (hi − lo))) — is written with
+    // the IDENTICAL operation order on both engines: all inputs and
+    // intermediates are IEEE doubles, so identical op sequences give
+    // identical bins and the count-per-bin hash compare is exact.
+    // Plan: 5-row bounds aggregate broadcast back onto the scan, one
+    // hash agg — two passes over events, no sort.
+    "cdc_value_histogram" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val bounds = ev.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(7L),
+              floor((col("value") - col("lo")) * lit(8.0) /
+                (col("hi") - col("lo"))))).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
+
     // Daily-volume anomaly gate — the operational extension of
     // validate_counts: flag (event_type, day) whose count deviates
     // > 3σ from the TRAILING 7-day baseline (RANGE frame on calendar
@@ -514,6 +554,39 @@ object CdcQueries extends QueryPack {
                 CAST(sum(CASE WHEN m1 = 1 AND m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
                 CAST(sum(CASE WHEN m1 = 1 AND m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
          FROM f""",
+    // identical IEEE op order as the Spark side — bins agree exactly
+    "cdc_value_histogram" ->
+      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                    FROM events GROUP BY 1)
+         SELECT e.event_type,
+                CASE WHEN hi = lo THEN 0
+                     ELSE LEAST(7, CAST(floor((e.value - lo) * 8.0 / (hi - lo)) AS BIGINT))
+                END AS bin,
+                count(*) AS n
+         FROM events e JOIN b USING (event_type)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the funnel oracle's exists-any-chain join shape minus the window
+    // predicates (window-free subsequence existence)
+    "cdc_sequence_match" ->
+      """WITH s1 AS (SELECT user_id, epoch_us(ts) AS t1, event_id AS i1
+                     FROM events WHERE event_type = 'signup'),
+           c2 AS (SELECT DISTINCT s1.user_id, epoch_us(e.ts) AS t2,
+                         e.event_id AS i2
+                  FROM s1 JOIN events e ON e.user_id = s1.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND json_extract_string(e.props, '$.k') = '7'
+                    AND (epoch_us(e.ts) > s1.t1
+                         OR (epoch_us(e.ts) = s1.t1 AND e.event_id > s1.i1))),
+           c3 AS (SELECT DISTINCT c2.user_id
+                  FROM c2 JOIN events e ON e.user_id = c2.user_id
+                  WHERE e.event_type = 'error'
+                    AND json_extract_string(e.props, '$.k') = '13'
+                    AND (epoch_us(e.ts) > c2.t2
+                         OR (epoch_us(e.ts) = c2.t2 AND e.event_id > c2.i2)))
+         SELECT u.user_id IN (SELECT user_id FROM c3) AS matched,
+                count(*) AS n_users
+         FROM (SELECT DISTINCT user_id FROM events) u
+         GROUP BY 1 ORDER BY matched""",
     // same multiplied-out integer 3σ test as the Spark side — both
     // engines compare exact integers, so the verdict bit agrees
     "cdc_anomaly_daily" ->

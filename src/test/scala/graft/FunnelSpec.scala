@@ -92,6 +92,21 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("sequenceMatch is the window-free funnel: order matters, gaps don't") {
+    val df = Seq(
+      (1L, 0L, 1L, "a"), (1L, 1000000L, 2L, "b"), (1L, 9999999L, 3L, "c"),
+      (2L, 0L, 4L, "c"), (2L, 10L, 5L, "b"), (2L, 20L, 6L, "a"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val m = Funnel.sequenceMatch(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // user 1: a..b..c in order over a huge gap — matched; user 2:
+    // reverse order — not
+    assert(m(1L) && !m(2L))
+  }
+
   test("retention flags are cond1-gated and unordered") {
     val df = Seq(
       (1L, "a"), (1L, "c"),          // r1, r3 (no b)
