@@ -478,6 +478,33 @@ object PipelineQueries extends QueryPack {
           col("st.ts_us").as("last_ts_us"),
           round(col("st.value"), 4).as("last_value"))
         .orderBy("user_id")
+    }),
+
+    // H11: the incremental funnel — same steps/window as cdc_funnel,
+    // levels streamed per entity through flatMapGroupsWithState, then
+    // folded to the SAME histogram the batch operator produces (and
+    // the same DuckDB exists-any-chain oracle checks). Max-per-user
+    // collapses re-emissions if AvailableNow splits the file set;
+    // users that never emit (level 0) are restored from the batch
+    // side so the histogram covers every entity.
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val evs = CdcStream.readEvents(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[CdcStream.Ev]
+      val levels = CdcStream.funnelLevels(evs,
+        Seq(_.event_type == "signup", _.event_type == "click",
+          _.event_type == "purchase"),
+        windowMicros = 4L * 3600 * 1000000)
+        .toDF("user_id", "level")
+      val lv = CdcStream.runToMemory(levels, OutputMode.Update())
+        .groupBy("user_id").agg(max(col("level")).as("level"))
+      Tables.load(s, dir, "events").select(col("user_id")).distinct()
+        .join(lv, Seq("user_id"), "left")
+        .na.fill(0, Seq("level"))
+        .groupBy("level").agg(count(lit(1)).as("n_users"))
+        .orderBy("level")
     })
   )
 
@@ -488,9 +515,12 @@ object PipelineQueries extends QueryPack {
   override val streams: Set[String] = Set(
     "stream_event_counts", "stream_json_parse", "stream_progress",
     "stream_counts_watermarked", "stream_dedup_exact",
-    "stream_latest_expiring", "stream_latest_rel", "stream_latest_state")
+    "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
+    "stream_funnel")
 
   val oracles: Map[String, String] = Map(
+    // the stream folds to the batch funnel's histogram — same oracle
+    "stream_funnel" -> CdcQueries.oracles("cdc_funnel"),
     "mm_feature_stub" ->
       """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
                            hex(encode(text)) AS h

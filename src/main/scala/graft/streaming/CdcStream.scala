@@ -324,6 +324,58 @@ object CdcStream {
           }
       }
 
+  /** Per-entity funnel level emitted as a stream — the incremental
+    * twin of [[graft.operators.Funnel.windowFunnel]] (the live "how
+    * far did each user get" monitoring feed). The batch DP's state —
+    * per level, the latest chain-start timestamp — is a pure left
+    * fold over the entity's chronological events, so it carries
+    * across micro-batches in `GroupState` verbatim: state is k longs
+    * per entity, independent of stream length, and stream-after-N-
+    * batches equals the batch operator on the concatenated input
+    * EXACTLY (spec'd), provided events arrive in per-entity event-time
+    * order across batches — the Kafka key-partitioned CDC delivery
+    * shape (within a batch, the group's events are sorted before the
+    * fold, so intra-batch disorder is immaterial). Emits (user_id,
+    * level) only when the entity's level INCREASES — a batch that
+    * only advances chain starts updates state silently. */
+  def funnelLevels(events: Dataset[Ev], steps: Seq[Ev => Boolean],
+                   windowMicros: Long): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnelLevels needs at least one step")
+    val k = steps.length
+    val UNSET = Long.MinValue
+    def level(best: Array[Long]): Int = {
+      var l = 0
+      var i = 0
+      while (i < k) { if (best(i) != UNSET) l = i + 1; i += 1 }
+      l
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Array[Long]]) =>
+          val best = state.getOption.getOrElse(Array.fill(k)(UNSET))
+          val prev = level(best)
+          // total (ts, event_id) order within the batch — the same
+          // order the batch DP folds in
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            // descending levels: each transition reads the PRE-event
+            // value of the level below (updated later in the loop),
+            // so one event never serves two steps of the same chain
+            var i = k - 1
+            while (i >= 1) {
+              if (steps(i)(e) && best(i - 1) != UNSET &&
+                e.ts_us - best(i - 1) <= windowMicros &&
+                best(i - 1) > best(i)) best(i) = best(i - 1)
+              i -= 1
+            }
+            if (steps(0)(e) && e.ts_us > best(0)) best(0) = e.ts_us
+          }
+          state.update(best)
+          val now = level(best)
+          if (now > prev) Iterator.single((uid, now)) else Iterator.empty
+      }
+  }
+
   /** [[latestBy]] with event-time state TTL — the "watermark + state
     * TTL for entity churn" deployment shape: a perpetual CDC stream
     * accretes one state row per entity EVER SEEN, so at 100 TB/year of

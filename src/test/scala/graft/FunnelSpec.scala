@@ -123,6 +123,51 @@ class FunnelSpec extends SparkSpec {
     assert(r(3L) == ((true, false, true)))
   }
 
+  test("streaming funnel carries chain state across micro-batches, emits on increase only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val q = CdcStream.funnelLevels(mem.toDS(),
+        Seq(_.event_type == "a", _.event_type == "b", _.event_type == "c"),
+        windowMicros = 1000L)
+      .toDF("user_id", "level")
+      .writeStream.format("memory").queryName("funnelspec_stream")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: user 7 starts a chain; user 8 only step 2 (no start)
+    mem.addData(CdcStream.Ev(1, 100, 7, "a", 0),
+                CdcStream.Ev(2, 100, 8, "b", 0))
+    q.processAllAvailable()
+    // batch 2: user 7 completes b then c USING the carried start@100;
+    // user 8 stays unmatched (b again — no emission at all)
+    mem.addData(CdcStream.Ev(3, 200, 7, "b", 0),
+                CdcStream.Ev(4, 300, 7, "c", 0),
+                CdcStream.Ev(5, 400, 8, "b", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnelspec_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // user 7: level 1 from batch 1, level 3 from batch 2 (cross-batch
+    // chain); user 8: never — b without a start is level 0
+    assert(out.toSet == Set((7L, 1), (7L, 3)))
+    // stream result == batch operator on the concatenated input
+    import spark.implicits._
+    val all = Seq(
+      CdcStream.Ev(1, 100, 7, "a", 0), CdcStream.Ev(2, 100, 8, "b", 0),
+      CdcStream.Ev(3, 200, 7, "b", 0), CdcStream.Ev(4, 300, 7, "c", 0),
+      CdcStream.Ev(5, 400, 8, "b", 0))
+      .toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+    val batch = Funnel.windowFunnel(all, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"), 1000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamFinal = out.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).max }
+    assert(batch(7L) == 3 && batch(8L) == 0)
+    assert(streamFinal(7L) == 3 && !streamFinal.contains(8L))
+  }
+
   test("funnel on real events matches a spot-checked user") {
     // end-to-end type plumbing on the sf0.001 events table: levels in
     // range, all users accounted for
