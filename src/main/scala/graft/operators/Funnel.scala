@@ -95,6 +95,60 @@ object Funnel {
     windowFunnel(events, userCol, tsCol, tieCol, steps, Long.MaxValue)
       .select(col(userCol), (col("level") === steps.length).as("matched"))
 
+  /** ClickHouse `sequenceCount('(?1).*(?2)…')` analog: the number of
+    * NON-OVERLAPPING chains matching the step conditions in strict
+    * (ts, tieCol) order, counted greedily from the left (each chain
+    * completes at the earliest event that completes any chain, then
+    * matching restarts strictly after it — the leftmost-greedy rule
+    * that maximizes disjoint-match count). Window-free, like the CH
+    * pattern without time operators.
+    *
+    * Same single-aggregation shape as [[windowFunnel]], with one more
+    * piece of per-entity state: the DP's chain-start registers reset
+    * when a chain completes, and a counter increments — the completing
+    * event is consumed, so chains never share events.
+    * Output: (userCol, n_matches). */
+  def sequenceCount(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "sequenceCount needs at least one step")
+    val k = steps.length
+    val flagged = events.select(
+      col(userCol) +:
+        unix_micros(col(tsCol)).as("ts_us") +:
+        col(tieCol).cast("long").as("tie") +:
+        steps.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    val hist = flagged.groupBy(userCol)
+      .agg(sort_array(collect_list(struct(
+        col("ts_us") +: col("tie") +:
+          (1 to k).map(i => col(s"s$i")): _*))).as("evs"))
+    // state: b1..b_{k-1} chain-start registers (the level-k register
+    // never survives an event — reaching it IS completion) + count
+    val init = struct(
+      (1 until k).map(i => lit(null).cast("long").as(s"b$i")) :+
+        lit(0L).as("cnt"): _*)
+    val folded = hist.select(col(userCol), aggregate(col("evs"), init,
+      (acc, e) => {
+        val completes =
+          if (k == 1) e.getField("s1")
+          else e.getField(s"s$k") && acc.getField(s"b${k - 1}").isNotNull
+        val regs = (1 until k).map { i =>
+          val ext =
+            if (i == 1) when(e.getField("s1"), e.getField("ts_us"))
+            else when(e.getField(s"s$i") &&
+              acc.getField(s"b${i - 1}").isNotNull,
+              acc.getField(s"b${i - 1}"))
+          // a completing event consumes the whole in-flight chain
+          // set: registers restart empty strictly after it
+          when(completes, lit(null).cast("long"))
+            .otherwise(greatest(acc.getField(s"b$i"), ext)).as(s"b$i")
+        }
+        struct(regs :+
+          (acc.getField("cnt") +
+            when(completes, 1L).otherwise(0L)).as("cnt"): _*)
+      }).as("st"))
+    folded.select(col(userCol), col("st.cnt").as("n_matches"))
+  }
+
   /** ClickHouse `retention` analog: per entity, r₁ = matched
     * `conds(0)`, and rᵢ (i ≥ 2) = r₁ AND matched `conds(i-1)` — no
     * ordering or window, the cohort-definition semantics. One hash

@@ -344,6 +344,20 @@ object CdcQueries extends QueryPack {
         .orderBy("matched")
     }),
 
+    // ClickHouse sequenceCount analog: non-overlapping
+    // signup → click → purchase chains per user (leftmost-greedy),
+    // reported as the per-count user distribution. The oracle
+    // recomputes the greedy with a recursive chained-min CTE — both
+    // sides must agree on every user's count for the distribution to
+    // hash-match.
+    "cdc_sequence_count" -> ((s, dir) =>
+      graft.operators.Funnel.sequenceCount(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .groupBy("n_matches").agg(count(lit(1)).as("n_users"))
+        .orderBy("n_matches")),
+
     // ClickHouse histogram analog: fixed 8-bin value distribution per
     // event type over that type's [min, max]. The bin formula —
     // least(7, floor((v − lo) · 8.0 / (hi − lo))) — is written with
@@ -554,6 +568,41 @@ object CdcQueries extends QueryPack {
                 CAST(sum(CASE WHEN m1 = 1 AND m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
                 CAST(sum(CASE WHEN m1 = 1 AND m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
          FROM f""",
+    // leftmost-greedy non-overlapping chain count via a recursive
+    // chained-min CTE: each iteration finds the earliest chain
+    // completion strictly after the previous one (first signup after
+    // p, first click after it, first purchase after that — chained
+    // mins ARE the greedy), so max(n) per user is the disjoint count
+    "cdc_sequence_count" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, epoch_us(ts) AS t, event_id AS i, event_type AS ty
+           FROM events
+         ),
+         m(user_id, n, t3, i3) AS (
+           SELECT user_id, 0, CAST(-9223372036854775807 AS BIGINT),
+                  CAST(-9223372036854775807 AS BIGINT)
+           FROM (SELECT DISTINCT user_id FROM ev)
+           UNION ALL
+           SELECT m.user_id, m.n + 1, c.t3, c.i3
+           FROM m JOIN LATERAL (
+             SELECT e3.t AS t3, e3.i AS i3
+             FROM (SELECT t, i FROM ev e1
+                   WHERE e1.user_id = m.user_id AND e1.ty = 'signup'
+                     AND (e1.t > m.t3 OR (e1.t = m.t3 AND e1.i > m.i3))
+                   ORDER BY t, i LIMIT 1) s1,
+                  LATERAL (SELECT t, i FROM ev e2
+                   WHERE e2.user_id = m.user_id AND e2.ty = 'click'
+                     AND (e2.t > s1.t OR (e2.t = s1.t AND e2.i > s1.i))
+                   ORDER BY t, i LIMIT 1) s2,
+                  LATERAL (SELECT e3.t, e3.i FROM ev e3
+                   WHERE e3.user_id = m.user_id AND e3.ty = 'purchase'
+                     AND (e3.t > s2.t OR (e3.t = s2.t AND e3.i > s2.i))
+                   ORDER BY t, i LIMIT 1) e3
+           ) c ON true
+         ),
+         per_user AS (SELECT user_id, max(n) AS n_matches FROM m GROUP BY user_id)
+         SELECT CAST(n_matches AS BIGINT) AS n_matches, count(*) AS n_users
+         FROM per_user GROUP BY 1 ORDER BY 1""",
     // identical IEEE op order as the Spark side — bins agree exactly
     "cdc_value_histogram" ->
       """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi

@@ -107,6 +107,53 @@ class FunnelSpec extends SparkSpec {
     assert(m(1L) && !m(2L))
   }
 
+  private def countOf(rows: Seq[(Long, Long, Long, String)],
+                      steps: Seq[String]): Map[Long, Long] = {
+    val df = rows.toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Funnel.sequenceCount(df, "user_id", "ts", "event_id",
+        steps.map(t => col("event_type") === t))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sequenceCount counts disjoint chains; a completing event is consumed") {
+    // a b c a b c → 2 disjoint chains
+    assert(countOf(Seq(
+      (1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "c"),
+      (1L, 3L, 4L, "a"), (1L, 4L, 5L, "b"), (1L, 5L, 6L, "c")),
+      Seq("a", "b", "c"))(1L) == 2L)
+    // steps a,b,a over a b a b a: the middle a completes chain 1 and
+    // is CONSUMED — it cannot also start chain 2, so only 1 match
+    // (a reusable completer would find 2)
+    assert(countOf(Seq(
+      (2L, 0L, 1L, "a"), (2L, 1L, 2L, "b"), (2L, 2L, 3L, "a"),
+      (2L, 3L, 4L, "b"), (2L, 4L, 5L, "a")),
+      Seq("a", "b", "a"))(2L) == 1L)
+  }
+
+  test("sequenceCount agrees with a scan-greedy reference on random streams") {
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c", "x")
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to 15).map { i =>
+        (u, rnd.nextInt(1000).toLong, u * 100 + i,
+          types(rnd.nextInt(types.length)))
+      }
+    }
+    val got = countOf(rows, Seq("a", "b", "c"))
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var (lvl, cnt) = (0, 0L)
+      sorted.foreach { e =>
+        if (e._4 == Seq("a", "b", "c")(lvl)) {
+          lvl += 1
+          if (lvl == 3) { cnt += 1; lvl = 0 }
+        }
+      }
+      assert(got(u) == cnt, s"user $u: got ${got(u)} want $cnt")
+    }
+  }
+
   test("retention flags are cond1-gated and unordered") {
     val df = Seq(
       (1L, "a"), (1L, "c"),          // r1, r3 (no b)
