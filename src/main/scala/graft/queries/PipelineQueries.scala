@@ -249,6 +249,27 @@ object PipelineQueries extends QueryPack {
         .orderBy("day_us", "event_type")
     }),
 
+    // H12 (new r6): session_window sessionization — the always-on
+    // twin of the batch lag/gap cdc_sessionize. Same determinism
+    // argument as stream_counts_watermarked: the final watermark
+    // settles at max(ts) − delay and Append emits exactly the
+    // sessions whose end (last event + gap) it passed. The oracle
+    // recomputes that finalized subset relationally; its new-session
+    // predicate is strictly `> gap` because an exactly-gap follower
+    // MERGES (sessions merge while nextStart ≤ prevEnd — pinned by
+    // the PipelineSpec boundary test).
+    "stream_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val agg = CdcStream.sessionize(CdcStream.readEvents(s, dir),
+        gap = "30 minutes", delay = "1 day")
+      CdcStream.runToMemory(agg, OutputMode.Append())
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start_us")
+    }),
+
     // H4 (was spec-only): the reference's END-TO-END topology — a CDC
     // stream landed into a real JDBC store via foreachBatch (Kafka →
     // ClickHouse insert; embedded Derby here, same writer surface) and
@@ -516,7 +537,7 @@ object PipelineQueries extends QueryPack {
     "stream_event_counts", "stream_json_parse", "stream_progress",
     "stream_counts_watermarked", "stream_dedup_exact",
     "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
-    "stream_funnel")
+    "stream_funnel", "stream_sessionize")
 
   val oracles: Map[String, String] = Map(
     // the stream folds to the batch funnel's histogram — same oracle
@@ -573,6 +594,28 @@ object PipelineQueries extends QueryPack {
     "stream_bloom_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 ORDER BY doc_id""",
+    "stream_sessionize" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+                    FROM events),
+           s AS (SELECT user_id, ts_us, event_id, value,
+                        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000
+                             THEN 1 ELSE 0 END AS new_sess
+                 FROM g),
+           r AS (SELECT user_id, ts_us, value,
+                        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS sess_id
+                 FROM s),
+           a AS (SELECT user_id,
+                        min(ts_us) AS sess_start_us,
+                        max(ts_us) + 30*60*1000000 AS sess_end_us,
+                        count(*) AS n_events,
+                        round(sum(value), 4) AS sum_value
+                 FROM r GROUP BY user_id, sess_id)
+         SELECT user_id, sess_start_us, sess_end_us, n_events, sum_value
+         FROM a
+         WHERE sess_end_us <= (SELECT max(epoch_us(ts)) - 86400000000 FROM events)
+         ORDER BY user_id, sess_start_us""",
     "stream_counts_watermarked" ->
       """WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
          SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,

@@ -148,6 +148,32 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** H12: streaming sessionization — the always-on twin of the batch
+    * lag/gap form (`cdc_sessionize`), on Spark's native
+    * `session_window`: per-user sessions grow while consecutive events
+    * land within `gap` of each other, and with a watermark Append
+    * emits each session EXACTLY ONCE when the watermark passes its end
+    * (last event + gap), evicting its state. That eviction is the
+    * scale property: state is O(sessions still inside the watermark
+    * horizon), not O(users ever seen) — the batch window-function
+    * form needs a full per-user sort and cannot run perpetually.
+    * Session state is merged incrementally by the dedicated
+    * MergingSessions operator (session rows cross the shuffle
+    * pre-merged per partition), not re-sorted per trigger.
+    *
+    * Boundary semantics (pinned by spec): an event exactly `gap` after
+    * its predecessor MERGES into the session (sessions merge while
+    * nextStart <= prevEnd), so the relational twin's new-session
+    * predicate is strictly `ts - prev > gap` — identical to
+    * `cdc_sessionize`'s, keeping the two forms row-equal. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+
   /** Run a stream into a batch-writer callback via foreachBatch — the
     * reference's end-to-end topology (Kafka → ClickHouse insert) as
     * Structured Streaming: each micro-batch lands through the same

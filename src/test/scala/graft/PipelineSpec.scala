@@ -552,6 +552,53 @@ class PipelineSpec extends SparkSpec {
     assert(feats(2L) == 0 && feats(1L) == 6)
   }
 
+  test("sessionize: exactly-gap boundary merges, state crosses batches, closed sessions emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val stream = mem.toDS()
+      .select(expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), col("value"))
+    val q = CdcStream.sessionize(stream, gap = "30 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("pipelinespec_sess")
+      .outputMode(OutputMode.Append()).start()
+    val min = 60L * 1000000L
+    // user 7: second event lands EXACTLY gap after the first — the
+    // boundary case the relational twin must agree on
+    mem.addData(CdcStream.Ev(1, 0, 7, "click", 1.0),
+                CdcStream.Ev(2, 30 * min, 7, "click", 2.0))
+    q.processAllAvailable()
+    // cross-batch: 10 min after event 2 (merges into the live session,
+    // proving session state survives the micro-batch boundary), then
+    // 31 min after that (> gap — a genuinely new session)
+    mem.addData(CdcStream.Ev(3, 40 * min, 7, "click", 4.0),
+                CdcStream.Ev(4, 71 * min, 7, "click", 8.0))
+    q.processAllAvailable()
+    // far-future event lifts the watermark past both session ends
+    mem.addData(CdcStream.Ev(5, 100000 * min, 9, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("pipelinespec_sess")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // the exactly-gap event MERGED: one session of events {0, 30m,
+    // 40m} ending at 40m+gap, then the disjoint 71m session. User 9's
+    // session is still open (its end is ahead of the watermark) so
+    // Append has not emitted it — closed-session-only emission.
+    assert(got == Set(
+      (7L, 0L, 70 * min, 3L, 7.0),
+      (7L, 71 * min, 101 * min, 1L, 8.0)), s"sessions: $got")
+    // bounded state: the two emitted sessions were EVICTED — only the
+    // still-open user-9 session may remain in the store
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows <= 1, s"closed-session state not evicted: $stateRows")
+    q.stop()
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
