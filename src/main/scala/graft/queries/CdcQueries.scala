@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.CurrentState
+import graft.operators.{AsofJoin, CurrentState}
 
 /** SURVEY §2.A — the reference's CDC query surface re-expressed on the
   * `events` table (entity = user_id; op mapping signup→INSERT,
@@ -183,6 +183,30 @@ object CdcQueries extends QueryPack {
         col("event_type").as("type_asof"),
         unix_micros(col("ts")).as("ts_us"))
         .orderBy("user_id")
+    }),
+
+    // General ASOF JOIN (cdc_state_asof is the scalar-T special case):
+    // every event annotated with the newest purchase at-or-before it
+    // by the same user — last-touch attribution. The right side is
+    // pre-aggregated to unique (user, ts) (the operator's determinism
+    // precondition); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so
+    // the union+running-window plan is checked against a real
+    // range-scan as-of implementation, row for row.
+    "cdc_asof_attribution" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          round(col("value"), 4).as("pv"))
+        .groupBy("user_id", "pts")
+        .agg(max(col("pv")).as("purch_value"))
+        .withColumn("purch_ts_us", unix_micros(col("pts")))
+      AsofJoin.backward(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, Seq("user_id"), "ts", "pts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("purch_ts_us"), col("purch_value"))
+        .orderBy("event_id")
     }),
 
     // Sessionization — split each entity's event stream on >30 min
@@ -499,6 +523,13 @@ object CdcQueries extends QueryPack {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
          WHERE rn = 1 ORDER BY user_id""",
+    "cdc_asof_attribution" ->
+      """WITH p AS (SELECT user_id, ts AS pts, max(round(value, 4)) AS purch_value
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                epoch_us(p.pts) AS purch_ts_us, p.purch_value
+         FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+         ORDER BY e.event_id""",
     "cdc_sessionize" ->
       """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us

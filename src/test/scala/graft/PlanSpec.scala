@@ -22,6 +22,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_comment"), "scan reads columns the query never uses")
   }
 
+  test("asof attribution plans no join — union + running window only") {
+    val plan = formatted("cdc_asof_attribution")
+    assert(!plan.contains("Join"),
+      "the as-of operator exists to avoid a range join; a Join node means the rewrite regressed")
+    assert(plan.contains("Window"), "expected the running-last window")
+  }
+
   test("time_range_prune: both range bounds pushed to the scan") {
     val plan = formatted("time_range_prune")
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
