@@ -33,6 +33,27 @@ object CurrentState {
       .select(col(entityCol) +: dataCols.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** ClickHouse `LIMIT n BY key`: the newest `n` rows per entity —
+    * [[latest]] generalized from 1 to n. For n = 1 prefer [[latest]]
+    * (hash-agg, no sort); for small n > 1 this window shape is the
+    * idiomatic scale form: one hash exchange on the entity key and a
+    * LOCAL per-key sort, never a global sort, and the rank filter
+    * prunes to ≤ n rows per key before anything downstream runs. The
+    * collect_list-and-slice alternative buffers EVERY row of a hot key
+    * in one aggregation buffer — the shape to avoid at 100 TB.
+    * `orderCols` must again be a total order (unique tiebreaker) for a
+    * deterministic result; rank rides along as `rankCol` (1 = newest).
+    */
+  def topN(events: DataFrame, entityCol: String, orderCols: Seq[String],
+           n: Int, rankCol: String = "rk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    events
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+  }
+
   /** latest-state minus tombstones: entities whose newest event matches
     * `isTombstone` are dropped (DELETE semantics in the reference's
     * ReplacingMergeTree + `event_type != 'DELETE'` reads).

@@ -185,6 +185,18 @@ object CdcQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // ClickHouse `LIMIT n BY key` — the per-entity recent feed
+    // (cdc_recent_events is its global-top-10 twin): newest 3 events
+    // per user via CurrentState.topN. One hash exchange + local
+    // per-key sort; the rank filter trims to ≤3 rows/user in-plan.
+    "cdc_recent_by_user" -> ((s, dir) =>
+      CurrentState.topN(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us")),
+        "user_id", Seq("ts_us", "event_id"), n = 3)
+        .orderBy("user_id", "rk")),
+
     // General ASOF JOIN (cdc_state_asof is the scalar-T special case):
     // every event annotated with the newest purchase at-or-before it
     // by the same user — last-touch attribution. The right side is
@@ -523,6 +535,12 @@ object CdcQueries extends QueryPack {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
          WHERE rn = 1 ORDER BY user_id""",
+    "cdc_recent_by_user" ->
+      """SELECT event_id, user_id, event_type, ts_us, rk
+         FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS INT) AS rk
+               FROM events)
+         WHERE rk <= 3 ORDER BY user_id, rk""",
     "cdc_asof_attribution" ->
       """WITH p AS (SELECT user_id, ts AS pts, max(round(value, 4)) AS purch_value
                     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)

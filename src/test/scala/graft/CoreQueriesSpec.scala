@@ -32,6 +32,26 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.getAs[Long]("event_id") == want.getAs[Long]("event_id"))
   }
 
+  test("topN (LIMIT n BY): rank 1 equals latest, ranks ordered, capped at n") {
+    val events = Tables.load(spark, sfDir, "events")
+    val top = operators.CurrentState.topN(
+      events, "user_id", Seq("ts", "event_id"), n = 3)
+    // never more than n per key
+    assert(top.groupBy("user_id").count().filter(col("count") > 3).count() == 0)
+    // rank 1 is exactly CurrentState.latest
+    val r1 = top.filter(col("rk") === 1).select("user_id", "event_id")
+    val latest = operators.CurrentState.latest(
+      events, "user_id", Seq("ts", "event_id")).select("user_id", "event_id")
+    assert(r1.exceptAll(latest).count() == 0 && latest.exceptAll(r1).count() == 0)
+    // ranks strictly follow the (ts, event_id) descending order
+    val bad = top.alias("a").join(top.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.rk") === col("b.rk") - 1)
+      .filter(!(col("a.ts") > col("b.ts") ||
+        (col("a.ts") === col("b.ts") && col("a.event_id") > col("b.event_id"))))
+    assert(bad.count() == 0)
+  }
+
   test("cdc_current_state drops tombstoned entities") {
     val events = Tables.load(spark, sfDir, "events")
     val cur = operators.CurrentState.current(
