@@ -291,11 +291,17 @@ object PipelineQueries extends QueryPack {
           queryName = Some(s"graft_jdbc_land_$t"))
         t
       })
+      // min_day/max_day make this oracle time-SIGHTED: a corrupted
+      // event-time path (e.g. all timestamps collapsed to 1970 by a
+      // representation mismatch) previously sailed through because the
+      // compared rollup dropped every ts-derived column
       graft.sinks.JdbcSink.read(s, opts(table))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           count_distinct(col("user_id")).as("n_users"),
-          round(sum(col("value")), 4).as("value_sum"))
+          round(sum(col("value")), 4).as("value_sum"),
+          floor(min(col("ts_us")) / 86400000000L).cast("long").as("min_day"),
+          floor(max(col("ts_us")) / 86400000000L).cast("long").as("max_day"))
         .orderBy("event_type")
     }),
 
@@ -346,15 +352,18 @@ object PipelineQueries extends QueryPack {
         raw.union(raw).write.mode("overwrite").parquet(p)
         p
       })
-      val raw = s.readStream.schema(CdcStream.eventsDiskSchema).parquet(staging)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = CdcStream.streamEventParquet(s, staging, schemaFrom = staging)
         // content fingerprint (the D1 dedup key, streaming form)
         .withColumn("fp", md5(concat_ws("|",
           col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))))
       val deduped = CdcStream.dedupExactStream(raw, "fp", "ts", "3650 days")
+      // ts_us in the compared rows makes the oracle time-SIGHTED: a
+      // representation mismatch that shifts or collapses event time
+      // now hash-mismatches instead of hiding behind ts-free columns
       CdcStream.runToMemory(deduped, OutputMode.Append())
-        .select(col("event_id"), col("user_id"), col("event_type"),
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
     }),
@@ -589,7 +598,8 @@ object PipelineQueries extends QueryPack {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "stream_dedup_exact" ->
-      """SELECT event_id, user_id, event_type, round(value, 4) AS value
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                round(value, 4) AS value
          FROM events ORDER BY event_id""",
     "stream_bloom_dedup" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -626,7 +636,9 @@ object PipelineQueries extends QueryPack {
     "stream_jdbc_land" ->
       """SELECT event_type, count(*) AS cnt,
                 count(DISTINCT user_id) AS n_users,
-                round(sum(value), 4) AS value_sum
+                round(sum(value), 4) AS value_sum,
+                CAST(floor(min(epoch_us(ts)) / 86400000000) AS BIGINT) AS min_day,
+                CAST(floor(max(epoch_us(ts)) / 86400000000) AS BIGINT) AS max_day
          FROM events GROUP BY 1 ORDER BY 1""",
     "stream_latest_rel" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS source_id,

@@ -21,15 +21,29 @@ import org.apache.spark.sql.types._
   */
 object CdcStream {
 
-  /** events.parquet on-disk schema (ts is TIMESTAMP(NANOS) → read as
-    * long under nanosAsLong; streaming needs the schema up front). */
-  val eventsDiskSchema: StructType = new StructType()
-    .add("event_id", LongType)
-    .add("ts", LongType)
-    .add("user_id", LongType)
-    .add("event_type", StringType)
-    .add("value", DoubleType)
-    .add("props", StringType)
+  /** Streaming sources need a schema up front, and the events table's
+    * `ts` representation is a moving target across testdata
+    * generations (nanos-as-long, micros TIMESTAMP_NTZ, micros
+    * TIMESTAMP). Pinning a literal schema is how one data regeneration
+    * silently collapsed all event time to 1970 — so derive the schema
+    * from the actual parquet footer (one driver-side metadata read, no
+    * data scan) and let [[graft.Tables.normalizeEventTime]] dispatch
+    * on what the footer says, exactly as the batch path does. */
+  def diskSchemaOf(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** Footer-derived schema stream over event-shaped parquet: read with
+    * the on-disk schema, then normalize `tsCol` to a session-UTC
+    * TIMESTAMP via the same three-representation dispatch the batch
+    * loader uses (unknown representations fail loud at the source, not
+    * downstream at analysis). */
+  def streamEventParquet(spark: SparkSession, dir: String,
+                         schemaFrom: String, tsCol: String = "ts",
+                         glob: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(diskSchemaOf(spark, schemaFrom))
+    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+    graft.Tables.normalizeEventTime(withGlob.parquet(dir), dir, tsCol)
+  }
 
   /** A CDC event in flight (timestamps as epoch micros — streaming
     * state should carry primitives, not session-zone objects). */
@@ -62,11 +76,8 @@ object CdcStream {
     * The file source requires a directory; the testdata lays tables
     * out as single files per dir, so glob-filter to the events file. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsDiskSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    streamEventParquet(spark, dir, schemaFrom = s"$dir/events.parquet",
+      glob = Some("events.parquet"))
 
   /** Spark option map for a Kafka CDC source, mirroring the
     * reference's ClickHouse Kafka-engine table settings
