@@ -16,8 +16,10 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    // the testdata (and any Neo4j-exported parquet) carries
-    // TIMESTAMP(NANOS); Spark has no nanos type
+    // some testdata generations (and Neo4j-exported parquet) carry
+    // TIMESTAMP(NANOS); Spark has no nanos type, so those columns read
+    // as long and Tables.normalizeEventTime converts (harmless when
+    // the data is plain micros timestamp)
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // CDC timestamps are wall-clock UTC end to end
     "spark.sql.session.timeZone" -> "UTC")

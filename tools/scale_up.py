@@ -16,8 +16,9 @@ volume without a driver regeneration:
   - embeddings are circularly rotated per replica (cosine structure
     within a replica preserved exactly; cross-replica cosines decay to
     noise), so ANN/dedup contracts scale without duplicate-pair blowup;
-  - events keep their TIMESTAMP(NANOS) physical type (pyarrow passthrough
-    — graft.Tables.load and CdcStream.readEvents branch on it).
+  - events.ts passes through with its source physical type unchanged
+    (nanos in older generations, micros in newer — graft.Tables.load
+    and CdcStream.readEvents dispatch on whichever arrives).
 
 Usage: python3 tools/scale_up.py <src_sf_dir> <out_dir> <factor>
 """
@@ -51,7 +52,7 @@ def amplify_arrow(name, keys):
             r = r.set_column(r.schema.get_field_index(k), k, pc.add(col, off))
         parts.append(r)
     merged = pa.concat_tables(parts)
-    # version 2.6 keeps TIMESTAMP(NANOS) physical types (events.ts)
+    # version 2.6 passes timestamp physical types through unchanged
     pq.write_table(merged, f"{out}/{name}.parquet", version="2.6")
     print(f"{name}: {t.num_rows} -> {merged.num_rows}")
 
