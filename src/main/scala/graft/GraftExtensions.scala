@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{GraftExpressionBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
-import graft.functions.{DotProduct, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, If, IsNull, Literal, XxHash64}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
+import graft.functions.{DotProduct, SimHash64, TopKWeighted, UniqUpTo}
 
 /** SQL registration of graft's native expressions, so pure-SQL users
   * (spark.sql, thriftserver, SQL files) get the same codegen'd kernels
@@ -54,7 +54,34 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(arrayOfTokens)")
         SimHash64(Cast(args.head, ArrayType(StringType)))
+      }),
+    ("uniq_upto",
+      new ExpressionInfo(classOf[UniqUpTo].getName, "uniq_upto"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "uniq_upto(value, n)")
+        // values are pre-hashed to 64 bits (nulls pass through and the
+        // aggregate skips them — xxhash64 alone would hash a null to
+        // the bare seed and count a phantom item)
+        UniqUpTo(hashedOrNull(args.head), intLiteral(args(1), "uniq_upto: n"))
+      }),
+    ("topk_weighted",
+      new ExpressionInfo(classOf[TopKWeighted].getName, "topk_weighted"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_weighted(item, weight, capacity)")
+        TopKWeighted(Cast(args.head, StringType), Cast(args(1), LongType),
+          intLiteral(args(2), "topk_weighted: capacity"))
       }))
+
+  /** Pre-hash a value column for [[UniqUpTo]], keeping nulls null. */
+  private def hashedOrNull(e: Expression): Expression =
+    If(IsNull(e), Literal(null, LongType), XxHash64(Seq(e), 42L))
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register everything on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,249 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded-state aggregate pair — the ClickHouse combinators whose
+  * whole point is a HARD cap on per-group aggregation state:
+  *
+  *  - [[UniqUpTo]] — `uniqUpTo(N)(x)`: exact distinct count while it
+  *    is ≤ N, the single saturated value N+1 beyond. State is at most
+  *    N+1 hashes per group per partition — a `count(DISTINCT x)` plans
+  *    a full (group, value) de-dup exchange, unbounded in the value
+  *    cardinality; this caps it by CONTRACT, which is what "how many
+  *    distinct buyers, capped at 100" questions actually need at
+  *    100 TB.
+  *  - [[TopKWeighted]] — `topKWeighted(k)(item, weight)`: SpaceSaving-
+  *    style weighted heavy hitters over a capacity-capped map. Weights
+  *    are EXACT while a group's distinct items fit the capacity (no
+  *    eviction ever fires — the regime the oracle checks); beyond it,
+  *    evicted mass is folded into newcomers (min+w inheritance), the
+  *    standard bounded-overestimate. Same posture as the Sketches
+  *    suite's approx_top_k but with a WEIGHT column, which Spark's
+  *    built-in lacks.
+  *
+  * Both are `TypedImperativeAggregate`s (ObjectHashAggregate with
+  * map-side partial merge — no UDF, only the bounded state crosses
+  * the shuffle), the same engine shape as Spark's own
+  * hll_sketch_agg / approx_top_k_accumulate. Registered in SQL as
+  * `uniq_upto(x, n)` / `topk_weighted(item, w, cap)`
+  * ([[graft.GraftExtensions]]); DataFrame forms in
+  * [[graft.operators.Sketches.uniqUpTo]] / `.topkWeighted`.
+  */
+object BoundedAggs // scaladoc anchor
+
+/** Exact-until-saturation distinct count. `child` must be a
+  * nullable-long column of PRE-HASHED values (the registration wraps
+  * the user's column in `xxhash64`, nulls passed through — a 64-bit
+  * collision undercounts with p ≈ n²/2⁶⁴, negligible at any
+  * saturation bound this operator is for). Result: min(distinct, n+1),
+  * never null (empty group → 0). */
+case class UniqUpTo(
+    child: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(n >= 1, s"uniq_upto: n must be >= 1, got $n")
+
+  override def prettyName: String = "uniq_upto"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+    new java.util.HashSet[java.lang.Long]()
+
+  override def update(buf: java.util.HashSet[java.lang.Long],
+                      input: InternalRow): java.util.HashSet[java.lang.Long] = {
+    // saturated at n+1: the answer is pinned, stop accumulating
+    if (buf.size() <= n) {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashSet[java.lang.Long],
+                     b2: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext && b1.size() <= n) b1.add(it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.HashSet[java.lang.Long]): Any =
+    math.min(buf.size(), n + 1).toLong
+
+  override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 8 * buf.size())
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sz = in.readInt()
+    val s = new java.util.HashSet[java.lang.Long](sz * 2)
+    var i = 0
+    while (i < sz) { s.add(in.readLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): UniqUpTo =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): UniqUpTo =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): UniqUpTo =
+    copy(child = newChild)
+}
+
+/** Weighted heavy hitters over a capacity-capped map (SpaceSaving
+  * eviction). `item` string, `weight` long; rows with a null item or
+  * null weight are not items (the suite's null posture). Returns the
+  * FULL tracked array sorted (weight desc, item asc) — callers
+  * `slice` their k; determinism of the k-prefix is guaranteed in the
+  * exact regime (distinct items ≤ capacity).
+  *
+  * Merge semantics: count-sum over the union, then trim to capacity
+  * keeping the largest — exact when the union fits capacity; beyond
+  * it the trimmed mass disappears from SURVIVORS only (heavy hitters
+  * keep their exact sums until an eviction in `update` touches them,
+  * inheriting min+w as SpaceSaving does). */
+case class TopKWeighted(
+    left: Expression,  // item
+    right: Expression, // weight
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+  with BinaryLike[Expression] {
+
+  require(capacity >= 1, s"topk_weighted: capacity must be >= 1, got $capacity")
+
+  override def prettyName: String = "topk_weighted"
+  override def dataType: DataType = ArrayType(
+    new StructType().add("item", StringType, nullable = false)
+      .add("weight", LongType, nullable = false),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
+
+  private def add(buf: java.util.HashMap[String, java.lang.Long],
+                  item: String, w: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) { buf.put(item, cur + w); return }
+    if (buf.size() < capacity) { buf.put(item, w); return }
+    // SpaceSaving eviction: newcomer inherits the minimum's mass
+    var minK: String = null
+    var minV = Long.MaxValue
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue < minV) { minV = e.getValue; minK = e.getKey }
+    }
+    buf.remove(minK)
+    buf.put(item, minV + w)
+  }
+
+  override def update(buf: java.util.HashMap[String, java.lang.Long],
+                      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val i = left.eval(input)
+    val w = right.eval(input)
+    if (i != null && w != null)
+      add(buf, i.asInstanceOf[UTF8String].toString, w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[String, java.lang.Long],
+                     b2: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b1.get(e.getKey)
+      b1.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+    }
+    if (b1.size() > capacity) {
+      // trim to capacity keeping the largest (weight desc, item asc)
+      val entries = new java.util.ArrayList(b1.entrySet())
+      entries.sort { (a: java.util.Map.Entry[String, java.lang.Long],
+                      b: java.util.Map.Entry[String, java.lang.Long]) =>
+        val c = java.lang.Long.compare(b.getValue, a.getValue)
+        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      }
+      val keep = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+      var i = 0
+      while (i < capacity) {
+        val e = entries.get(i); keep.put(e.getKey, e.getValue); i += 1
+      }
+      keep
+    } else b1
+  }
+
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    val entries = new java.util.ArrayList(buf.entrySet())
+    entries.sort { (a: java.util.Map.Entry[String, java.lang.Long],
+                    b: java.util.Map.Entry[String, java.lang.Long]) =>
+      val c = java.lang.Long.compare(b.getValue, a.getValue)
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val rows = new Array[Any](entries.size())
+    var i = 0
+    while (i < entries.size()) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey),
+        e.getValue.longValue())
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sz = in.readInt()
+    val m = new java.util.HashMap[String, java.lang.Long](sz * 2)
+    var i = 0
+    while (i < sz) {
+      val kl = in.readInt()
+      val kb = new Array[Byte](kl); in.readFully(kb)
+      m.put(new String(kb, StandardCharsets.UTF_8),
+        java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKWeighted =
+    copy(left = newLeft, right = newRight)
+}

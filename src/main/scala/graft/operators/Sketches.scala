@@ -605,4 +605,56 @@ object Sketches {
       state.columns.filterNot(_ == "topk_state").map(col) ++
         Seq(call_function("approx_top_k_estimate",
           col("topk_state"), lit(k)).as("topk")): _*)
+
+  // -------------------------------------------------------------------
+  // Bounded-state aggregates (graft.functions.BoundedAggs) — the
+  // ClickHouse combinators whose point is a HARD per-group state cap:
+  // uniqUpTo(N) and topKWeighted(k). Native TypedImperativeAggregates
+  // (ObjectHashAggregate, map-side partial merge); SQL forms
+  // `uniq_upto(x, n)` / `topk_weighted(item, w, cap)` registered by
+  // GraftExtensions.
+
+  private def exprOf(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftExpressionBridge.expression(c)
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftExpressionBridge.column(e)
+
+  /** Aggregate Column: min(distinct non-null values, n+1) — EXACT
+    * below the cap, saturated n+1 above it, per-group state capped at
+    * n+1 hashes (a count_distinct plans an unbounded (key, value)
+    * de-dup exchange; this answers "distinct, capped at N" — the
+    * reference's uniqUpTo — in one bounded aggregation). */
+  def uniqUpToCol(value: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
+    val v = exprOf(value)
+    val hashed = If(IsNull(v), Literal(null,
+      org.apache.spark.sql.types.LongType), XxHash64(Seq(v), 42L))
+    colOf(graft.functions.UniqUpTo(hashed, n).toAggregateExpression())
+  }
+
+  /** [[uniqUpToCol]] as a one-shot grouped frame. */
+  def uniqUpTo(df: DataFrame, keyCols: Seq[String], valueCol: String,
+               n: Int, as: String = "uniq_upto"): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(uniqUpToCol(col(valueCol), n).as(as))
+
+  /** Aggregate Column: weighted heavy hitters over a capacity-capped
+    * map — full tracked array (weight desc, item asc — deterministic
+    * in the exact regime) of at most `capacity` (item, weight) pairs;
+    * weights EXACT while a group's distinct items fit the capacity,
+    * bounded-overestimate beyond (SpaceSaving min+w inheritance).
+    * Callers `slice` their k. */
+  def topkWeightedCol(item: org.apache.spark.sql.Column,
+                      weight: org.apache.spark.sql.Column,
+                      capacity: Int): org.apache.spark.sql.Column =
+    colOf(graft.functions.TopKWeighted(
+      exprOf(item.cast("string")), exprOf(weight.cast("long")), capacity)
+      .toAggregateExpression())
+
+  /** [[topkWeightedCol]] as a one-shot grouped frame. */
+  def topkWeighted(df: DataFrame, keyCols: Seq[String], itemCol: String,
+                   weightCol: String, capacity: Int,
+                   as: String = "topk_w"): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(topkWeightedCol(col(itemCol), col(weightCol), capacity).as(as))
 }

@@ -39,6 +39,10 @@ object PipelineQueries extends QueryPack {
   private val dupStagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> landed HLL state path (stream_uniq_state_check)
+  private val uniqLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // unique memory-sink names for stream_progress across warmup/timed
   // runs in one JVM (a reused name would re-register the same table)
   private val progressId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -414,6 +418,46 @@ object PipelineQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // H13 (new r7): streaming uniqState MV — the reference's
+    // AggregatingMergeTree uniq MV fed from a stream, landed as a
+    // persisted per-key HLL state table by read-merge-replace per
+    // micro-batch (CdcStream.uniqStateLand). Two staged event files
+    // stream one-per-batch, so batch 2 proves the merge against the
+    // LANDED state (cross-batch accumulation, not one-shot agg).
+    // Verdict columns: rows_state must equal the exact count (clean
+    // AvailableNow run, no replay), estimate within the HLL bound.
+    "stream_uniq_state_check" -> ((s, dir) => {
+      val statePath = uniqLanded.computeIfAbsent(dir, d => {
+        val stage = Staging.path("uniq_state_stream", d)
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val in = s"$stage/in"
+        ev.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(in)
+        ev.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        CdcStream.uniqStateLand(stream, Seq("event_type"), "user_id",
+          s"$stage/state", s"$stage/ckpt",
+          queryName = Some("graft_uniq_state_land"))
+        s"$stage/state/state"
+      })
+      val est = graft.operators.Sketches.estimateDistinct(
+        s.read.parquet(statePath))
+      val exact = Tables.load(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("total_exact"),
+          count_distinct(col("user_id")).as("uniq_exact"))
+      // `total` is the STATE's row accounting (summed across the two
+      // landed batches) — the oracle recomputes count(*), so the hash
+      // compare itself proves the landing lost/duplicated nothing
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("total"), col("uniq_exact"),
+          (abs(col("uniq_est") - col("uniq_exact")) <=
+            greatest(lit(2L), (col("uniq_exact") * 0.05).cast("long")))
+            .as("est_ok"))
+        .orderBy("event_type")
+    }),
+
     // H8 (was spec-only): latestByExpiring — the state-TTL deployment
     // shape of H2. Eviction is GC, not a data change (an evicted key's
     // later event re-creates and re-emits it), so the rollup of every
@@ -633,6 +677,10 @@ object PipelineQueries extends QueryPack {
          FROM events, m
          WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_uniq_state_check" ->
+      """SELECT event_type, count(*) AS total,
+                count(DISTINCT user_id) AS uniq_exact, true AS est_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_jdbc_land" ->
       """SELECT event_type, count(*) AS cnt,
                 count(DISTINCT user_id) AS n_users,

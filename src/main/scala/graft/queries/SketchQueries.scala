@@ -338,6 +338,41 @@ object SketchQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // ClickHouse uniqUpTo(N) — min(distinct, N+1) per key, per-group
+    // state capped at N+1 hashes (functions/BoundedAggs.scala). FULL
+    // oracle: the semantics are exact in BOTH regimes, so the entry
+    // exercises a saturated cap (100 < per-type user cardinality at
+    // every SF), an unsaturated one, and a string-typed value with
+    // nulls (the JSON property path). count(DISTINCT) on the oracle
+    // side skips nulls exactly as the aggregate does.
+    "cdc_uniq_upto" -> ((s, dir) =>
+      Tables.load(s, dir, "events").groupBy("event_type")
+        .agg(
+          Sketches.uniqUpToCol(col("user_id"), 100).as("uniq_100"),
+          Sketches.uniqUpToCol(col("user_id"), 100000).as("uniq_free"),
+          Sketches.uniqUpToCol(get_json_object(col("props"), "$.k"), 10)
+            .as("k_uniq_10"))
+        .orderBy("event_type")),
+
+    // ClickHouse topKWeighted in its EXACT regime (capacity well above
+    // per-type user cardinality at the validated SFs — no eviction, so
+    // sums are exact and the (weight desc, item asc) tie-break makes
+    // the k-prefix deterministic): per-type top-5 users by summed
+    // scaled-integer event value. floor(value*10000) keeps both
+    // engines in exact long arithmetic — identical IEEE multiply +
+    // floor, then integer sums. FULL oracle (row_number twin).
+    "cdc_topk_weighted" -> ((s, dir) => {
+      val weighted = Tables.load(s, dir, "events").select(col("event_type"),
+        col("user_id").cast("string").as("item"),
+        floor(col("value") * 10000).cast("long").as("w"))
+      Sketches.topkWeighted(weighted, Seq("event_type"), "item", "w",
+          capacity = 100000)
+        .select(col("event_type"), posexplode(slice(col("topk_w"), 1, 5)))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("user_id"), col("col.weight").as("w_sum"))
+        .orderBy("event_type", "rk")
+    }),
+
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
     // the cid layout) driver-checked end-to-end through a real
     // build + 2 appends + compact cycle on its OWN small index (the
@@ -566,6 +601,21 @@ object SketchQueries extends QueryPack {
               WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    "cdc_uniq_upto" ->
+      """SELECT event_type,
+                LEAST(count(DISTINCT user_id), 101) AS uniq_100,
+                LEAST(count(DISTINCT user_id), 100001) AS uniq_free,
+                LEAST(count(DISTINCT json_extract_string(props, '$.k')), 11) AS k_uniq_10
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "cdc_topk_weighted" ->
+      """SELECT event_type, rk, user_id, w_sum FROM (
+           SELECT event_type, user_id, w_sum,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY w_sum DESC, user_id ASC) AS rk
+           FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                        CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS w_sum
+                 FROM events GROUP BY 1, 2))
+         WHERE rk <= 5 ORDER BY event_type, rk""",
     "sim_ivf_index_check" ->
       """SELECT CAST(0 AS BIGINT) AS extra, CAST(0 AS BIGINT) AS missing""",
     "sim_ivf_storage_check" ->

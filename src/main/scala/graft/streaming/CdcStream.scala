@@ -296,6 +296,72 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Streaming uniqState materialized view — the reference's
+    * AggregatingMergeTree MV fed from Kafka (`uniqState` per key,
+    * finalized with `uniqMerge`) as a Structured Streaming landing:
+    * each micro-batch folds into ONE persisted per-key HLL state table
+    * (read-merge-replace, KBs per key) via the same
+    * [[graft.operators.Sketches.distinctState]]/[[graft.operators.Sketches.mergeDistinctStates]]
+    * columns the batch path uses. A 100 TB/day stream's "distinct
+    * entities per type, ever" stays answerable from |keys| sketch rows
+    * — no history re-read, no growing state store (the state lives in
+    * parquet, not the streaming state backend).
+    *
+    * Replay semantics: the HLL leg is IDEMPOTENT under batch replay —
+    * re-merging the same values is a set union with itself — so an
+    * at-least-once redelivery cannot inflate `uniq_est`. The paired
+    * `rows_state` count IS at-least-once (a replayed batch re-adds its
+    * row count); treat it as the reference treats its Kafka-consumer
+    * row counters — reconciliation-grade, absorbed by downstream
+    * validation — or compare it only on clean runs.
+    *
+    * Publish is the repo's crash-safe swap (ParquetSink.deleteTimeRange
+    * protocol): staged write (dot-hidden) → live renamed to a VISIBLE
+    * backup → stage renamed live → backup deleted, with a recovery
+    * sweep at every batch start, so a kill between any two steps never
+    * loses the accumulated state. Mismatched lgK between the landed
+    * state and `lgK` fails loud in the merge (hll_union_agg). */
+  def uniqStateLand(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    statePath: String, checkpointDir: String,
+                    lgK: Int = 12, queryName: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val w = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val live = new Path(statePath, "state")
+        val backup = new Path(statePath, "_graft_prev_state")
+        val stage = new Path(statePath, ".graft_state_stage")
+        val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // recovery sweep: backup + no live = crash between the two
+        // renames — restore; backup + live = publish done, cleanup lost
+        if (fs.exists(backup)) {
+          if (!fs.exists(live)) require(fs.rename(backup, live),
+            s"failed to restore interrupted state publish at $statePath")
+          else fs.delete(backup, true)
+        }
+        val bState = graft.operators.Sketches
+          .distinctState(batch.toDF(), keyCols, valueCol, lgK)
+        val merged =
+          if (fs.exists(live))
+            graft.operators.Sketches.mergeDistinctStates(
+              bState.unionByName(s.read.parquet(live.toString)), keyCols)
+          else bState
+        fs.delete(stage, true)
+        merged.write.mode("overwrite").parquet(stage.toString)
+        if (fs.exists(live)) require(fs.rename(live, backup),
+          s"failed to stage previous state at $statePath")
+        require(fs.rename(stage, live),
+          s"failed to publish state at $statePath")
+        fs.delete(backup, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = queryName.fold(w)(w.queryName).start()
+    q.awaitTermination()
+  }
+
   /** Land a stream into the monthly-partitioned parquet layout — the
     * streaming twin of [[graft.sinks.ParquetSink.writeMonthly]], so a
     * CDC stream's landing zone is born with the reference's MergeTree

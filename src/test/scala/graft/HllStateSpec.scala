@@ -207,4 +207,82 @@ class HllStateSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("streaming uniqState landing == batch state, batch-count independent") {
+    // stream the same events as 1 file and as 3 files (1 per batch):
+    // the landed state's finalized estimates must be identical to each
+    // other AND to the direct batch build (HLL union associativity)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_uniq_land").toString
+    try {
+      def land(nChunks: Int): Map[String, (Long, Long)] = {
+        val stage = s"$root/c$nChunks"
+        (0 until nChunks).foreach { c =>
+          events.filter(col("event_id") % nChunks === c).coalesce(1)
+            .write.mode("append").parquet(s"$stage/in")
+        }
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$stage/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
+        streaming.CdcStream.uniqStateLand(stream, Seq("event_type"),
+          "user_id", s"$stage/state", s"$stage/ckpt")
+        Sketches.estimateDistinct(
+            spark.read.parquet(s"$stage/state/state"))
+          .collect()
+          .map(r => r.getAs[String]("event_type") ->
+            (r.getAs[Long]("total"), r.getAs[Long]("uniq_est"))).toMap
+      }
+      val one = land(1)
+      val three = land(3)
+      assert(one == three, s"batching changed the landed state: $one vs $three")
+      val direct = Sketches.estimateDistinct(
+          Sketches.distinctState(events, Seq("event_type"), "user_id"))
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("total"), r.getAs[Long]("uniq_est"))).toMap
+      assert(one == direct, s"landed state != batch build: $one vs $direct")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("uniqState landing recovers an interrupted publish") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_uniq_recover").toString
+    try {
+      val stage = s"$root/s"
+      events.coalesce(1).write.mode("overwrite").parquet(s"$stage/in")
+      val stream1 = spark.readStream
+        .schema(spark.read.parquet(s"$stage/in").schema).parquet(s"$stage/in")
+      streaming.CdcStream.uniqStateLand(stream1, Seq("event_type"),
+        "user_id", s"$stage/state", s"$stage/ckpt1")
+      val live = new java.io.File(s"$stage/state/state")
+      val backup = new java.io.File(s"$stage/state/_graft_prev_state")
+      // simulate a crash between the two publish renames: live moved
+      // to backup, new state never arrived
+      assert(live.renameTo(backup))
+      assert(!live.exists())
+      // next landing run must restore the backup before merging
+      events.filter(col("event_id") % 7 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/in2")
+      val stream2 = spark.readStream
+        .schema(spark.read.parquet(s"$stage/in2").schema).parquet(s"$stage/in2")
+      streaming.CdcStream.uniqStateLand(stream2, Seq("event_type"),
+        "user_id", s"$stage/state", s"$stage/ckpt2")
+      assert(live.exists() && !backup.exists())
+      // the restored-then-merged estimate still covers ALL users (the
+      // second run's values are a subset of the first's)
+      val est = Sketches.estimateDistinct(
+          spark.read.parquet(s"$stage/state/state"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("uniq_est")).toMap
+      val direct = Sketches.estimateDistinct(
+          Sketches.distinctState(events, Seq("event_type"), "user_id"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Long]("uniq_est")).toMap
+      assert(est == direct, s"recovered state lost values: $est vs $direct")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

@@ -185,6 +185,30 @@ class PlanSpec extends SparkSpec {
       s"state build must combine sketches map-side:\n$plan")
   }
 
+  test("bounded aggregates run as ObjectHashAggregate with map-side partial merge") {
+    // uniqUpTo/topKWeighted carry bounded java state through
+    // TypedImperativeAggregate: the plan must be ObjectHashAggregate
+    // (not SortAggregate — no per-group sort) with a partial pass
+    // before the exchange, so only capped state crosses the shuffle
+    val uniq = staticPlanOf(graft.operators.Sketches.uniqUpTo(
+      Tables.load(spark, sfDir, "events"), Seq("event_type"), "user_id",
+      n = 100)).toString
+    assert(uniq.contains("ObjectHashAggregate"),
+      s"uniq_upto must plan as ObjectHashAggregate:\n$uniq")
+    assert(uniq.contains("partial_uniq_upto"),
+      s"uniq_upto must combine map-side:\n$uniq")
+    import org.apache.spark.sql.functions.{col, floor}
+    val topk = staticPlanOf(graft.operators.Sketches.topkWeighted(
+      Tables.load(spark, sfDir, "events").select(col("event_type"),
+        col("user_id").cast("string").as("item"),
+        floor(col("value") * 10000).cast("long").as("w")),
+      Seq("event_type"), "item", "w", capacity = 1000)).toString
+    assert(topk.contains("ObjectHashAggregate"),
+      s"topk_weighted must plan as ObjectHashAggregate:\n$topk")
+    assert(topk.contains("partial_topk_weighted"),
+      s"topk_weighted must combine map-side:\n$topk")
+  }
+
   test("theta and kll state builds partially aggregate map-side too") {
     val theta = staticPlanOf(graft.operators.Sketches.thetaState(
       Tables.load(spark, sfDir, "documents"), Seq("lang"), "text")).toString
