@@ -450,6 +450,54 @@ object CdcQueries extends QueryPack {
               (col("n_base") * col("q_base") - col("s_base") * col("s_base")))
             .as("anomaly"))
         .orderBy("event_type", "day")
+    }),
+
+    // ClickHouse `ORDER BY … WITH FILL` analog: a SPARSE daily series
+    // (the k=7 property cohort — sparse by construction, so missing
+    // days genuinely exist) densified to zero rows over the global
+    // [min, max] day span. The grid is |types| × |span days| rows
+    // built from two scalar aggregates — at 100 TB the fill cost is a
+    // function of the CALENDAR, not the data; the left join's right
+    // side is the already-collapsed daily rollup (broadcastable).
+    "cdc_daily_filled" -> ((s, dir) => {
+      val sparse = Tables.load(s, dir, "events")
+        .filter(get_json_object(col("props"), "$.k") === "7" &&
+                col("user_id") % 5 === 2)
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      val counts = sparse.groupBy("event_type", "d")
+        .agg(count(lit(1)).as("cnt"))
+      val span = sparse.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val grid = span
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        .crossJoin(sparse.select("event_type").distinct())
+      grid.join(counts, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d").as("day_idx"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "day_idx")
+    }),
+
+    // runningDifference + deltaSum analogs on the daily volume series:
+    // day-over-day delta per type (lag window; first day's delta is
+    // NULL, matching runningDifference's leading row) and the per-type
+    // sum of positive deltas (deltaSum — total upward movement). Two
+    // window passes over the ALREADY-COLLAPSED |types × days| rollup;
+    // the raw stream is touched once by the count.
+    "cdc_daily_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val wType = Window.partitionBy("event_type")
+      daily.withColumn("delta", col("cnt") - lag(col("cnt"), 1).over(w))
+        .withColumn("delta_sum_pos",
+          sum(when(col("delta") > 0, col("delta")).otherwise(0L))
+            .over(wType).cast("long"))
+        .select(col("event_type"), col("d").as("day_idx"), col("cnt"),
+          col("delta"), col("delta_sum_pos"))
+        .orderBy("event_type", "day_idx")
     })
   )
 
@@ -709,6 +757,34 @@ object CdcQueries extends QueryPack {
                   > 9 * n_base * (n_base * q_base - s_base * s_base)
                   AS anomaly
          FROM win WHERE n_base >= 3
-         ORDER BY event_type, day"""
+         ORDER BY event_type, day""",
+    "cdc_daily_filled" ->
+      """WITH sp AS (SELECT event_type,
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+                     FROM events
+                     WHERE json_extract_string(props, '$.k') = '7'
+                       AND user_id % 5 = 2),
+           c AS (SELECT event_type, d, count(*) AS cnt FROM sp GROUP BY 1, 2),
+           span AS (SELECT min(d) AS d0, max(d) AS d1 FROM sp),
+           grid AS (SELECT t.event_type, g.d
+                    FROM (SELECT DISTINCT event_type FROM sp) t,
+                         (SELECT unnest(range(d0, d1 + 1)) AS d FROM span) g)
+         SELECT grid.event_type, grid.d AS day_idx,
+                COALESCE(c.cnt, 0) AS cnt
+         FROM grid LEFT JOIN c
+           ON grid.event_type = c.event_type AND grid.d = c.d
+         ORDER BY 1, 2""",
+    "cdc_daily_delta" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+           dd AS (SELECT event_type, d, cnt,
+                         cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS delta
+                  FROM daily)
+         SELECT event_type, d AS day_idx, cnt, delta,
+                CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                     OVER (PARTITION BY event_type) AS BIGINT) AS delta_sum_pos
+         FROM dd ORDER BY 1, 2"""
   )
 }
