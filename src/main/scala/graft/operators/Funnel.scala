@@ -83,6 +83,74 @@ object Funnel {
       }.cast("int").as("level"))
   }
 
+  /** [[windowFunnel]] in ClickHouse's `strict_increase` mode: chain
+    * timestamps must STRICTLY increase — an event can extend only
+    * chains whose last event has a strictly smaller ts (equal-ts
+    * events, however tie-ordered, never chain). The default DP's
+    * single best(i) register is insufficient here: eligibility now
+    * depends on the chain's LAST-event ts, not just its start. Two
+    * registers per level close it exactly:
+    *
+    *   p(i) = latest chain-start among length-i chains ending
+    *          STRICTLY BEFORE the current timestamp;
+    *   c(i) = latest chain-start among length-i chains ending
+    *          AT the current timestamp.
+    *
+    * When the sweep's timestamp advances, c rolls into p (those
+    * chains now end strictly before). Extensions read p(i−1) only
+    * (strictness), and land in c(i) (the new chain ends now). Within
+    * each bucket max-start still dominates — eligibility is uniform
+    * across the bucket and the window constraint binds only on the
+    * start — so the sweep stays one codegen'd `aggregate`, state
+    * 2k+1 longs per entity. Same exists-any-chain semantics as the
+    * oracle's explicit join with strict `<` between consecutive
+    * steps. */
+  def windowFunnelStrictIncrease(events: DataFrame, userCol: String,
+                                 tsCol: String, tieCol: String,
+                                 steps: Seq[Column],
+                                 windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val k = steps.length
+    val flagged = events.select(
+      col(userCol) +:
+        unix_micros(col(tsCol)).as("ts_us") +:
+        col(tieCol).cast("long").as("tie") +:
+        steps.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    val hist = flagged.groupBy(userCol)
+      .agg(sort_array(collect_list(struct(
+        col("ts_us") +: col("tie") +:
+          (1 to k).map(i => col(s"s$i")): _*))).as("evs"))
+    val init = struct(
+      lit(Long.MinValue).as("cur_ts") +:
+        ((1 to k).map(i => lit(null).cast("long").as(s"p$i")) ++
+          (1 to k).map(i => lit(null).cast("long").as(s"c$i"))): _*)
+    val folded = hist.select(col(userCol), aggregate(col("evs"), init,
+      (acc, e) => {
+        val t = e.getField("ts_us")
+        val rolled = t > acc.getField("cur_ts")
+        // post-roll pre-event state: chains ending strictly before t
+        def p(i: Int) = when(rolled,
+          greatest(acc.getField(s"p$i"), acc.getField(s"c$i")))
+          .otherwise(acc.getField(s"p$i"))
+        def c(i: Int) = when(rolled, lit(null).cast("long"))
+          .otherwise(acc.getField(s"c$i"))
+        val newC = (1 to k).map { i =>
+          val ext =
+            if (i == 1) when(e.getField("s1"), t)
+            else when(e.getField(s"s$i") && p(i - 1).isNotNull &&
+              t - p(i - 1) <= lit(windowMicros), p(i - 1))
+          greatest(c(i), ext).as(s"c$i")
+        }
+        struct(t.as("cur_ts") +:
+          ((1 to k).map(i => p(i).as(s"p$i")) ++ newC): _*)
+      }).as("best"))
+    folded.select(col(userCol),
+      (1 to k).foldLeft(lit(0)) { (els, i) =>
+        when(col(s"best.p$i").isNotNull || col(s"best.c$i").isNotNull, i)
+          .otherwise(els)
+      }.cast("int").as("level"))
+  }
+
   /** ClickHouse `sequenceMatch('(?1).*(?2)…')` analog for the
     * chain-of-conditions pattern class: true iff the entity's stream
     * contains events matching every step in order (strict total

@@ -350,6 +350,20 @@ object CdcQueries extends QueryPack {
       lv.groupBy("level").agg(count(lit(1)).as("n_users")).orderBy("level")
     }),
 
+    // windowFunnel in strict_increase mode: equal-ts events never
+    // chain (the default mode lets them chain in (ts, tie) order).
+    // Same histogram shape as cdc_funnel; the oracle's explicit join
+    // uses strict `<` between consecutive steps, so the two entries
+    // bracket the mode difference end-to-end.
+    "cdc_funnel_strict" -> ((s, dir) => {
+      val lv = graft.operators.Funnel.windowFunnelStrictIncrease(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 4L * 3600 * 1000000)
+      lv.groupBy("level").agg(count(lit(1)).as("n_users")).orderBy("level")
+    }),
+
     // ClickHouse retention analog: cohort flags (did signup; signup ∧
     // click; signup ∧ purchase) summed to the cohort report row.
     "cdc_retention_cohort" -> ((s, dir) => {
@@ -643,6 +657,30 @@ object CdcQueries extends QueryPack {
                   WHERE e.event_type = 'purchase'
                     AND (epoch_us(e.ts) > c2.t2
                          OR (epoch_us(e.ts) = c2.t2 AND e.event_id > c2.i2))
+                    AND epoch_us(e.ts) - c2.t1 <= 14400000000),
+           lv AS (SELECT u.user_id,
+                    CASE WHEN c3.user_id IS NOT NULL THEN 3
+                         WHEN x2.user_id IS NOT NULL THEN 2
+                         WHEN x1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS level
+                  FROM (SELECT DISTINCT user_id FROM events) u
+                  LEFT JOIN (SELECT DISTINCT user_id FROM s1) x1 USING (user_id)
+                  LEFT JOIN (SELECT DISTINCT user_id FROM c2) x2 USING (user_id)
+                  LEFT JOIN c3 USING (user_id))
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM lv GROUP BY level ORDER BY level""",
+    "cdc_funnel_strict" ->
+      """WITH s1 AS (SELECT user_id, epoch_us(ts) AS t1
+                     FROM events WHERE event_type = 'signup'),
+           c2 AS (SELECT DISTINCT s1.user_id, s1.t1, epoch_us(e.ts) AS t2
+                  FROM s1 JOIN events e ON e.user_id = s1.user_id
+                  WHERE e.event_type = 'click'
+                    AND epoch_us(e.ts) > s1.t1
+                    AND epoch_us(e.ts) - s1.t1 <= 14400000000),
+           c3 AS (SELECT DISTINCT c2.user_id
+                  FROM c2 JOIN events e ON e.user_id = c2.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) > c2.t2
                     AND epoch_us(e.ts) - c2.t1 <= 14400000000),
            lv AS (SELECT u.user_id,
                     CASE WHEN c3.user_id IS NOT NULL THEN 3

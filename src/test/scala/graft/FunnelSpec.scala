@@ -92,6 +92,76 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  private def strictFunnelOf(rows: Seq[(Long, Long, Long, String)],
+                             window: Long): Map[Long, Int] = {
+    val df = rows.toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Funnel.windowFunnelStrictIncrease(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"), window)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("strict_increase: equal-ts events never chain (default chains them in tie order)") {
+    val rows = Seq(
+      // user 1: a and b share a timestamp — default chains via the
+      // tie column, strict does not (no later b exists)
+      (1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 200L, 3L, "c"),
+      // user 2: strictly increasing — both modes agree
+      (2L, 100L, 1L, "a"), (2L, 150L, 2L, "b"), (2L, 200L, 3L, "c"))
+    assert(funnelOf(rows, 1000L) == Map(1L -> 3, 2L -> 3))
+    assert(strictFunnelOf(rows, 1000L) == Map(1L -> 1, 2L -> 3))
+  }
+
+  test("strict_increase window still binds on the chain start") {
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 301L, 3L, "c"))
+    // c at 301 puts the full chain past the 300 window; a->b holds
+    assert(strictFunnelOf(rows, 300L) == Map(1L -> 2))
+  }
+
+  test("strict_increase: an equal-ts chain register rolls forward correctly") {
+    // a at 100 and b at 100 cannot chain, but a LATER b at 150 can
+    // extend the a(100) chain, and c at 150 cannot extend THAT chain
+    // (equal ts with the b that formed it) while c at 200 can
+    val rows = Seq(
+      (1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"),
+      (1L, 150L, 3L, "b"), (1L, 150L, 4L, "c"),
+      (2L, 100L, 1L, "a"), (2L, 100L, 2L, "b"),
+      (2L, 150L, 3L, "b"), (2L, 200L, 4L, "c"))
+    assert(strictFunnelOf(rows, 1000L) == Map(1L -> 2, 2L -> 3))
+  }
+
+  test("strict_increase DP agrees with strict brute force on random streams") {
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c", "x")
+    // ts drawn from 20 buckets so equal-ts collisions are common —
+    // exactly the regime where strict and default diverge
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to 12).map { i =>
+        (u, rnd.nextInt(20).toLong * 50, u * 100 + i,
+          types(rnd.nextInt(types.length)))
+      }
+    }
+    val window = 300L
+    val got = strictFunnelOf(rows, window)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      def matches(e: (Long, Long, Long, String), step: Int) =
+        e._4 == Seq("a", "b", "c")(step)
+      val l1 = sorted.exists(matches(_, 0))
+      val l2 = sorted.combinations(2).exists { case Seq(e1, e2) =>
+        matches(e1, 0) && matches(e2, 1) && e2._2 > e1._2 &&
+          e2._2 - e1._2 <= window }
+      val l3 = sorted.combinations(3).exists { case Seq(e1, e2, e3) =>
+        matches(e1, 0) && matches(e2, 1) && matches(e3, 2) &&
+          e2._2 > e1._2 && e3._2 > e2._2 && e3._2 - e1._2 <= window }
+      val want = if (l3) 3 else if (l2) 2 else if (l1) 1 else 0
+      assert(got(u) == want, s"user $u: got ${got(u)} want $want")
+    }
+  }
+
   test("sequenceMatch is the window-free funnel: order matters, gaps don't") {
     val df = Seq(
       (1L, 0L, 1L, "a"), (1L, 1000000L, 2L, "b"), (1L, 9999999L, 3L, "c"),
