@@ -43,6 +43,10 @@ object PipelineQueries extends QueryPack {
   private val uniqLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> landed topK state path (stream_topk_state_check)
+  private val topkLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // unique memory-sink names for stream_progress across warmup/timed
   // runs in one JVM (a reused name would re-register the same table)
   private val progressId = new java.util.concurrent.atomic.AtomicLong(0)
@@ -458,6 +462,61 @@ object PipelineQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // H13b (new r7): the same landing topology for the FREQUENT-ITEMS
+    // family — topKState in a stream-fed MV, through the generic
+    // CdcStream.landStateEachBatch combinator (proving the landing is
+    // family-agnostic: any -State/-Merge pair of the Sketches suite
+    // rides it). Verdict mirrors cdc_topk_state_check: returned counts
+    // must equal the exact per-user counts (capacity keeps the sketch
+    // in exact mode at the validated SFs) and every returned item must
+    // clear the k-th largest exact count (tie-robust validity).
+    "stream_topk_state_check" -> ((s, dir) => {
+      val cap = 32768
+      val statePath = topkLanded.computeIfAbsent(dir, d => {
+        val stage = Staging.path("topk_state_stream", d)
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val in = s"$stage/in"
+        ev.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(in)
+        ev.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        CdcStream.topkStateLand(stream, Seq("event_type"), "user_id",
+          s"$stage/state", s"$stage/ckpt", maxItemsTracked = cap,
+          queryName = Some("graft_topk_state_land"))
+        s"$stage/state/state"
+      })
+      val est = graft.operators.Sketches.topk(
+          graft.operators.Sketches.mergeTopkStates(
+            s.read.parquet(statePath), Seq("event_type"),
+            maxItemsTracked = cap), k = 10)
+        .select(col("event_type"), explode(col("topk")).as("e"))
+        .select(col("event_type"), col("e.item").as("item"),
+          col("e.count").as("est"))
+      val events = Tables.load(s, dir, "events")
+      val exact = events.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val kth = exact.groupBy("event_type")
+        .agg(sort_array(collect_list(col("cnt")), asc = false).as("cs"),
+          count(lit(1)).as("n_users"))
+        .select(col("event_type"),
+          element_at(col("cs"),
+            least(lit(10L), col("n_users")).cast("int")).as("kth_cnt"))
+      est.join(exact.withColumnRenamed("user_id", "item"),
+          Seq("event_type", "item"), "left")
+        .join(kth, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(when(col("cnt").isNull || col("est") =!= col("cnt"), 1)
+            .otherwise(0)).as("bad"),
+          sum(when(col("cnt") < col("kth_cnt"), 1).otherwise(0)).as("below"))
+        .select(col("event_type"), col("n_returned"),
+          (col("bad") === 0).as("counts_exact_ok"),
+          (col("below") === 0).as("topk_valid"))
+        .orderBy("event_type")
+    }),
+
     // H8 (was spec-only): latestByExpiring — the state-TTL deployment
     // shape of H2. Eviction is GC, not a data change (an evicted key's
     // later event re-creates and re-emits it), so the rollup of every
@@ -681,6 +740,12 @@ object PipelineQueries extends QueryPack {
       """SELECT event_type, count(*) AS total,
                 count(DISTINCT user_id) AS uniq_exact, true AS est_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_topk_state_check" ->
+      """SELECT event_type,
+                LEAST(10, count(DISTINCT user_id)) AS n_returned,
+                true AS counts_exact_ok, true AS topk_valid
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "stream_jdbc_land" ->
       """SELECT event_type, count(*) AS cnt,
                 count(DISTINCT user_id) AS n_users,

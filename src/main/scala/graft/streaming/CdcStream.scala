@@ -323,7 +323,49 @@ object CdcStream {
     * state and `lgK` fails loud in the merge (hll_union_agg). */
   def uniqStateLand(df: DataFrame, keyCols: Seq[String], valueCol: String,
                     statePath: String, checkpointDir: String,
-                    lgK: Int = 12, queryName: Option[String] = None): Unit = {
+                    lgK: Int = 12, queryName: Option[String] = None): Unit =
+    landStateEachBatch(df, statePath, checkpointDir,
+      buildState = b => graft.operators.Sketches
+        .distinctState(b, keyCols, valueCol, lgK),
+      mergeStates = st => graft.operators.Sketches
+        .mergeDistinctStates(st, keyCols),
+      queryName = queryName)
+
+  /** [[uniqStateLand]] for the frequent-items family — the
+    * `topKState`-in-a-Kafka-fed-MV analog: per micro-batch the batch's
+    * ItemsSketch rows fold into the persisted per-key state table.
+    * UNLIKE the HLL landing, the count leg of a topK sketch is NOT
+    * idempotent under batch replay (re-merging re-adds counts) — the
+    * at-least-once caveat applies to the whole state, the same stance
+    * as every count-carrying landing here (absorbed by downstream
+    * validation; exactly-once needs the checkpoint and state publish
+    * in one transactional store). Mismatched capacity fails loud in
+    * the merge (Sketches.mergeTopkStates). */
+  def topkStateLand(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    statePath: String, checkpointDir: String,
+                    maxItemsTracked: Int = 10000,
+                    queryName: Option[String] = None): Unit =
+    landStateEachBatch(df, statePath, checkpointDir,
+      buildState = b => graft.operators.Sketches
+        .topkState(b, keyCols, valueCol, maxItemsTracked),
+      mergeStates = st => graft.operators.Sketches
+        .mergeTopkStates(st, keyCols, maxItemsTracked),
+      queryName = queryName)
+
+  /** Generic mergeable-state landing: per micro-batch, `buildState`
+    * reduces the batch to state rows, which `mergeStates` folds into
+    * the persisted state table (read-merge-replace; the two callbacks
+    * are the `-State` / `-Merge` combinator pair, so ANY member of the
+    * Sketches suite lands through this one topology). Publish is the
+    * repo's crash-safe swap (staged write → live renamed to a VISIBLE
+    * backup → stage renamed live → backup deleted) with a recovery
+    * sweep at every batch start — a kill between any two steps never
+    * loses the accumulated state. */
+  def landStateEachBatch(df: DataFrame, statePath: String,
+                         checkpointDir: String,
+                         buildState: DataFrame => DataFrame,
+                         mergeStates: DataFrame => DataFrame,
+                         queryName: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val w = df.writeStream
       .outputMode(OutputMode.Append())
@@ -341,12 +383,10 @@ object CdcStream {
             s"failed to restore interrupted state publish at $statePath")
           else fs.delete(backup, true)
         }
-        val bState = graft.operators.Sketches
-          .distinctState(batch.toDF(), keyCols, valueCol, lgK)
+        val bState = buildState(batch.toDF())
         val merged =
           if (fs.exists(live))
-            graft.operators.Sketches.mergeDistinctStates(
-              bState.unionByName(s.read.parquet(live.toString)), keyCols)
+            mergeStates(bState.unionByName(s.read.parquet(live.toString)))
           else bState
         fs.delete(stage, true)
         merged.write.mode("overwrite").parquet(stage.toString)
