@@ -491,6 +491,35 @@ object CdcQueries extends QueryPack {
         .orderBy("event_type", "day_idx")
     }),
 
+    // Statistical aggregate surface (ClickHouse corr / covarPop /
+    // stddevPop): per-type relationship between the event value and
+    // the JSON k property. Both engines use numerically-stable
+    // one-pass moments; 4-dp rounding absorbs the sub-ulp formula
+    // differences (same stance as every float oracle here).
+    "cdc_value_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"),
+          round(covar_pop(col("value"), col("k")), 4).as("covar_vk"),
+          round(stddev_pop(col("value")), 4).as("stddev_v"))
+        .orderBy("event_type")),
+
+    // ClickHouse intervalLengthSum analog: per-user ACTIVE TIME — the
+    // union length of 30-minute activity windows around each event
+    // (overlaps counted once; a plain sum(len) double-counts bursts).
+    // One shuffle on user_id + per-user window sort (Intervals.scala).
+    "cdc_active_time" -> ((s, dir) => {
+      val iv = Tables.load(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + 1800000000L).as("e_us"))
+      graft.operators.Intervals.coverage(iv, Seq("user_id"), "s_us", "e_us",
+          as = "active_us")
+        .orderBy("user_id")
+    }),
+
     // runningDifference + deltaSum analogs on the daily volume series:
     // day-over-day delta per type (lag window; first day's delta is
     // NULL, matching runningDifference's leading row) and the per-type
@@ -796,6 +825,29 @@ object CdcQueries extends QueryPack {
                   AS anomaly
          FROM win WHERE n_base >= 3
          ORDER BY event_type, day""",
+    "cdc_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+                round(corr(value, k), 4) AS corr_vk,
+                round(covar_pop(value, k), 4) AS covar_vk,
+                round(stddev_pop(value), 4) AS stddev_v
+         FROM (SELECT event_type, value,
+                      TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+               FROM events)
+         WHERE k IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "cdc_active_time" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+                            epoch_us(ts) + 1800000000 AS e_us FROM events),
+           r AS (SELECT user_id, s_us, e_us,
+                        max(e_us) OVER (PARTITION BY user_id
+                          ORDER BY s_us, e_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS run_end
+                 FROM iv)
+         SELECT user_id,
+                CAST(sum(GREATEST(e_us - GREATEST(s_us,
+                       COALESCE(run_end, s_us)), 0)) AS BIGINT) AS active_us
+         FROM r GROUP BY user_id ORDER BY user_id""",
     "cdc_daily_filled" ->
       """WITH sp AS (SELECT event_type,
                             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d

@@ -72,6 +72,40 @@ class CoreQueriesSpec extends SparkSpec {
     assert(row.getString(2) == "{}")
   }
 
+  test("interval coverage: overlaps once, disjoint summed, swallowed free") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // key a: [0,10) ∪ [5,20) ∪ [30,40) = 20 + 10 = 30; [6,8) swallowed
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 6L, 8L), ("a", 30L, 40L),
+      // key b: zero-length and inverted intervals contribute nothing
+      ("b", 5L, 5L), ("b", 9L, 3L), ("b", 10L, 12L))
+      .toDF("k", "s_us", "e_us")
+    val got = operators.Intervals.coverage(iv, Seq("k"), "s_us", "e_us")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 30L, "b" -> 2L))
+  }
+
+  test("interval coverage agrees with brute-force union on random intervals") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 30).flatMap { k =>
+      (1 to 15).map { _ =>
+        val st = rnd.nextInt(500).toLong
+        (k.toLong, st, st + rnd.nextInt(60).toLong)
+      }
+    }
+    val got = operators.Intervals.coverage(
+        rows.toDF("k", "s_us", "e_us"), Seq("k"), "s_us", "e_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      val want = ivs.flatMap { case (_, st, en) => st until en }
+        .distinct.size.toLong
+      assert(got(k) == want, s"key $k: got ${got(k)} want $want")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
