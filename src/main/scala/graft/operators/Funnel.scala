@@ -151,6 +151,60 @@ object Funnel {
       }.cast("int").as("level"))
   }
 
+  /** [[windowFunnel]] in ClickHouse's `strict_order` mode: chain
+    * steps must be CONSECUTIVE events in the entity's (ts, tieCol)
+    * stream — any intervening event (matching a different step or
+    * nothing at all) interrupts the in-flight chains; levels already
+    * REACHED are retained (the mode changes extension, not history —
+    * A→B→D→C scores level 2: A→B reached, D killed the extension).
+    *
+    * The fold is simpler than the default mode's: the extension
+    * register b(i) holds the start of a chain matching steps 1..i
+    * whose i-th step is EXACTLY the previous event — recomputed (and
+    * so implicitly nulled) on every event — plus monotone reached
+    * flags. One codegen'd `aggregate`, 2k booleans+longs of state.
+    * Same event never serves two consecutive steps (registers read
+    * the previous event's values simultaneously). */
+  def windowFunnelStrictOrder(events: DataFrame, userCol: String,
+                              tsCol: String, tieCol: String,
+                              steps: Seq[Column],
+                              windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val k = steps.length
+    val flagged = events.select(
+      col(userCol) +:
+        unix_micros(col(tsCol)).as("ts_us") +:
+        col(tieCol).cast("long").as("tie") +:
+        steps.zipWithIndex.map { case (c, i) => c.as(s"s${i + 1}") }: _*)
+    val hist = flagged.groupBy(userCol)
+      .agg(sort_array(collect_list(struct(
+        col("ts_us") +: col("tie") +:
+          (1 to k).map(i => col(s"s$i")): _*))).as("evs"))
+    val init = struct(
+      (1 to k).map(i => lit(null).cast("long").as(s"b$i")) ++
+        (1 to k).map(i => lit(false).as(s"r$i")): _*)
+    val folded = hist.select(col(userCol), aggregate(col("evs"), init,
+      (acc, e) => {
+        val t = e.getField("ts_us")
+        val exts = (1 to k).map { i =>
+          if (i == 1) when(e.getField("s1"), t)
+          else when(e.getField(s"s$i") &&
+            acc.getField(s"b${i - 1}").isNotNull &&
+            t - acc.getField(s"b${i - 1}") <= lit(windowMicros),
+            acc.getField(s"b${i - 1}"))
+        }
+        val newB = exts.zipWithIndex.map { case (c, i) => c.as(s"b${i + 1}") }
+        val newR = (1 to k).map { i =>
+          (acc.getField(s"r$i") || exts(i - 1).isNotNull).as(s"r$i")
+        }
+        struct(newB ++ newR: _*)
+      }).as("best"))
+    folded.select(col(userCol),
+      (1 to k).foldLeft(lit(0)) { (els, i) =>
+        when(col(s"best.r$i"), i).otherwise(els)
+      }.cast("int").as("level"))
+  }
+
   /** ClickHouse `sequenceMatch('(?1).*(?2)…')` analog for the
     * chain-of-conditions pattern class: true iff the entity's stream
     * contains events matching every step in order (strict total

@@ -491,6 +491,19 @@ object CdcQueries extends QueryPack {
         .orderBy("event_type", "day_idx")
     }),
 
+    // windowFunnel in strict_order mode: chain steps must be
+    // CONSECUTIVE events in the user's stream — any intervening event
+    // interrupts; reached levels are retained. Oracle rebuilds the
+    // semantics independently via row_number adjacency joins.
+    "cdc_funnel_strict_order" -> ((s, dir) => {
+      val lv = graft.operators.Funnel.windowFunnelStrictOrder(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 4L * 3600 * 1000000)
+      lv.groupBy("level").agg(count(lit(1)).as("n_users")).orderBy("level")
+    }),
+
     // Statistical aggregate surface (ClickHouse corr / covarPop /
     // stddevPop): per-type relationship between the event value and
     // the JSON k property. Both engines use numerically-stable
@@ -825,6 +838,34 @@ object CdcQueries extends QueryPack {
                   AS anomaly
          FROM win WHERE n_base >= 3
          ORDER BY event_type, day""",
+    "cdc_funnel_strict_order" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS rn
+                    FROM events),
+           l1 AS (SELECT DISTINCT user_id FROM o
+                  WHERE event_type = 'signup'),
+           c2 AS (SELECT a.user_id, a.t AS t1, b.rn AS rn2
+                  FROM o a JOIN o b
+                    ON b.user_id = a.user_id AND b.rn = a.rn + 1
+                  WHERE a.event_type = 'signup' AND b.event_type = 'click'
+                    AND b.t - a.t <= 14400000000),
+           c3 AS (SELECT DISTINCT c2.user_id
+                  FROM c2 JOIN o c
+                    ON c.user_id = c2.user_id AND c.rn = c2.rn2 + 1
+                  WHERE c.event_type = 'purchase'
+                    AND c.t - c2.t1 <= 14400000000),
+           lv AS (SELECT u.user_id,
+                    CASE WHEN c3.user_id IS NOT NULL THEN 3
+                         WHEN x2.user_id IS NOT NULL THEN 2
+                         WHEN l1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS level
+                  FROM (SELECT DISTINCT user_id FROM events) u
+                  LEFT JOIN l1 USING (user_id)
+                  LEFT JOIN (SELECT DISTINCT user_id FROM c2) x2 USING (user_id)
+                  LEFT JOIN c3 USING (user_id))
+         SELECT CAST(level AS INT) AS level, count(*) AS n_users
+         FROM lv GROUP BY level ORDER BY level""",
     "cdc_value_stats" ->
       """SELECT event_type, count(*) AS n,
                 round(corr(value, k), 4) AS corr_vk,

@@ -162,6 +162,69 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  private def strictOrderFunnelOf(rows: Seq[(Long, Long, Long, String)],
+                                  window: Long): Map[Long, Int] = {
+    val df = rows.toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    Funnel.windowFunnelStrictOrder(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"), window)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("strict_order: an intervening event interrupts (A->B->D->C scores 2)") {
+    val rows = Seq(
+      // the ClickHouse doc example: a,b,x,c — x interrupts, a->b held
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "x"), (1L, 40L, 4L, "c"),
+      // consecutive a,b,c — full level 3
+      (2L, 10L, 1L, "a"), (2L, 20L, 2L, "b"), (2L, 30L, 3L, "c"),
+      // a then immediately c: c needs a CONSECUTIVE b — level 1
+      (3L, 10L, 1L, "a"), (3L, 20L, 2L, "c"))
+    assert(strictOrderFunnelOf(rows, 1000L) ==
+      Map(1L -> 2, 2L -> 3, 3L -> 1))
+  }
+
+  test("strict_order: reached levels survive later interruptions; restart works") {
+    val rows = Seq(
+      // a,b interrupted by x, then a fresh consecutive a,b,c completes
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "x"),
+      (1L, 40L, 4L, "a"), (1L, 50L, 5L, "b"), (1L, 60L, 6L, "c"))
+    assert(strictOrderFunnelOf(rows, 1000L) == Map(1L -> 3))
+  }
+
+  test("strict_order window still binds on the chain start") {
+    val rows = Seq(
+      (1L, 0L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 301L, 3L, "c"))
+    // consecutive, but c at 301 exceeds the 300 window from the start
+    assert(strictOrderFunnelOf(rows, 300L) == Map(1L -> 2))
+  }
+
+  test("strict_order DP agrees with adjacency brute force on random streams") {
+    val rnd = new scala.util.Random(23)
+    val types = Array("a", "b", "c", "x")
+    val rows = (1L to 40L).flatMap { u =>
+      (1 to 12).map { i =>
+        (u, rnd.nextInt(1000).toLong, u * 100 + i,
+          types(rnd.nextInt(types.length)))
+      }
+    }
+    val window = 300L
+    val got = strictOrderFunnelOf(rows, window)
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).toIndexedSeq
+      def m(i: Int, step: Int) = sorted(i)._4 == Seq("a", "b", "c")(step)
+      val n = sorted.length
+      val l1 = (0 until n).exists(m(_, 0))
+      val l2 = (0 until n - 1).exists(i => m(i, 0) && m(i + 1, 1) &&
+        sorted(i + 1)._2 - sorted(i)._2 <= window)
+      val l3 = (0 until n - 2).exists(i => m(i, 0) && m(i + 1, 1) &&
+        m(i + 2, 2) && sorted(i + 2)._2 - sorted(i)._2 <= window)
+      val want = if (l3) 3 else if (l2) 2 else if (l1) 1 else 0
+      assert(got(u) == want, s"user $u: got ${got(u)} want $want")
+    }
+  }
+
   test("sequenceMatch is the window-free funnel: order matters, gaps don't") {
     val df = Seq(
       (1L, 0L, 1L, "a"), (1L, 1000000L, 2L, "b"), (1L, 9999999L, 3L, "c"),
