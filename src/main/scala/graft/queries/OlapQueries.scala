@@ -20,11 +20,18 @@ object OlapQueries extends QueryPack {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 4).as("sum_qty"),
-          // price sums: 2-dp like bucketed_join — at the 10x dataset
-          // they reach ~2.8e10, where summation order alone moves the
-          // 4th decimal across engines (caught at the 10x scale run)
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // price sums in EXACT integer cents: money doubles carry 2
+          // decimals, so round(x*100) recovers the exact cent value
+          // and long sums are associative — the result is identical
+          // across engines and summation orders at ANY magnitude
+          // (fixed-decimal rounding of a float sum legitimately
+          // flipped at ~2.8e11 in the r6/r7 100x runs, where a
+          // double's ulp exceeds the rounding granularity)
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            / 10000.0).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -45,7 +52,9 @@ object OlapQueries extends QueryPack {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
     }),
@@ -66,7 +75,9 @@ object OlapQueries extends QueryPack {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(dims, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name").as("nation"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"))
         .orderBy("nation")
     }),
 
@@ -93,14 +104,14 @@ object OlapQueries extends QueryPack {
           Some(Staging.path("bucket_customer", d)))
         (ordT, custT)
       })
-      // 2-dp rounding, not the usual 4: five segments concentrate the
-      // sum near 1e11, where a double's ulp (~1.5e-5) already exceeds
-      // 4-dp — engines legitimately disagree in the 4th decimal from
-      // summation order alone (caught at the 10x scale run)
+      // exact integer-cents sum (see q1_agg): five segments
+      // concentrate the sum near 1e11 where fixed-decimal rounding of
+      // a float sum is not engine-stable
       s.table(ordT).join(s.table(custT), "o_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total"))
         .orderBy("c_mktsegment")
     }),
 
@@ -112,7 +123,8 @@ object OlapQueries extends QueryPack {
                 col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
-             round(sum(col("o_totalprice")), 4).as("total"))
+             (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+               .as("total"))
         .orderBy("o_orderstatus"))
   )
 
@@ -125,21 +137,24 @@ object OlapQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                round(sum(o_totalprice), 2) AS total
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
                 round(avg(l_discount), 4) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q3_topk" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT l_orderkey,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -148,7 +163,9 @@ object OlapQueries extends QueryPack {
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 20""",
     "q5_multijoin" ->
-      """SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name AS nation,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -157,7 +174,8 @@ object OlapQueries extends QueryPack {
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY nation""",
     "time_range_prune" ->
-      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+      """SELECT o_orderstatus, count(*) AS cnt,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY o_orderstatus ORDER BY o_orderstatus"""
