@@ -78,7 +78,11 @@ object GraftExtensions {
 
   private def intLiteral(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) =>
+      try Math.toIntExact(v) catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$what must fit in an Int, got $v")
+      }
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, when}
 import org.apache.spark.sql.types._
 
 /** Parquet table loader for the driver-generated testdata layout
@@ -97,7 +97,13 @@ object Tables {
     *     under the pinned UTC session timezone;
     *   - `LONG` — TIMESTAMP(NANOS) read under `nanosAsLong`;
     *     floor-divide to micros (the same floor DuckDB's `epoch_us`
-    *     applies);
+    *     applies), with a per-row plausibility guard: a non-null value
+    *     outside epoch-NANOS range [1990, 2200) raises naming the
+    *     table and column. A generation shipping epoch-micros or
+    *     -millis as raw BIGINT (~1e15 / ~1e12 today, vs ~1e18 nanos)
+    *     must fail loud here, not silently collapse timestamps 1000x —
+    *     the exact failure class this loader exists to catch. The
+    *     guard is a codegen'd row-local branch, no extra job.
     *   - anything else — fail loud naming table, column, and type.
     */
   def normalizeEventTime(df: DataFrame, table: String,
@@ -107,7 +113,18 @@ object Tables {
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case LongType =>
-        df.withColumn(colName, expr(s"timestamp_micros(`$colName` div 1000)"))
+        val loNanos = 631152000000000000L   // 1990-01-01T00:00Z
+        val hiNanos = 7258118400000000000L  // 2200-01-01T00:00Z
+        df.withColumn(colName,
+          when(col(colName).isNull, lit(null).cast(TimestampType))
+            .when(col(colName).between(loNanos, hiNanos - 1),
+              expr(s"timestamp_micros(`$colName` div 1000)"))
+            .otherwise(raise_error(concat(
+              lit(s"table `$table` column `$colName`: long value "),
+              col(colName).cast(StringType),
+              lit(" is outside plausible epoch-nanos range [1990, 2200)" +
+                " — wrong unit (micros/millis as BIGINT)?")))
+              .cast(TimestampType)))
       case other => throw new IllegalArgumentException(
         s"table `$table` column `$colName`: unsupported event-time type " +
           s"${other.simpleString} (expected timestamp, timestamp_ntz, or " +

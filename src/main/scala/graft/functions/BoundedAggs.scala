@@ -116,19 +116,26 @@ case class UniqUpTo(
   * `slice` their k; determinism of the k-prefix is guaranteed in the
   * exact regime (distinct items ≤ capacity).
   *
-  * Merge semantics: count-sum over the union, then trim to capacity
-  * keeping the largest — exact when the union fits capacity; beyond
-  * it the trimmed mass disappears from SURVIVORS only (heavy hitters
-  * keep their exact sums until an eviction in `update` touches them,
-  * inheriting min+w as SpaceSaving does). */
+  * Merge semantics (mergeable-summaries SpaceSaving, Agarwal et al.):
+  * each buffer carries a `floor` — an upper bound on the mass of any
+  * item it has ever evicted or trimmed away. Merging credits items
+  * present on only one side with the OTHER side's floor, sums both
+  * sides for common items, trims to capacity keeping the largest, and
+  * raises the floor to cover the trimmed mass. An item dropped at a
+  * merge that re-enters later therefore re-enters at or above its
+  * true mass — the overestimate-only guarantee holds across arbitrary
+  * update/merge interleavings, not just the update path. In the exact
+  * regime (union fits capacity) every floor stays 0 and all weights
+  * are exact sums. */
 case class TopKWeighted(
     left: Expression,  // item
     right: Expression, // weight
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+  extends TypedImperativeAggregate[TopKWeighted.Buffer]
   with BinaryLike[Expression] {
+  import TopKWeighted.Buffer
 
   require(capacity >= 1, s"topk_weighted: capacity must be >= 1, got $capacity")
 
@@ -139,28 +146,32 @@ case class TopKWeighted(
     containsNull = false)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
-    new java.util.HashMap[String, java.lang.Long]()
+  override def createAggregationBuffer(): Buffer = new Buffer()
 
-  private def add(buf: java.util.HashMap[String, java.lang.Long],
-                  item: String, w: Long): Unit = {
-    val cur = buf.get(item)
-    if (cur != null) { buf.put(item, cur + w); return }
-    if (buf.size() < capacity) { buf.put(item, w); return }
+  private def add(buf: Buffer, item: String, w: Long): Unit = {
+    val m = buf.map
+    val cur = m.get(item)
+    if (cur != null) { m.put(item, cur + w); return }
+    if (m.size() < capacity) {
+      // a brand-new item could be one trimmed away at an earlier
+      // merge — credit the floor so it re-enters at/above true mass
+      m.put(item, buf.floor + w); return
+    }
     // SpaceSaving eviction: newcomer inherits the minimum's mass
     var minK: String = null
     var minV = Long.MaxValue
-    val it = buf.entrySet().iterator()
+    val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getValue < minV) { minV = e.getValue; minK = e.getKey }
     }
-    buf.remove(minK)
-    buf.put(item, minV + w)
+    m.remove(minK)
+    val inherited = math.max(minV, buf.floor)
+    m.put(item, inherited + w)
+    if (minV > buf.floor) buf.floor = minV
   }
 
-  override def update(buf: java.util.HashMap[String, java.lang.Long],
-                      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
     val i = left.eval(input)
     val w = right.eval(input)
     if (i != null && w != null)
@@ -168,17 +179,28 @@ case class TopKWeighted(
     buf
   }
 
-  override def merge(b1: java.util.HashMap[String, java.lang.Long],
-                     b2: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
-    val it = b2.entrySet().iterator()
+  override def merge(b1: Buffer, b2: Buffer): Buffer = {
+    val m = b1.map
+    // one-sided items get the other side's floor as overestimate credit
+    if (b2.floor > 0) {
+      val it1 = m.entrySet().iterator()
+      while (it1.hasNext) {
+        val e = it1.next()
+        if (!b2.map.containsKey(e.getKey))
+          e.setValue(java.lang.Long.valueOf(e.getValue + b2.floor))
+      }
+    }
+    val it = b2.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = b1.get(e.getKey)
-      b1.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+      val cur = m.get(e.getKey)
+      m.put(e.getKey, if (cur == null) java.lang.Long.valueOf(e.getValue + b1.floor)
+                      else java.lang.Long.valueOf(cur + e.getValue))
     }
-    if (b1.size() > capacity) {
+    b1.floor = math.max(b1.floor, b2.floor)
+    if (m.size() > capacity) {
       // trim to capacity keeping the largest (weight desc, item asc)
-      val entries = new java.util.ArrayList(b1.entrySet())
+      val entries = new java.util.ArrayList(m.entrySet())
       entries.sort { (a: java.util.Map.Entry[String, java.lang.Long],
                       b: java.util.Map.Entry[String, java.lang.Long]) =>
         val c = java.lang.Long.compare(b.getValue, a.getValue)
@@ -189,12 +211,15 @@ case class TopKWeighted(
       while (i < capacity) {
         val e = entries.get(i); keep.put(e.getKey, e.getValue); i += 1
       }
-      keep
-    } else b1
+      // the trimmed maximum is the largest mass we just dropped
+      b1.floor = math.max(b1.floor, entries.get(capacity).getValue.longValue())
+      b1.map = keep
+    }
+    b1
   }
 
-  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
-    val entries = new java.util.ArrayList(buf.entrySet())
+  override def eval(buf: Buffer): Any = {
+    val entries = new java.util.ArrayList(buf.map.entrySet())
     entries.sort { (a: java.util.Map.Entry[String, java.lang.Long],
                     b: java.util.Map.Entry[String, java.lang.Long]) =>
       val c = java.lang.Long.compare(b.getValue, a.getValue)
@@ -211,11 +236,12 @@ case class TopKWeighted(
     new GenericArrayData(rows)
   }
 
-  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size())
-    val it = buf.entrySet().iterator()
+    out.writeLong(buf.floor)
+    out.writeInt(buf.map.size())
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
@@ -224,8 +250,10 @@ case class TopKWeighted(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buffer()
+    buf.floor = in.readLong()
     val sz = in.readInt()
     val m = new java.util.HashMap[String, java.lang.Long](sz * 2)
     var i = 0
@@ -236,7 +264,8 @@ case class TopKWeighted(
         java.lang.Long.valueOf(in.readLong()))
       i += 1
     }
-    m
+    buf.map = m
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKWeighted =
@@ -246,4 +275,15 @@ case class TopKWeighted(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopKWeighted =
     copy(left = newLeft, right = newRight)
+}
+
+object TopKWeighted {
+  /** Mutable aggregation state: the tracked item→weight map plus the
+    * `floor` — max mass ever evicted/trimmed from this buffer, the
+    * overestimate credit owed to any item re-entering it. */
+  final class Buffer {
+    var map: java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long]()
+    var floor: Long = 0L
+  }
 }

@@ -26,7 +26,12 @@ object OlapQueries extends QueryPack {
           // across engines and summation orders at ANY magnitude
           // (fixed-decimal rounding of a float sum legitimately
           // flipped at ~2.8e11 in the r6/r7 100x runs, where a
-          // double's ulp exceeds the rounding granularity)
+          // double's ulp exceeds the rounding granularity).
+          // Overflow headroom: sum_disc_price's per-row term is
+          // ~4e8 (cents x basis-points), so Long saturates around
+          // sf16000 (~2e13 lineitem rows) — far past any single
+          // aggregation group this runs at; revisit with DecimalType
+          // sums (loud overflow) if group sizes ever approach that.
           (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
             .as("sum_base_price"),
           (sum(round(col("l_extendedprice") * 100).cast("long") *

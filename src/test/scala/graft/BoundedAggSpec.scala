@@ -116,6 +116,39 @@ class BoundedAggSpec extends SparkSpec {
     assert(arr.head.getLong(1) >= 5000L)
   }
 
+  test("topk_weighted merge keeps the overestimate-only guarantee " +
+       "for items trimmed at a merge that later re-enter (ADVICE r7)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val agg = graft.functions.TopKWeighted(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, LongType, nullable = true), capacity = 2)
+    def feed(buf: graft.functions.TopKWeighted.Buffer,
+             items: (String, Long)*): graft.functions.TopKWeighted.Buffer = {
+      items.foldLeft(buf) { case (b, (i, w)) =>
+        agg.update(b, InternalRow(UTF8String.fromString(i), w))
+      }
+    }
+    // b1 tracks {a:10, b:8}; merging {c:9, d:7} trims b and d away
+    val b1 = feed(agg.createAggregationBuffer(), "a" -> 10L, "b" -> 8L)
+    val b2 = feed(agg.createAggregationBuffer(), "c" -> 9L, "d" -> 7L)
+    val merged = agg.merge(b1, b2)
+    assert(merged.map.size() == 2)
+    assert(merged.floor >= 8L, s"trimmed mass not floored: ${merged.floor}")
+    // b re-enters from a third partial with weight 1 (true total 9);
+    // pre-fix it would report 1 — an underestimate
+    val b3 = feed(agg.createAggregationBuffer(), "b" -> 1L)
+    val again = agg.merge(merged, b3)
+    val reported = again.map.get("b")
+    assert(reported != null && reported >= 9L,
+      s"re-entering item underestimated: $reported < 9")
+    // serialize round-trip preserves the floor
+    val rt = agg.deserialize(agg.serialize(again))
+    assert(rt.floor == again.floor && rt.map.equals(again.map))
+  }
+
   test("topk_weighted is partitioning-invariant in the exact regime") {
     val weighted = events.select(col("event_type"),
       col("user_id").cast("string").as("item"),

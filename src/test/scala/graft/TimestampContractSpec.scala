@@ -114,6 +114,23 @@ class TimestampContractSpec extends SparkSpec {
     assert(ref.size == 9)
   }
 
+  test("micros-shipped-as-BIGINT fails loud instead of collapsing 1000x") {
+    // a long ts column is only plausible as epoch-NANOS; raw micros
+    // (~1.7e15) sits far below the [1990, 2200) nanos window and must
+    // raise at materialization, naming table and column (ADVICE r7)
+    val dir = s"$root/micros_as_long"
+    baseRows
+      .select(col("event_id"), col("ts_us").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.load(spark, dir, "events")
+    val e = intercept[Exception] { loaded.select("ts").collect() }
+    val msg = Seq(e.getMessage,
+      Option(e.getCause).map(_.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("events") && msg.contains("ts") &&
+      msg.contains("epoch-nanos"), msg)
+  }
+
   test("unsupported ts representation fails loud, naming table+column+type") {
     val dir = s"$root/bad_ts"
     baseRows
