@@ -94,6 +94,32 @@ object CdcQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("month")),
 
+    // A-r8: the ClickHouse `GROUP BY ... WITH TOTALS` / ROLLUP
+    // dashboard idiom (VERDICT r7 #4) — event_type x month counts plus
+    // per-type subtotals plus the grand total in ONE pass. Spark
+    // `rollup` plans this as a single Expand + partial-agg + exchange:
+    // subtotal rows ride the same shuffle as the leaves, so the grand
+    // total never costs a second scan at 100 TB. `gid` is an explicit
+    // grouping(a)*2+grouping(b) (bit conventions differ per engine;
+    // computing it term-by-term is engine-portable) and rollup NULLs
+    // are coalesced to 'ALL' so totals rows are unambiguous and the
+    // driver hash-compare is deterministic even though event_type
+    // itself could legitimately contain NULL upstream.
+    "cdc_monthly_totals" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .rollup(col("event_type"), col("month"))
+        .agg(
+          (grouping(col("event_type")) * 2 + grouping(col("month")))
+            .cast("int").as("gid"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("month"), lit("ALL")).as("month"),
+          col("gid"), col("cnt"), col("sum_value"))
+        .orderBy("gid", "event_type", "month")),
+
     // I2 in the driver gate: the reference's OPTIMIZE TABLE ... FINAL
     // materialization — latest-state compacted INTO the monthly
     // parquet layout, read back from disk, and checked against the
@@ -615,6 +641,16 @@ object CdcQueries extends QueryPack {
     "cdc_monthly_counts" ->
       """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "cdc_monthly_totals" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+                coalesce(month, 'ALL') AS month,
+                CAST(GROUPING(event_type) * 2 + GROUPING(month) AS INTEGER) AS gid,
+                count(*) AS cnt,
+                round(sum(value), 4) AS sum_value
+         FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value
+               FROM events)
+         GROUP BY ROLLUP (event_type, month)
+         ORDER BY gid, event_type, month""",
     "cdc_dedup_validate" ->
       """SELECT user_id, event_type, count(*) AS dup_count FROM events
          GROUP BY user_id, event_type HAVING count(*) > 1 ORDER BY user_id, event_type""",

@@ -52,6 +52,27 @@ class CoreQueriesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("cdc_monthly_totals: subtotals and grand total reconcile with leaves") {
+    val rows = SparkEntry.queries("cdc_monthly_totals")(spark, sfDir).collect()
+    val leaves = rows.filter(_.getAs[Int]("gid") == 0)
+    val typeTotals = rows.filter(_.getAs[Int]("gid") == 1) // month rolled up
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1, s"want one grand-total row, got ${grand.length}")
+    assert(grand.head.getAs[String]("event_type") == "ALL" &&
+      grand.head.getAs[String]("month") == "ALL")
+    // counts are exact longs: each rollup level must sum to the same total
+    val leafCnt = leaves.map(_.getAs[Long]("cnt")).sum
+    assert(typeTotals.map(_.getAs[Long]("cnt")).sum == leafCnt)
+    assert(grand.head.getAs[Long]("cnt") == leafCnt)
+    // each per-type subtotal equals the sum of its leaf months
+    typeTotals.foreach { t =>
+      val et = t.getAs[String]("event_type")
+      val want = leaves.filter(_.getAs[String]("event_type") == et)
+        .map(_.getAs[Long]("cnt")).sum
+      assert(t.getAs[Long]("cnt") == want, s"subtotal mismatch for $et")
+    }
+  }
+
   test("cdc_current_state drops tombstoned entities") {
     val events = Tables.load(spark, sfDir, "events")
     val cur = operators.CurrentState.current(
