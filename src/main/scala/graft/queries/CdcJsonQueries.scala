@@ -61,19 +61,32 @@ object CdcJsonQueries extends QueryPack {
 
     // relationship events: relationships_kafka_mv (type + start/end
     // elementId extraction), rolled up per source node — the
-    // "edges per device" consistency check shape.
+    // "edges per device" consistency check shape. Runs the HOT-PATH
+    // projection (per-field get_json_object), not the typed
+    // parseRels: the rollup consumes 3 envelope paths, and the typed
+    // parse's per-row safe-parse machinery costs ~7x the extraction
+    // (measured at 100x — see CdcJson.hotFields). parseRels'
+    // full-envelope cost stays benched via cdc_json_parse (nodes) and
+    // the streaming ingest entries; CdcJsonSpec pins hot-path ==
+    // parseRels field equivalence so the fast plan cannot drift.
     "cdc_json_rel_parse" -> ((s, dir) => {
-      val parsed = CdcJson.parseRels(
+      val hot = CdcJson.relEdgeHotFields(
         CdcJson.synthesizeRelJson(
           graft.operators.Par.widen(Tables.load(s, dir, "orders"))), "raw")
-      parsed
-        .groupBy(col("source_id"))
+      // group by (source, type), not source with max(type): a string
+      // max can't hash-aggregate (immutable agg buffer -> the whole
+      // rollup degrades to sort-based partials), while the composite
+      // key keeps the one heavy pass a pure HashAggregate; per
+      // (source, type) is also the honest grain for an edge
+      // consistency check (a multi-type source gets one row per type)
+      hot
+        .groupBy(col("source_id"), col("relationship_type"))
         .agg(
           count(lit(1)).as("n_edges"),
-          max(col("relationship_type")).as("rel_type"),
-          round(sum(get_json_object(col("properties_after"), "$.totalprice")
-            .cast("double")), 4).as("total"))
-        .orderBy("source_id")
+          round(sum(col("totalprice").cast("double")), 4).as("total"))
+        .select(col("source_id"), col("n_edges"),
+          col("relationship_type").as("rel_type"), col("total"))
+        .orderBy("source_id", "rel_type")
     })
   )
 
@@ -98,6 +111,6 @@ object CdcJsonQueries extends QueryPack {
                 count(*) AS n_edges,
                 'ORDERED' AS rel_type,
                 round(sum(o_totalprice), 4) AS total
-         FROM orders GROUP BY o_custkey ORDER BY source_id"""
+         FROM orders GROUP BY o_custkey ORDER BY source_id, rel_type"""
   )
 }

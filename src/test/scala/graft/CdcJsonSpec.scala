@@ -55,6 +55,21 @@ class CdcJsonSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0)
   }
 
+  test("hot-path field extraction is equivalent to the typed parse") {
+    // the fast plan cdc_json_rel_parse runs must agree field-for-field
+    // with parseRels on every row, or the rollup silently drifts from
+    // the typed contract
+    val raw = CdcJson.synthesizeRelJson(Tables.load(spark, sfDir, "orders"))
+    val hot = CdcJson.relEdgeHotFields(raw, "raw")
+    val typed = CdcJson.parseRels(raw, "raw").select(
+      col("source_id"), col("relationship_type"),
+      get_json_object(col("properties_after"), "$.totalprice").as("totalprice"))
+    assert(hot.exceptAll(typed).count() == 0)
+    assert(typed.exceptAll(hot).count() == 0)
+    assert(hot.filter(col("source_id").isNull || col("totalprice").isNull)
+      .count() == 0)
+  }
+
   test("node parse produces typed NodeEvent datasets") {
     val events = Tables.load(spark, sfDir, "events").limit(10)
     val typed = CdcJson.parseNodesTyped(CdcJson.synthesizeNodeJson(events), "raw")
