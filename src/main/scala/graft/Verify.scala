@@ -47,6 +47,27 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared rows-only entries (VERDICT r7 #8): queries with no
+    // oracle SQL are BY-DESIGN rows-only — each is a raw sketch/sample
+    // operator whose hash-based output is not SQL-expressible, and
+    // each has a paired oracle-checked `*_check` twin that verifies
+    // its contract. Emit the declaration next to oracle_sql.json so a
+    // correctness report can distinguish "no oracle by design, see
+    // twin" from a genuinely unverified entry.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val twins = Map(
+      "dedup_minhash_lsh" -> "dedup_minhash_lsh_check",
+      "dedup_simhash" -> "dedup_simhash_check",
+      "dedup_embedding_lsh" -> "dedup_embedding_lsh_check",
+      "dedup_incremental" -> "dedup_incremental_check",
+      "sim_lsh_ann" -> "sim_lsh_ann_check",
+      "sim_ivf_ann" -> "sim_ivf_ann_check",
+      "sim_quantized_topk" -> "sim_quantized_check",
+      "sample_rand" -> "sample_rand_check")
+    val roJson = rowsOnly.toSeq.sorted.map { k =>
+      s"${q(k)}: {${q("rows_only")}: true, ${q("oracle_twin")}: ${q(twins.getOrElse(k, ""))}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), roJson)
     spark.stop()
   }
 }

@@ -190,7 +190,8 @@ object Similarity {
               seed: Long = 42L,
               dim: Option[Int] = None, targetBucket: Long = 64L,
               maxBucket: Long = 10000L,
-              designSim: Double = 0.5): DataFrame =
+              designSim: Double = 0.5,
+              forceLsh: Boolean = false): DataFrame =
     dim.orElse(probeDim(vecs, vecCol)) match {
       case None => // empty / all-null input: empty result, same schema
         vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
@@ -231,7 +232,13 @@ object Similarity {
         // a huge corpus: nq is probed with a limit bounded by
         // 32M / n + 1, so a 10⁹-row corpus admits only nq ≤ 0.03 —
         // i.e. effectively never falls back, which is correct there.
-        if (bits.isEmpty && tables.isEmpty) {
+        // `forceLsh` opts out of the fallback while KEEPING the auto
+        // knobs — the contract-check hook: pinning (bits, tables) also
+        // forces the LSH plan but freezes an operating point that goes
+        // degenerate at a different corpus size (bits=4 over 200k rows
+        // = 12.5k-vec buckets, all over maxBucket → zero candidates),
+        // while auto knobs track the corpus (VERDICT r7 #1 at 100×).
+        if (!forceLsh && bits.isEmpty && tables.isEmpty) {
           val dotCap = t.toLong * b            // arithmetic leg
           val matCap = 32000000L / math.max(1L, n) // materialization leg
           val probeTo = math.max(dotCap, matCap)

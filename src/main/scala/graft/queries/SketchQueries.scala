@@ -102,13 +102,46 @@ object SketchQueries extends QueryPack {
         got = lsh, want = exact, minRecall = 0.8, exactCountCol = "exact_pairs")
     }),
 
+    // D6 contract at 100×-scale packs (ANN-benchmark methodology):
+    // recall of the LSH dedup path over PLANTED near-dup pairs at
+    // τ=0.9. The driver corpora have no separated near-dup structure —
+    // their τ=0.4 pair set is the tail of the random-cosine
+    // distribution (64 dims: ~5e-4 of ALL pairs cross 0.4), so at 100×
+    // the exact set is ~1e7 borderline noise pairs and an all-pairs
+    // oracle is 2e10 dot products. tools/scale_up.py --plant-dups
+    // appends jittered copies (cos ∈ [0.93, 0.98]) at vec_id =
+    // orig + 5e8, giving LINEAR id-mapped ground truth with a ~zero
+    // noise floor at τ=0.9 (P(noise ≥ 0.9) ≈ 3e-13/pair; an all-pairs
+    // slice measures zero non-planted pairs ≥ 0.7). On unplanted
+    // corpora the ground truth is empty and the verdict row shows the
+    // trivial regime (exact_pairs = 0) honestly.
+    "dedup_embedding_lsh_planted_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2(col("v")))
+      val planted = v.as("a")
+        .join(v.as("b"), col("b.vec_id") === col("a.vec_id") + lit(500000000L))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          graft.functions.VectorFunctions.cosinePre(
+            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= 0.9)
+      val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", tau = 0.9)
+      recallRow(lsh, planted, minRecall = 0.8)
+    }),
+
     // E2 contract check: recall@10 of the LSH ANN vs the exact
     // brute-force top-k under the identical ranking protocol; every
     // approx row must also BE an exact-scored (q_id, vec_id, cosine)
     // the baseline agrees with when it ranks that neighbor.
+    // forceLsh (not pinned knobs) defeats the small-batch exact
+    // fallback: the check then exercises the AUTO operating point at
+    // every corpus size — the r7-pinned (16 tables, 4 bits) went
+    // degenerate at 100× (12.5k-vec buckets, all over maxBucket).
     "sim_lsh_ann_check" -> ((s, dir) => annCheck(s, dir,
       emb => Similarity.lshTopK(emb, "vec_id", "embedding",
-        tables = Some(16), bits = Some(4)), // pinned: force the LSH plan
+        forceLsh = true),
       minRecall = 0.6)),
 
     // D3 contract check: MinHash-LSH recall vs the EXACT Jaccard pair
@@ -673,6 +706,13 @@ object SketchQueries extends QueryPack {
          SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
                 count(*) AS exact_pairs
          FROM ex""",
+    "dedup_embedding_lsh_planted_check" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j
+               FROM n a JOIN n b ON b.vec_id = a.vec_id + 500000000
+               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
     "sim_lsh_ann_check" ->
       """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
                 count(*) AS n_queries

@@ -286,4 +286,54 @@ class ScaleGuardSpec extends SparkSpec {
     assert(Sketches.minhashLsh(docs, "doc_id", "text", maxBucket = 12L).count() == 66)
     assert(Sketches.simhashPairs(docs, "doc_id", "text", maxBucket = 12L).count() == 66)
   }
+
+  test("AQE splits a skewed shuffle-join partition (skew=true, oracle green)") {
+    // SCALE.md §OLAP claims "AQE skew join splits oversized partitions"
+    // for the fact⋈fact shuffles — this pins it (VERDICT r7 #5): a
+    // zipf-keyed join where one key carries 90% of the left side must
+    // (a) produce the exact oracle result and (b) show the skew split
+    // in the FINAL adaptive plan, at thresholds scaled to test data.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // production defaults are 256 MB / factor 5 — scale the byte
+      // thresholds to the test corpus, keep the structural factor
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // force the shuffle join: a broadcast join has no skew to split
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // left: 200k rows, key 0 holds 180,001 of them (every id with
+      // id % 10 != 0, plus id = 0); right: 2k distinct keys
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("chk"))
+      val row = joined.collect().head
+      // oracle, derived by hand: key 0 matches 180,001 left rows; keys
+      // 10,20,...,1990 (the surviving id%10==0 keys inside the right
+      // range) match 1 left row each → 199 more
+      assert(row.getLong(0) == 180001L + 199L)
+      // chk = Σ(v + w): v sums all non-multiples of 10 below 200k plus
+      // 0, plus each matched multiple k∈{10..1990}; w adds 0 for the
+      // hot key and 2k per matched k
+      val vSum = (0L until 200000L).filter(i => i % 10 != 0).sum +
+        (10L to 1990L by 10).sum
+      val wSum = (10L to 1990L by 10).map(_ * 2).sum
+      assert(row.getLong(1) == vSum + wSum)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin in the final adaptive plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

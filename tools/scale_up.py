@@ -41,7 +41,18 @@ volume without a driver regeneration:
     per-user history queries (latest state, funnels, sessionize) see
     merged replica histories by design. Keep skew packs separate.
 
-Usage: python3 tools/scale_up.py <src_sf_dir> <out_dir> <factor> [--zipf-users]
+  - --plant-dups (embeddings only): append a seeded 2% of vectors as
+    jittered near-copies at cosine in [0.93, 0.98], dup vec_id =
+    orig + STRIDE/2 (inside the replica block). Ground truth for the
+    100x embedding-dedup recall check (`dedup_embedding_lsh_planted`):
+    the base corpus has no separated near-dup structure, so at 100x
+    the tau=0.4 exact pair set is dominated by the random-cosine noise
+    tail (~5e-4 of 2e10 pairs) and an all-pairs oracle is infeasible;
+    planted pairs at tau=0.9 give a LINEAR id-mapped oracle with a
+    ~zero noise floor. Keep planted packs separate from the main pack
+    (they perturb centroid/occupancy statistics).
+
+Usage: python3 tools/scale_up.py <src_sf_dir> <out_dir> <factor> [--zipf-users] [--plant-dups]
 """
 import sys, os, shutil
 import numpy as np
@@ -54,6 +65,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 flags = {a for a in sys.argv[1:] if a.startswith("--")}
 src, out, factor = args[0], args[1], int(args[2])
 zipf_users = "--zipf-users" in flags
+plant_dups = "--plant-dups" in flags
 STRIDE = 1_000_000_000  # far above any base key; multiple of 1000
 os.makedirs(out, exist_ok=True)
 
@@ -145,14 +157,49 @@ for r in range(factor):
     out_ids.append(vec_id + r * STRIDE)
     out_labels.append(label)
 all_v = np.vstack(out_vecs)
+all_ids = np.concatenate(out_ids)
+all_labels = np.concatenate(out_labels)
+if plant_dups:
+    # --plant-dups: append a jittered near-copy of a seeded 2% of each
+    # replica's vectors at cosine 1/sqrt(1+eps^2), eps ~ U[0.2, 0.4]
+    # => cos in [0.93, 0.98]. The base corpus has NO separated near-dup
+    # structure (its tau=0.4 pairs are the tail of the random-cosine
+    # distribution at 64 dims, where ~5e-4 of ALL pairs cross 0.4 — at
+    # 100x that noise floor is ~1e7 borderline pairs and an exact
+    # all-pairs oracle is 2e10 dot products), so the 100x contract for
+    # the LSH dedup path is checked ANN-benchmark style: recall over
+    # PLANTED ground-truth pairs at tau=0.9, where the random noise
+    # floor is ~P(Z >= 0.9/0.125) * 2e10 ~= 0.006 expected pairs (and a
+    # 10k-vec all-pairs slice measures zero non-planted pairs >= 0.7).
+    # The dup's vec_id = orig + DUP_OFF keeps it inside its replica's
+    # STRIDE block, giving the oracle a LINEAR id-mapped join.
+    DUP_OFF = STRIDE // 2
+    assert vec_id.max() < DUP_OFF, "base vec_id collides with DUP_OFF"
+    rng = np.random.default_rng(20_260_815)
+    n_all = all_v.shape[0]
+    pick = rng.choice(n_all, size=max(1, n_all // 50), replace=False)
+    base = all_v[pick].astype(np.float64)
+    g = rng.standard_normal(base.shape)
+    # orthogonalize the jitter against each vector so the cosine is
+    # exactly 1/sqrt(1+eps^2) (up to the float32 round of the result)
+    g -= (np.sum(g * base, axis=1, keepdims=True)
+          / np.sum(base * base, axis=1, keepdims=True)) * base
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    eps = rng.uniform(0.2, 0.4, size=(base.shape[0], 1))
+    nrm = np.linalg.norm(base, axis=1, keepdims=True)
+    dup = (base + eps * nrm * g).astype(np.float32)
+    all_v = np.vstack([all_v, dup])
+    all_ids = np.concatenate([all_ids, all_ids[pick] + DUP_OFF])
+    all_labels = np.concatenate([all_labels, all_labels[pick]])
+    print(f"embeddings: planted {len(pick)} near-dups at cos~[0.93,0.98]")
 emb_field = emb_t.schema.field("embedding")
 merged = pa.table({
-    "vec_id": pa.array(np.concatenate(out_ids), type=emb_t.schema.field("vec_id").type),
+    "vec_id": pa.array(all_ids, type=emb_t.schema.field("vec_id").type),
     "embedding": pa.FixedSizeListArray.from_arrays(
         pa.array(all_v.ravel(), type=pa.float32()), dim).cast(emb_field.type)
         if pa.types.is_fixed_size_list(emb_field.type)
         else pa.array(list(all_v), type=emb_field.type),
-    "label": pa.array(np.concatenate(out_labels), type=emb_t.schema.field("label").type),
+    "label": pa.array(all_labels, type=emb_t.schema.field("label").type),
 })
 pq.write_table(merged, f"{out}/embeddings.parquet", version="2.6")
 print("embeddings: scaled with per-replica rotation + seeded sign flips")
