@@ -2,14 +2,41 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.{GraphOps, PipelineOps}
 
 /** SURVEY §2.B — graph-shaped analytics: the reference's node ⋈
   * relationship queries (04-optimize-tables.sql:205-218 "complex
   * join", README.md device→interface example), on customer/orders/
   * lineitem as node/edge tables (edges carry FK source ids, exactly
   * like relationships_cdc.source_id/target_id).
+  *
+  * r8 adds the Neo4j GDS algorithm tier (PageRank / WCC / BFS /
+  * node similarity, operators/GraphOps.scala) over the supplier⇄
+  * customer supply graph: node ids are namespaced into ONE long key
+  * space (supplier → −s_suppkey, customer → +o_custkey) so the
+  * bipartite graph is a plain edge list — no tagged union, no string
+  * keys on the shuffle.
   */
 object GraphQueries extends QueryPack {
+
+  /** Supplier→customer supply edges: supplier s shipped a line item
+    * in customer c's order. `quantityCap`/`partStratum` thin the
+    * relation deterministically (quantity ≤ cap, part-key stratum) —
+    * the full graph's 100 hub suppliers weld everything into one
+    * giant component, so the WCC/BFS entries run on a sparse slice
+    * with real component structure while PageRank/similarity use the
+    * full relation. */
+  private def supplyEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+                          quantityCap: Option[Double] = None,
+                          partStratum: Option[Int] = None) = {
+    var li = Tables.load(s, dir, "lineitem")
+    quantityCap.foreach(q => li = li.filter(col("l_quantity") <= q))
+    partStratum.foreach(m => li = li.filter(col("l_partkey") % m === 0))
+    li.join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).as("a"), col("o_custkey").as("b"))
+      .distinct()
+  }
 
   val queries: Map[String, Q] = Map(
     // B1: out-degree per node — edge list grouped by source id. One
@@ -105,10 +132,138 @@ object GraphQueries extends QueryPack {
           integ("orders_customer", Tables.load(s, dir, "orders"),
             "o_custkey", Tables.load(s, dir, "customer"), "c_custkey"))
         .orderBy("relation")
-    })
+    }),
+
+    // B7: PageRank (Neo4j GDS pageRank, UNDIRECTED orientation) on the
+    // full supply graph — 3 fixed iterations, d = 0.85. Fixed
+    // iterations keep the result a pure function of the edge list so
+    // the oracle replays the identical recurrence; each iteration is
+    // one join + one hash-agg shuffle of (node, double) pairs
+    // (operators/GraphOps.pageRank). Rank rounded 6dp for
+    // cross-engine FP parity (sum order differs; ulp-level only).
+    "graph_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(supplyEdges(s, dir), iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")),
+
+    // B8: weakly-connected components (GDS wcc) on the sparse supply
+    // slice (quantity ≤ 1, part stratum 7 — real component structure:
+    // 75 components at sf0.01, 710 at sf0.1). Reuses the proven
+    // min-label propagation loop (PipelineOps.dedupClusters, J3):
+    // 2 shuffles/iteration, converges in diameter rounds (≤ 7 here),
+    // fails loud past maxIters. The oracle replays the SAME recurrence
+    // for a fixed 16 rounds — both sides sit at the fixpoint, so
+    // early-stop vs fixed-count cannot diverge.
+    "graph_components" -> ((s, dir) =>
+      PipelineOps.dedupClusters(
+          supplyEdges(s, dir, quantityCap = Some(1.0), partStratum = Some(7)),
+          iCol = "a", jCol = "b")
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+        .orderBy("node")),
+
+    // B9: node similarity (GDS nodeSimilarity) — top-20 supplier pairs
+    // by Jaccard over their customer sets, via the customer-keyed
+    // inverted-index join with the D2-style degree cap (a customer
+    // buying from > 500 suppliers would fan out degree² pairs; capped
+    // BEFORE the self-join, sizes computed on the capped relation,
+    // oracle applies the identical cap). Ordering by the scaled-
+    // integer sim_key — floor(inter·10⁹/union) — so top-k selection
+    // can't flip on a float ulp across engines.
+    "graph_node_similarity" -> ((s, dir) =>
+      GraphOps.nodeSimilarity(
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"), col("o_custkey")),
+        entity = "l_suppkey", feature = "o_custkey",
+        featCap = 500L, topK = 20)),
+
+    // B10: hop-bounded BFS (the Neo4j shortestPath staple) — exact
+    // distances ≤ 3 from suppliers {1, 2} over the quantity ≤ 1 slice.
+    // Frontier expansion: each level joins the FRONTIER (not the
+    // settled set) against the edge list, then anti-joins the settled
+    // set, so cost ∝ newly-reached nodes (operators/GraphOps
+    // .bfsDistances).
+    "graph_bfs" -> ((s, dir) =>
+      GraphOps.bfsDistances(
+          supplyEdges(s, dir, quantityCap = Some(1.0)),
+          seeds = Seq(-1L, -2L), maxHops = 3)
+        .orderBy("node"))
   )
 
+  // Shared oracle fragment: the namespaced supply edge list (directed
+  // bipartite), then symmetrized — the SQL twin of supplyEdges +
+  // GraphOps.undirected. `where` carries the thinning predicate.
+  // `und` is MATERIALIZED: the iterative oracles reference it in every
+  // round, and DuckDB's default CTE inlining re-opens the parquet
+  // scans per reference — 16 WCC rounds × 2 refs exhausts the fd limit.
+  private def edgeSql(where: String) =
+    s"""e0 AS (SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey $where),
+          und AS MATERIALIZED (SELECT DISTINCT a, b FROM
+            (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) WHERE a <> b)"""
+
+  // One PageRank round — the identical recurrence GraphOps.pageRank
+  // runs (0.85e0 forces DOUBLE literals: DuckDB's bare 0.85 is
+  // DECIMAL, whose division semantics would diverge from Spark's
+  // double arithmetic).
+  private def prIter(i: Int) =
+    s"""r$i AS (SELECT u.b AS node,
+            (SELECT (1 - 0.85e0) / cnt FROM nn) + 0.85e0 * sum(r.rank / d.deg) AS rank
+          FROM und u JOIN r${i - 1} r ON u.a = r.node JOIN deg d ON u.a = d.a
+          GROUP BY u.b)"""
+
+  // One min-label propagation round — the dedupClusters recurrence
+  // (neighbor labels via the symmetric edge list, self label rides the
+  // union). 16 fixed rounds ≥ every observed convergence depth (≤ 7
+  // at sf0.001–10×); past the fixpoint each round is the identity, so
+  // fixed-count here equals the operator's converge-early loop.
+  // MATERIALIZED: each round references its predecessor twice (join +
+  // self-union); default inlining would expand the chain 2^k-fold.
+  private def ccIter(i: Int) =
+    s"""l$i AS MATERIALIZED (SELECT x.n, min(x.l) AS l FROM
+           (SELECT u.a AS n, p.l FROM und u JOIN l${i - 1} p ON u.b = p.n
+            UNION ALL SELECT n, l FROM l${i - 1}) x GROUP BY x.n)"""
+
+  // One BFS level: expand everything settled so far, keep min dist.
+  private def bfsIter(i: Int) =
+    s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+           (SELECT node, dist FROM d${i - 1}
+            UNION ALL SELECT u.b AS node, $i AS dist
+            FROM und u JOIN d${i - 1} p ON u.a = p.node) x GROUP BY node)"""
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH ${edgeSql("")},
+          deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+          nn AS (SELECT count(*) AS cnt FROM deg),
+          r0 AS (SELECT a AS node, 1.0e0 / cnt AS rank FROM deg, nn),
+          ${(1 to 3).map(prIter).mkString(",\n")}
+          SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+    "graph_components" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
+          l0 AS (SELECT a AS n, min(least(a, b)) AS l FROM und GROUP BY a),
+          ${(1 to 16).map(ccIter).mkString(",\n")}
+          SELECT n AS node, l AS component FROM l16 ORDER BY node""",
+    "graph_node_similarity" ->
+      """WITH ef AS (SELECT DISTINCT l_suppkey AS e, o_custkey AS f
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          ok AS (SELECT f FROM ef GROUP BY f HAVING count(*) <= 500),
+          c AS (SELECT ef.e, ef.f FROM ef JOIN ok USING (f)),
+          sz AS (SELECT e, count(*) AS sz FROM c GROUP BY e),
+          p AS (SELECT x.e AS e1, y.e AS e2, count(*) AS inter
+                FROM c x JOIN c y ON x.f = y.f AND x.e < y.e GROUP BY 1, 2)
+          SELECT e1, e2, inter, s1.sz + s2.sz - inter AS union_sz,
+                 round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard,
+                 CAST(floor(inter * 1000000000 / (s1.sz + s2.sz - inter)) AS BIGINT) AS sim_key
+          FROM p JOIN sz s1 ON p.e1 = s1.e JOIN sz s2 ON p.e2 = s2.e
+          ORDER BY sim_key DESC, e1, e2 LIMIT 20""",
+    "graph_bfs" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
+          d0 AS (SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 0),
+                                       (CAST(-2 AS BIGINT), 0)) t(node, dist)),
+          ${(1 to 3).map(bfsIter).mkString(",\n")}
+          SELECT node, dist FROM d3 ORDER BY node""",
     "graph_degree" ->
       """SELECT o_custkey AS node_id, count(*) AS out_degree, round(sum(o_totalprice), 4) AS weight
          FROM orders GROUP BY o_custkey ORDER BY node_id""",

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Graph algorithms (operators/GraphOps.scala): PageRank / BFS / node
+  * similarity on hand-built graphs with pen-and-paper answers, plus
+  * the invariances that matter on a cluster — partitioning must not
+  * change results, and the fixed-iteration contract must be exactly
+  * the documented recurrence (the DuckDB oracles replay it; these
+  * specs pin it against hand arithmetic so both engines can't share
+  * one bug).
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  test("undirected symmetrizes, dedups, and drops self-loops") {
+    val und = GraphOps.undirected(edges((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(und == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("pageRank on the 3-path matches hand arithmetic") {
+    // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. One iteration from 1/3:
+    //   r(1) = r(3) = 0.05 + 0.85·(1/3)/2 = 0.19166...
+    //   r(2)        = 0.05 + 0.85·((1/3)/1 + (1/3)/1) = 0.61666...
+    val r = GraphOps.pageRank(edges((1L, 2L), (2L, 3L)), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r(3L) - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r(2L) - (0.05 + 0.85 * 2.0 / 3)) < 1e-12)
+  }
+
+  test("pageRank converges toward the hub and conserves mass") {
+    // star: hub 0 with leaves 1..4 — hub rank must dominate, and with
+    // no dangling nodes total rank stays 1 at every iteration count
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    for (k <- Seq(1, 3, 5)) {
+      val r = GraphOps.pageRank(star, iters = k)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(math.abs(r.values.sum - 1.0) < 1e-9, s"iters=$k mass=${r.values.sum}")
+      assert(r(0L) > r(1L) * 2, s"iters=$k hub=${r(0L)} leaf=${r(1L)}")
+      assert((1L to 4L).map(r).distinct.size == 1, "symmetric leaves must tie")
+    }
+  }
+
+  test("pageRank is partitioning-invariant") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = GraphOps.pageRank(e, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = GraphOps.pageRank(e.repartition(7), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (n, v) => assert(math.abs(v - b(n)) < 1e-12, s"node $n") }
+  }
+
+  test("bfsDistances: exact hop counts, bound respected, isolated seed kept") {
+    // path 1—2—3—4—5, seed 1 (and 99, absent from the graph)
+    val d = GraphOps.bfsDistances(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      seeds = Seq(1L, 99L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsDistances takes the shortest route, not the first expansion") {
+    // 1—2—3—4 plus shortcut 1—4: node 4 is dist 1, node 3 dist 2
+    val d = GraphOps.bfsDistances(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)),
+      seeds = Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("nodeSimilarity: hand Jaccard, ordering, and the feature cap") {
+    val s = spark
+    import s.implicits._
+    // entities 1,2 share features {10,20} of sizes 3 and 2 → J = 2/3;
+    // entities 1,3 share {30} → J = 1/4. Feature 40 is shared by ALL
+    // entities — with cap 2 it is dropped, removing it from sizes too.
+    val ef = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 30L), (3L, 50L),
+      (1L, 40L), (2L, 40L), (3L, 40L)).toDF("e", "f")
+    val got = GraphOps.nodeSimilarity(ef, "e", "f", featCap = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.head == ((1L, 2L, 2L, 3L, 0.666667)))
+    assert(got.toSeq.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 2L), (1L, 3L)), s"got ${got.toSeq}")
+    val j13 = got.find(t => t._1 == 1L && t._2 == 3L).get
+    assert(j13._3 == 1L && j13._4 == 4L && j13._5 == 0.25)
+  }
+
+  test("nodeSimilarity ordering key is integer-stable under ties") {
+    val s = spark
+    import s.implicits._
+    // two pairs with identical Jaccard — tie must break by (e1, e2)
+    val ef = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)).toDF("e", "f")
+    val got = GraphOps.nodeSimilarity(ef, "e", "f", featCap = 10L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 4L)))
+  }
+}
