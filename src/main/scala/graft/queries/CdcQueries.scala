@@ -580,6 +580,96 @@ object CdcQueries extends QueryPack {
         .select(col("event_type"), col("d").as("day_idx"), col("cnt"),
           col("delta"), col("delta_sum_pos"))
         .orderBy("event_type", "day_idx")
+    }),
+
+    // SCD Type-2 history build (r8) — the CDC-warehouse staple the
+    // reference's latest-state MV is a projection OF: every event
+    // becomes a VERSIONED row with [valid_from, valid_to) and a
+    // current flag (valid_to NULL = open version; `cdc_latest_state`
+    // is exactly the is_current slice). One window per entity — the
+    // same per-entity shuffle+sort contract as sessionize — and at
+    // 100 TB the history table is the event stream + 2 columns,
+    // landed month-partitioned like every other sink here.
+    "cdc_history_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_from_us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          round(col("value"), 4).as("value"),
+          col("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // sequenceNextNode analog (r8) — ClickHouse's "what happens AFTER
+    // the matched event" path query: for each signup, the entity's
+    // immediately-next event type; the result is the distribution of
+    // first actions after signup ('(end)' = signup with no successor).
+    // lead() rides the SAME per-entity window sort as the funnel
+    // suite; the rollup after it is |event types| rows.
+    "cdc_next_event" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "signup")
+        .groupBy(coalesce(col("next_type"), lit("(end)")).as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("next_type")
+    }),
+
+    // groupArray path analysis (r8) — the "top user journeys"
+    // dashboard query: each entity's first-3-event type path, counted
+    // across entities, top-20. The per-entity path is built
+    // ORDER-STABLY without trusting collect_list's arrival order
+    // (which shuffles scramble): collect (rn, type) structs, then a
+    // codegen'd array_sort (rn is unique per entity ⇒ total order) +
+    // transform + concat_ws. Top-20 via TakeOrderedAndProject over
+    // the tiny path rollup — never a global sort.
+    "cdc_path_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    }),
+
+    // exponentialTimeDecayedAvg analog (r8): smoothed daily value
+    // series per type — half-life 7 days over a trailing 30-day RANGE
+    // frame. Computed FACTORIZED: the naive weight 0.5^((dcur−d)/7)
+    // depends on the CURRENT row, which no window frame can express;
+    // but ema = Σ v·w / Σ w with the current-row factor cancelling,
+    // so both sums use the pure per-row weight 2^((d−d0)/7) (d0 = the
+    // series min, pinning the exponent range so the factor never
+    // overflows). Two window sums over the already-collapsed
+    // |types × days| rollup.
+    "cdc_value_ema" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+        .agg(sum(col("value")).as("v"))
+      val wT = Window.partitionBy("event_type")
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rangeBetween(-30, 0)
+      daily
+        .withColumn("g", pow(lit(2.0),
+          (col("d") - min(col("d")).over(wT)).cast("double") / lit(7.0)))
+        .withColumn("ema",
+          sum(col("v") * col("g")).over(w) / sum(col("g")).over(w))
+        .select(col("event_type"), col("d").as("day_idx"),
+          round(col("v"), 4).as("v"), round(col("ema"), 4).as("ema"))
+        .orderBy("event_type", "day_idx")
     })
   )
 
@@ -952,6 +1042,46 @@ object CdcQueries extends QueryPack {
          SELECT event_type, d AS day_idx, cnt, delta,
                 CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
                      OVER (PARTITION BY event_type) AS BIGINT) AS delta_sum_pos
-         FROM dd ORDER BY 1, 2"""
+         FROM dd ORDER BY 1, 2""",
+    "cdc_history_scd2" ->
+      """WITH v AS (SELECT user_id, event_type, value, epoch_us(ts) AS f,
+                           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
+                           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t
+                    FROM events)
+         SELECT user_id, version, event_type, round(value, 4) AS value,
+                f AS valid_from_us, t AS valid_to_us,
+                t IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+    "cdc_next_event" ->
+      """WITH n AS (SELECT event_type,
+                           lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+                    FROM events)
+         SELECT coalesce(next_type, '(end)') AS next_type, count(*) AS cnt
+         FROM n WHERE event_type = 'signup' GROUP BY 1 ORDER BY 1""",
+    "cdc_path_counts" ->
+      """WITH r AS (SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+                    FROM events),
+           p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                 FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 20""",
+    // pow(2e0, …/7e0): e-notation forces DOUBLE literals (DuckDB's
+    // bare decimals are DECIMAL-typed, whose division would diverge
+    // from Spark's double arithmetic at the ulp level).
+    "cdc_value_ema" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+                               sum(value) AS v
+                        FROM events GROUP BY 1, 2),
+           g AS (SELECT event_type, d, v,
+                        pow(2e0, CAST(d - min(d) OVER (PARTITION BY event_type) AS DOUBLE) / 7e0) AS g
+                 FROM daily)
+         SELECT event_type, d AS day_idx, round(v, 4) AS v,
+                round(sum(v * g) OVER w / sum(g) OVER w, 4) AS ema
+         FROM g
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day_idx"""
   )
 }

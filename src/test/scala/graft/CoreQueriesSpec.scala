@@ -130,4 +130,68 @@ class CoreQueriesSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("scd2 history: versions chain gaplessly, one open version per entity") {
+    val h = SparkEntry.queries("cdc_history_scd2")(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exactly one is_current row per entity
+    val perUser = h.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("open"),
+        count(lit(1)).as("n"), max(col("version")).as("maxv"))
+    assert(perUser.filter(col("open") =!= 1L).count() == 0)
+    // versions are 1..n dense
+    assert(perUser.filter(col("maxv") =!= col("n")).count() == 0)
+    // each closed version's valid_to equals the NEXT version's
+    // valid_from — the chain property that makes as-of lookups exact
+    val nxt = h.select(col("user_id"), (col("version") - 1).as("version"),
+      col("valid_from_us").as("next_from"))
+    val broken = h.join(nxt, Seq("user_id", "version"))
+      .filter(col("valid_to_us") =!= col("next_from"))
+    assert(broken.count() == 0)
+    h.unpersist()
+  }
+
+  test("value EMA: factorized form equals the naive per-row recompute") {
+    // recompute a type's series with the O(n²) definition — weight
+    // 0.5^((dcur−d)/7) over the trailing 30-day frame — and compare
+    val rows = SparkEntry.queries("cdc_value_ema")(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length > 5)
+    rows.foreach { case (d, _, ema) =>
+      val frame = rows.filter(r => r._1 >= d - 30 && r._1 <= d)
+      val num = frame.map(r => r._2 * math.pow(0.5, (d - r._1) / 7.0)).sum
+      val den = frame.map(r => math.pow(0.5, (d - r._1) / 7.0)).sum
+      // the collected v is rounded 4dp, so compare loosely
+      assert(math.abs(ema - num / den) < 0.01, s"day $d: $ema vs ${num / den}")
+    }
+  }
+
+  test("path counts: paths are time-ordered regardless of input partitioning") {
+    val base = SparkEntry.queries("cdc_path_counts")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // scrambled partitioning must not change any path string (the
+    // array_sort on (rn, type) structs is what guarantees this)
+    val ev = Tables.load(spark, sfDir, "events").repartition(13)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val scrambled = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(base == scrambled)
+  }
+
+  test("next_event counts partition the signup count") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val signups = ev.filter(col("event_type") === "signup").count()
+    val got = SparkEntry.queries("cdc_next_event")(spark, sfDir)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(got == signups, s"next-event rows $got != signups $signups")
+  }
 }
