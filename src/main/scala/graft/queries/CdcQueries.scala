@@ -670,6 +670,75 @@ object CdcQueries extends QueryPack {
         .select(col("event_type"), col("d").as("day_idx"),
           round(col("v"), 4).as("v"), round(col("ema"), 4).as("ema"))
         .orderBy("event_type", "day_idx")
+    }),
+
+    // largestTriangleThreeBuckets analog (r8) — ClickHouse's dashboard
+    // downsampler: shrink each type's daily series to ≤ 10 visually-
+    // representative points (first + last kept; each middle bucket
+    // keeps its largest-triangle point). DELIBERATE variant: anchors
+    // are the NEIGHBOR BUCKET AVERAGES on both sides (the LTTB
+    // paper's fixed-anchor simplification) rather than the previously
+    // selected point — exact LTTB is a sequential fold over buckets,
+    // while fixed anchors make every bucket's argmax independent, i.e.
+    // order-parallel: the 100 TB shape (and SQL-expressible, so the
+    // oracle replays it exactly). Selection arithmetic is ALL INTEGER:
+    // the triangle area is multiplied through by the anchor counts
+    // (area·cA²·cC), x is rebased per series, so the per-bucket argmax
+    // can never flip on a float ulp in either engine.
+    "cdc_lttb" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nb = 10 // target points: first + last + (nb−2) buckets
+      val wT = Window.partitionBy("event_type")
+      val wR = Window.partitionBy("event_type").orderBy("dabs")
+      val pts = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("dabs"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", col("dabs") - min(col("dabs")).over(wT))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("n", count(lit(1)).over(wT))
+      val firstPt = pts.filter(col("rn") === 1)
+        .select(col("event_type"), col("x").as("fx"), col("y").as("fy"))
+      val lastPt = pts.filter(col("rn") === col("n"))
+        .select(col("event_type"), col("x").as("lx"), col("y").as("ly"))
+      val mid = pts.filter(col("rn") > 1 && col("rn") < col("n"))
+        .withColumn("b",
+          least(floor((col("rn") - 2) * (nb - 2) / (col("n") - 2)),
+            lit((nb - 3).toLong)))
+      val wB = Window.partitionBy("event_type").orderBy("b")
+      val anch = mid.groupBy("event_type", "b")
+        .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          count(lit(1)).as("c"))
+        .withColumn("paxs", lag(col("sx"), 1).over(wB))
+        .withColumn("pays", lag(col("sy"), 1).over(wB))
+        .withColumn("pac", lag(col("c"), 1).over(wB))
+        .withColumn("nxs", lead(col("sx"), 1).over(wB))
+        .withColumn("nys", lead(col("sy"), 1).over(wB))
+        .withColumn("nc", lead(col("c"), 1).over(wB))
+        .join(firstPt, "event_type").join(lastPt, "event_type")
+        .select(col("event_type"), col("b"),
+          coalesce(col("paxs"), col("fx")).as("axs"),
+          coalesce(col("pays"), col("fy")).as("ays"),
+          coalesce(col("pac"), lit(1L)).as("ac"),
+          coalesce(col("nxs"), col("lx")).as("cxs"),
+          coalesce(col("nys"), col("ly")).as("cys"),
+          coalesce(col("nc"), lit(1L)).as("cc"))
+      val wPick = Window.partitionBy("event_type", "b")
+        .orderBy(col("e").desc, col("x"))
+      val picked = mid.join(anch, Seq("event_type", "b"))
+        .withColumn("e", abs(
+          (col("axs") * col("cc") - col("cxs") * col("ac")) *
+            (col("y") * col("ac") - col("ays")) -
+          (col("axs") - col("x") * col("ac")) *
+            (col("cys") * col("ac") - col("ays") * col("cc"))))
+        .withColumn("pk", row_number().over(wPick)).filter(col("pk") === 1)
+        .select(col("event_type"), col("x"), col("y"))
+      firstPt.select(col("event_type"), col("fx").as("x"), col("fy").as("y"))
+        .unionByName(picked)
+        .unionByName(lastPt.select(col("event_type"),
+          col("lx").as("x"), col("ly").as("y")))
+        .select(col("event_type"), col("x").as("day_off"), col("y").as("cnt"))
+        .orderBy("event_type", "day_off")
     })
   )
 
@@ -1082,6 +1151,46 @@ object CdcQueries extends QueryPack {
          FROM g
          WINDOW w AS (PARTITION BY event_type ORDER BY d
                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-         ORDER BY event_type, day_idx"""
+         ORDER BY event_type, day_idx""",
+    "cdc_lttb" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS dabs,
+                               count(*) AS y
+                        FROM events GROUP BY 1, 2),
+           pts AS (SELECT event_type,
+                          dabs - min(dabs) OVER (PARTITION BY event_type) AS x, y,
+                          row_number() OVER (PARTITION BY event_type ORDER BY dabs) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM daily),
+           firstpt AS (SELECT event_type, x AS fx, y AS fy FROM pts WHERE rn = 1),
+           lastpt AS (SELECT event_type, x AS lx, y AS ly FROM pts WHERE rn = n),
+           mid AS (SELECT event_type, x, y,
+                          least(CAST(floor((rn - 2) * 8 / (n - 2)) AS BIGINT), 7) AS b
+                   FROM pts WHERE rn > 1 AND rn < n),
+           bstats AS (SELECT event_type, b, sum(x) AS sx, sum(y) AS sy, count(*) AS c
+                      FROM mid GROUP BY 1, 2),
+           anch AS (SELECT s.event_type, s.b,
+                           coalesce(lag(sx) OVER w, f.fx) AS axs,
+                           coalesce(lag(sy) OVER w, f.fy) AS ays,
+                           coalesce(lag(c) OVER w, 1) AS ac,
+                           coalesce(lead(sx) OVER w, l.lx) AS cxs,
+                           coalesce(lead(sy) OVER w, l.ly) AS cys,
+                           coalesce(lead(c) OVER w, 1) AS cc
+                    FROM bstats s JOIN firstpt f USING (event_type)
+                                  JOIN lastpt l USING (event_type)
+                    WINDOW w AS (PARTITION BY s.event_type ORDER BY s.b)),
+           scored AS (SELECT m.event_type, m.x, m.y, m.b,
+                             abs((axs * cc - cxs * ac) * (m.y * ac - ays)
+                               - (axs - m.x * ac) * (cys * ac - ays * cc)) AS e
+                      FROM mid m JOIN anch a ON m.event_type = a.event_type AND m.b = a.b),
+           picked AS (SELECT event_type, x, y FROM
+                        (SELECT *, row_number() OVER (PARTITION BY event_type, b
+                                                      ORDER BY e DESC, x) AS pk
+                         FROM scored) WHERE pk = 1)
+         SELECT event_type, x AS day_off, y AS cnt FROM (
+           SELECT event_type, fx AS x, fy AS y FROM firstpt
+           UNION ALL SELECT event_type, x, y FROM picked
+           UNION ALL SELECT event_type, lx AS x, ly AS y FROM lastpt)
+         ORDER BY event_type, day_off"""
   )
 }

@@ -187,6 +187,37 @@ class CoreQueriesSpec extends SparkSpec {
     assert(base == scrambled)
   }
 
+  test("lttb downsample: first/last kept, point budget held, spikes survive") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val daily = ev.groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val got = SparkEntry.queries("cdc_lttb")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = got.groupBy(_._1)
+    byType.foreach { case (t, pts) =>
+      assert(pts.length <= 10, s"$t: ${pts.length} points > budget")
+      val series = daily.filter(col("event_type") === t)
+        .withColumn("x", col("d") -
+          min(col("d")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")))
+        .select("x", "cnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      // endpoints always survive; every kept point is a series member
+      assert(pts.map(_._2).contains(series.head._1), s"$t lost first point")
+      assert(pts.map(_._2).contains(series.last._1), s"$t lost last point")
+      val lookup = series.toMap
+      pts.foreach { case (_, x, y) =>
+        assert(lookup.get(x).contains(y), s"$t: ($x,$y) not in the series")
+      }
+      // the series' global max (a visual spike) must survive in types
+      // where it is unique — the property LTTB exists to preserve
+      val maxY = series.map(_._2).max
+      if (series.count(_._2 == maxY) == 1 && pts.length < series.length)
+        assert(pts.exists(_._3 == maxY), s"$t: dropped its unique peak $maxY")
+    }
+  }
+
   test("next_event counts partition the signup count") {
     val ev = Tables.load(spark, sfDir, "events")
     val signups = ev.filter(col("event_type") === "signup").count()
