@@ -143,6 +143,28 @@ object CorpusQueries extends QueryPack {
     "sample_rand" -> ((s, dir) =>
       randSample(s, dir).orderBy("doc_id")),
 
+    // J12 (r8): deterministic bottom-k-by-hash sampling — per
+    // language, the 3 docs with the smallest md5(doc_id). The
+    // layout-independent complement to J9's seeded rand(): the draw is
+    // a pure function of the KEYS, so it is reproducible across
+    // engines (FULL oracle, not a shape check), stable under
+    // repartition/re-ingest, and MERGEABLE — bottom-k of a union is
+    // the bottom-k of each side's bottom-k, so daily samples compose
+    // into a corpus sample without re-reading history (the bottom-k
+    // sketch, the same state discipline as the D10–D13 families).
+    // Same per-key window top-n plan as LIMIT n BY (local per-key
+    // sort, never global).
+    "sample_bottomk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("h", "doc_id")
+      Tables.load(s, dir, "documents")
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+        .orderBy("lang", "rk")
+    }),
+
     // J9 contract check (oracle-backed): WHICH rows the seeded draw
     // picks is Spark-internal (DuckDB's rand() stream differs), but
     // the sample's SHAPE is checkable: exactly least(n, |docs|) rows,
@@ -278,6 +300,13 @@ object CorpusQueries extends QueryPack {
                   WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    "sample_bottomk" ->
+      """SELECT lang, rk, doc_id, h FROM (
+           SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY lang, rk""",
     "dedup_spans_incremental_check" ->
       """SELECT count(*) AS n_docs, true AS kept_le_exact, true AS fp_ok
          FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0""",

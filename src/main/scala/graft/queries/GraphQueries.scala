@@ -139,12 +139,20 @@ object GraphQueries extends QueryPack {
     // iterations keep the result a pure function of the edge list so
     // the oracle replays the identical recurrence; each iteration is
     // one join + one hash-agg shuffle of (node, double) pairs
-    // (operators/GraphOps.pageRank). Rank rounded 6dp for
-    // cross-engine FP parity (sum order differs; ulp-level only).
-    "graph_pagerank" -> ((s, dir) =>
-      GraphOps.pageRank(supplyEdges(s, dir), iters = 3)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
-        .orderBy("node")),
+    // (operators/GraphOps.pageRank). Output is the N-SCALED rank
+    // (rank·N ≈ 1 for an average node): raw ranks are ~1/N, so at
+    // 100× nodes they'd collapse into the 6dp rounding floor —
+    // scaling keeps the comparison's discriminating power scale-free.
+    // 6dp rounding absorbs cross-engine sum-order ulps.
+    "graph_pagerank" -> ((s, dir) => {
+      val pr = GraphOps.pageRank(supplyEdges(s, dir), iters = 3)
+      // one-row aggregate broadcast onto the scan (the repo's scalar
+      // crossJoin shape) — never a single-partition window
+      pr.crossJoin(broadcast(pr.agg(count(lit(1)).as("n"))))
+        .select(col("node"),
+          round(col("rank") * col("n"), 6).as("rank_x_n"))
+        .orderBy("node")
+    }),
 
     // B8: weakly-connected components (GDS wcc) on the sparse supply
     // slice (quantity ≤ 1, part stratum 7 — real component structure:
@@ -239,7 +247,8 @@ object GraphQueries extends QueryPack {
           nn AS (SELECT count(*) AS cnt FROM deg),
           r0 AS (SELECT a AS node, 1.0e0 / cnt AS rank FROM deg, nn),
           ${(1 to 3).map(prIter).mkString(",\n")}
-          SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+          SELECT node, round(rank * (SELECT cnt FROM nn), 6) AS rank_x_n
+          FROM r3 ORDER BY node""",
     "graph_components" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
           l0 AS (SELECT a AS n, min(least(a, b)) AS l FROM und GROUP BY a),

@@ -218,6 +218,25 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sample is mergeable: bottom-k(union) == bottom-k of per-shard bottom-ks") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .select("lang", "doc_id", "h")
+    def bottomK(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("h", "doc_id")
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("lang", "doc_id", "h")
+    }
+    val direct = bottomK(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val shardA = bottomK(docs.filter(col("doc_id") % 2 === 0))
+    val shardB = bottomK(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = bottomK(shardA.unionByName(shardB)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(direct == merged)
+  }
+
   test("next_event counts partition the signup count") {
     val ev = Tables.load(spark, sfDir, "events")
     val signups = ev.filter(col("event_type") === "signup").count()
