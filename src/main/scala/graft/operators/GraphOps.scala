@@ -54,13 +54,17 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // the degree table doubles as the node table (every node has
+    // degree ≥ 1 after symmetrization), so N and the initial ranks
+    // both come from it — no separate distinct pass over the edges
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // (a, b, deg(a)) — the join payload each round; deg is scale-free
     // per node so this adds one long to each cached edge row
-    val withDeg = und
-      .join(und.groupBy("a").agg(count(lit(1)).as("deg")), "a")
+    val withDeg = und.join(deg, "a")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = und.select(col("a")).distinct().count() // scalar collect
-    var ranks = und.select(col("a").as("node")).distinct()
+    val n = deg.count() // scalar collect
+    var ranks = deg.select(col("a").as("node"))
       .withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       // every node has ≥1 undirected neighbor, so the inner join

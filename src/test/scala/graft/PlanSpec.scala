@@ -301,4 +301,70 @@ class PlanSpec extends SparkSpec {
     assert(occurrences <= 2,
       s"max-abs aggregate appears $occurrences times - scale duplicated")
   }
+
+  test("node similarity pairs come from an equi-join; top-k is bounded") {
+    // the pair generation must ride the shared-feature key (hot keys
+    // capped upstream), never a loop/cartesian join; the top-20 must
+    // plan as per-partition top-n, never a global sort of the pairs
+    val plan = formatted("graph_node_similarity")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "pair generation regressed to a loop join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k pairs must never globally sort the pair set")
+  }
+
+  test("pageRank reuses the persisted edge relation across rounds") {
+    // without the persist, each of the 3 rounds re-runs the edge
+    // derivation (scan + join + distinct) — the InMemoryRelation must
+    // appear in the plan and the only joins must be equi-joins plus
+    // the single scalar broadcast cross for N
+    val plan = formatted("graph_pagerank")
+    assert(plan.contains("InMemoryRelation") ||
+           plan.contains("InMemoryTableScan"),
+      "edge list is not persisted — every round re-derives it")
+    assert(!plan.contains("CartesianProduct"),
+      "unexpected cartesian join in the iteration body")
+  }
+
+  test("scd2 history is one per-entity window over the scan") {
+    // a second shuffle would mean the versioning re-partitions what
+    // the window already partitioned (lead + row_number must share
+    // one sort); allowed: the window exchange + the presentation
+    // orderBy's range exchange — anything more is a regression
+    val plan = staticPlan("cdc_history_scd2")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(exchanges <= 2, s"scd2 plans $exchanges shuffle exchanges")
+    // lead (sliding frame) and row_number (growing frame) legally
+    // split into two WindowExec nodes — but they must STACK on one
+    // shared partitioning: no exchange or sort between them
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 2, s"unexpected window count ${windows.size}")
+    if (windows.size == 2) {
+      // an exchange sitting between the two windows = re-shuffle
+      val lower = windows.last
+      val reshuffled = windows.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.find(_.eq(lower)).isDefined => e
+      }.nonEmpty
+      assert(!reshuffled, "the two window passes re-shuffle between them")
+    }
+  }
+
+  test("lttb selection carries no floating point") {
+    // the per-bucket argmax must order on the integer area column —
+    // a double anywhere in the scoring expression reintroduces the
+    // cross-engine ulp hazard the integer form exists to kill
+    val df = SparkEntry.queries("cdc_lttb")(spark, sfDir)
+    val score = df.queryExecution.analyzed.collect {
+      case p if p.expressions.exists(_.toString.contains("abs(")) =>
+        p.expressions.filter(_.toString.contains("abs(")).map(_.dataType)
+    }.flatten
+    assert(score.nonEmpty, "no area expression found")
+    score.foreach(t => assert(t == org.apache.spark.sql.types.LongType,
+      s"area expression is $t, not LongType"))
+  }
 }
