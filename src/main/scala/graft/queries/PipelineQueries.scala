@@ -43,6 +43,10 @@ object PipelineQueries extends QueryPack {
   private val uniqLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> landed closed-version history path (stream_scd2)
+  private val scd2Landed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // source dir -> landed topK state path (stream_topk_state_check)
   private val topkLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -376,6 +380,64 @@ object PipelineQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // H14 (r8): streaming SCD Type-2 history — the incremental twin of
+    // cdc_history_scd2. Closed versions are emitted exactly once (when
+    // the next event for the entity arrives) and land append-only;
+    // state carries ONE (version, open event) pair per entity, never
+    // history. The input is split at the GLOBAL time midpoint into two
+    // files streamed one-per-batch with explicitly forced mtime order
+    // (FileStreamSource processes oldest-first), so every entity whose
+    // events straddle the cut proves the cross-batch chain: batch 2's
+    // first event closes the open version carried in state from batch
+    // 1. Oracle = the batch SCD2 build's closed rows — stream equals
+    // batch exactly because the chain build is a pure left fold and a
+    // global time cut preserves per-entity order across batches.
+    "stream_scd2" -> ((s, dir) => {
+      val landed = scd2Landed.computeIfAbsent(dir, d => {
+        val stage = Staging.path("scd2_stream", d)
+        val in = s"$stage/in"
+        val ev = Tables.load(s, d, "events")
+        val Array(loUs, hiUs) = ev
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val midUs = loUs + (hiUs - loUs) / 2
+        ev.filter(unix_micros(col("ts")) < midUs)
+          .coalesce(1).write.mode("overwrite").parquet(in)
+        val inDir = new java.io.File(in)
+        val chunk1 = inDir.listFiles().map(_.getAbsolutePath).toSet
+        ev.filter(unix_micros(col("ts")) >= midUs)
+          .coalesce(1).write.mode("append").parquet(in)
+        // force deterministic batch order: the file source sorts by
+        // modification time, and back-to-back writes can land in the
+        // same clock tick
+        val base = System.currentTimeMillis() - 120000
+        inDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          f.setLastModified(
+            if (chunk1.contains(f.getAbsolutePath)) base else base + 60000)
+        }
+        val stream = graft.Tables.normalizeEventTime(
+          s.readStream.schema(s.read.parquet(in).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in), in, "ts")
+        import s.implicits._
+        val evs = stream.select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value")).as[CdcStream.Ev]
+        val q = CdcStream.scd2Closed(evs).toDF().writeStream
+          .format("parquet").option("path", s"$stage/closed")
+          .option("checkpointLocation", s"$stage/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$stage/closed"
+      })
+      s.read.parquet(landed)
+        .select(col("user_id"), col("version"), col("event_type"),
+          round(col("value"), 4).as("value"),
+          col("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "version")
+    }),
+
     // H10 (new r6): streaming exact dedup against ALL history with
     // BOUNDED carried state — the Bloom-filter complement to H6
     // (whose exact state is horizon-limited by the watermark). Two
@@ -654,6 +716,15 @@ object PipelineQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     // the stream folds to the batch funnel's histogram — same oracle
     "stream_funnel" -> CdcQueries.oracles("cdc_funnel"),
+    // the streamed history == the batch SCD2 build's closed rows
+    "stream_scd2" ->
+      """WITH v AS (SELECT user_id, event_type, value, epoch_us(ts) AS f,
+                           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
+                           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t
+                    FROM events)
+         SELECT user_id, version, event_type, round(value, 4) AS value,
+                f AS valid_from_us, t AS valid_to_us
+         FROM v WHERE t IS NOT NULL ORDER BY user_id, version""",
     "mm_feature_stub" ->
       """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n,
                            hex(encode(text)) AS h

@@ -519,6 +519,53 @@ object CdcStream {
       }
   }
 
+  /** A closed SCD Type-2 version row — emitted exactly once, at the
+    * moment the entity's NEXT event closes it. */
+  final case class Scd2Row(user_id: Long, version: Long, event_type: String,
+                           value: Double, valid_from_us: Long,
+                           valid_to_us: Long)
+
+  /** Streaming SCD Type-2 history — the incremental twin of the batch
+    * `cdc_history_scd2` build (H14). State per entity = the OPEN
+    * version only (version counter + its event, a constant-size
+    * record — NOT the entity's history): each arriving event closes
+    * the open version, which is emitted exactly once as an immutable
+    * [valid_from, valid_to) fact, and becomes the new open version.
+    * Append semantics — closed versions never mutate, so the landing
+    * sink is append-only parquet (the warehouse history table grows
+    * by exactly the event stream); the open tail is the latest-state
+    * surface (H2), queryable from state or rebuilt as `current`.
+    *
+    * Ordering contract (same as [[funnelLevels]]): per-entity
+    * event-time order ACROSS batches — the Kafka key-partitioned
+    * delivery shape; intra-batch disorder is sorted away. Under that
+    * contract stream-after-N-batches == the batch build's closed rows
+    * EXACTLY, because the chain build is a pure left fold over the
+    * per-entity event sequence (spec: randomized time-contiguous
+    * batchings fold to identical histories).
+    */
+  def scd2Closed(events: Dataset[Ev]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Long, Ev)]) =>
+          var ver = state.getOption.map(_._1).getOrElse(0L)
+          var open = state.getOption.map(_._2)
+          val out = Seq.newBuilder[Scd2Row]
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            open.foreach { o =>
+              out += Scd2Row(uid, ver, o.event_type, o.value, o.ts_us, e.ts_us)
+            }
+            ver += 1
+            open = Some(e)
+          }
+          // a group invoked with events always ends with an open
+          // version; state carries exactly one (version, event) pair
+          open.foreach(o => state.update((ver, o)))
+          out.result().iterator
+      }
+  }
+
   /** [[latestBy]] with event-time state TTL — the "watermark + state
     * TTL for entity churn" deployment shape: a perpetual CDC stream
     * accretes one state row per entity EVER SEEN, so at 100 TB/year of

@@ -130,6 +130,68 @@ class PipelineSpec extends SparkSpec {
     assert(finalState(8L) == ("click", 200L))    // older event did NOT win
   }
 
+  test("streaming scd2 chains versions across micro-batches, emits each once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val q = CdcStream.scd2Closed(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("pipelinespec_scd2")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 7 has two events (one version closes in-batch),
+    // user 8 one event (stays open)
+    mem.addData(CdcStream.Ev(1, 100, 7, "signup", 1.0),
+                CdcStream.Ev(2, 200, 7, "click", 2.0),
+                CdcStream.Ev(3, 150, 8, "signup", 5.0))
+    q.processAllAvailable()
+    // batch 2: closes user 7's open v2 AND user 8's open v1 — the
+    // cross-batch chain the state exists to carry
+    mem.addData(CdcStream.Ev(4, 300, 7, "purchase", 3.0),
+                CdcStream.Ev(5, 250, 8, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pipelinespec_scd2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == Set(
+      (7L, 1L, "signup", 100L, 200L),
+      (7L, 2L, "click", 200L, 300L),
+      (8L, 1L, "signup", 150L, 250L)))
+    // emit-once: (user, version) unique
+    val n = spark.table("pipelinespec_scd2").count()
+    assert(n == 3, s"expected 3 closed versions, got $n")
+  }
+
+  test("streaming scd2 equals the batch fold under any time-contiguous batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val events = (1 to 120).map { i =>
+      CdcStream.Ev(i.toLong, 10L * i + rnd.nextInt(5), (i % 7).toLong,
+        Seq("signup", "click", "purchase")(rnd.nextInt(3)), rnd.nextDouble())
+    }.sortBy(e => (e.ts_us, e.event_id))
+    // batch reference: per-user left fold over the global order
+    val want = events.groupBy(_.user_id).flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).sliding(2).collect {
+        case Seq(a, b) => (u, a.event_type, a.ts_us, b.ts_us)
+      }
+    }.toSet
+    // streamed with random time-contiguous cuts (the ordering contract)
+    val cuts = (Seq(0) ++ Seq.fill(3)(rnd.nextInt(events.length)) ++
+      Seq(events.length)).distinct.sorted
+    val mem = MemoryStream[CdcStream.Ev]
+    val q = CdcStream.scd2Closed(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("pipelinespec_scd2_rand")
+      .outputMode(OutputMode.Append()).start()
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      if (b > a) { mem.addData(events.slice(a, b)); q.processAllAvailable() }
+    }
+    q.stop()
+    val got = spark.table("pipelinespec_scd2_rand")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(got == want)
+  }
+
   test("streaming event counts equal batch aggregation") {
     val streamed = SparkEntry.queries("stream_event_counts")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
