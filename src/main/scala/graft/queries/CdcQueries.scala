@@ -739,8 +739,50 @@ object CdcQueries extends QueryPack {
           col("lx").as("x"), col("ly").as("y")))
         .select(col("event_type"), col("x").as("day_off"), col("y").as("cnt"))
         .orderBy("event_type", "day_off")
+    }),
+
+    // EXACT largestTriangleThreeBuckets (r8) — the true sequential
+    // ClickHouse/paper semantics (each bucket's pick forms its
+    // triangle with the PREVIOUSLY SELECTED point), complementing the
+    // order-parallel fixed-anchor variant above. operators/Lttb.exact
+    // runs the greedy as nOut−2 chained relational steps — the
+    // sequential dimension is the BUCKET COUNT, a constant, never the
+    // series length/count — and the all-integer area arithmetic makes
+    // the greedy exactly replayable: the oracle re-runs it as chained
+    // pick CTEs.
+    "cdc_lttb_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wT = Window.partitionBy("event_type")
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("dabs"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", col("dabs") - min(col("dabs")).over(wT))
+        .select("event_type", "x", "y")
+      graft.operators.Lttb.exact(daily, Seq("event_type"), "x", "y", nOut = 10)
+        .select(col("event_type"), col("x").as("day_off"), col("y").as("cnt"))
+        .orderBy("event_type", "day_off")
     })
   )
+
+  /** One sequential-LTTB pick CTE (oracle twin of Lttb.exact's step
+    * b): argmax of the integer triangle area over bucket b's points,
+    * conditioned on the previous step's pick. MATERIALIZED — each
+    * step is referenced by the next AND the final union. */
+  private def lttbPick(b: Int): String = {
+    val prev =
+      if (b == 0) "SELECT event_type, fx AS px, fy AS py FROM firstpt"
+      else s"SELECT event_type, x AS px, y AS py FROM p${b - 1}"
+    s"""p$b AS MATERIALIZED (
+          SELECT event_type, x, y FROM (
+            SELECT m.event_type, m.x, m.y,
+                   row_number() OVER (PARTITION BY m.event_type ORDER BY
+                     abs((p.px * a.cc - a.cxs) * (m.y - p.py)
+                       - (p.px - m.x) * (a.cys - p.py * a.cc)) DESC, m.x) AS pk
+            FROM mid m JOIN ($prev) p USING (event_type)
+                       JOIN anch a ON a.event_type = m.event_type AND a.b = m.b
+            WHERE m.b = $b) WHERE pk = 1)"""
+  }
 
   private def snapshotSource(s: org.apache.spark.sql.SparkSession,
                              dir: String) =
@@ -1191,6 +1233,38 @@ object CdcQueries extends QueryPack {
            SELECT event_type, fx AS x, fy AS y FROM firstpt
            UNION ALL SELECT event_type, x, y FROM picked
            UNION ALL SELECT event_type, lx AS x, ly AS y FROM lastpt)
+         ORDER BY event_type, day_off""",
+    "cdc_lttb_exact" ->
+      s"""WITH daily AS (SELECT event_type,
+                                CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS dabs,
+                                count(*) AS y
+                         FROM events GROUP BY 1, 2),
+           pts AS MATERIALIZED (SELECT event_type,
+                          dabs - min(dabs) OVER (PARTITION BY event_type) AS x, y,
+                          row_number() OVER (PARTITION BY event_type ORDER BY dabs) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM daily),
+           shortp AS (SELECT event_type, x, y FROM pts WHERE n <= 10),
+           firstpt AS MATERIALIZED (SELECT event_type, x AS fx, y AS fy
+                                    FROM pts WHERE rn = 1 AND n > 10),
+           lastpt AS MATERIALIZED (SELECT event_type, x AS lx, y AS ly
+                                   FROM pts WHERE rn = n AND n > 10),
+           mid AS MATERIALIZED (SELECT event_type, x, y,
+                          least(CAST(floor((rn - 2) * 8 / (n - 2)) AS BIGINT), 7) AS b
+                   FROM pts WHERE rn > 1 AND rn < n AND n > 10),
+           bst AS (SELECT event_type, b, sum(x) AS sx, sum(y) AS sy, count(*) AS c
+                   FROM mid GROUP BY 1, 2),
+           anch AS MATERIALIZED (
+             SELECT event_type, b - 1 AS b, sx AS cxs, sy AS cys, c AS cc
+             FROM bst WHERE b >= 1
+             UNION ALL
+             SELECT event_type, 7, lx, ly, 1 FROM lastpt),
+           ${(0 to 7).map(lttbPick).mkString(",\n")}
+         SELECT event_type, x AS day_off, y AS cnt FROM (
+           SELECT event_type, x, y FROM shortp
+           UNION ALL SELECT event_type, fx, fy FROM firstpt
+           ${(0 to 7).map(b => s"UNION ALL SELECT event_type, x, y FROM p$b").mkString("\n           ")}
+           UNION ALL SELECT event_type, lx, ly FROM lastpt)
          ORDER BY event_type, day_off"""
   )
 }
