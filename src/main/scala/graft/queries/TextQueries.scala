@@ -234,6 +234,33 @@ object TextQueries extends QueryPack {
           md5(n).as("fp"),
           md5(substring(n, 1, 100)).as("fp_prefix"))
         .orderBy("doc_id")
+    }),
+
+    // F10 (r8): RAG/embedding-prep chunking — every document split
+    // into overlapping token windows (50 tokens, stride 40): the
+    // standard retrieval-corpus and context-window-packing precursor.
+    // Pure projection + generate (ZERO shuffles): chunk count and
+    // boundaries are integer arithmetic on the token count (`div`, so
+    // both engines compute the identical grid), the chunk id rides an
+    // exploded sequence, and the chunk text is a codegen'd
+    // slice + array_join. Payload inflation is the overlap ratio
+    // (W/S = 1.25×) — the known, bounded cost of overlapping chunks;
+    // chunks hash-compare via md5 so the oracle never hauls text.
+    "text_chunks" -> ((s, dir) => {
+      val W = 50; val S = 40
+      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nchunks", when(col("n") <= W, lit(1L))
+          .otherwise(expr(s"((n - $W + ${S - 1}) div $S) + 1")))
+        .withColumn("cid", explode(sequence(lit(0L), col("nchunks") - 1)))
+        .withColumn("n_tok",
+          least(col("cid") * S + W, col("n")) - col("cid") * S)
+        .select(col("doc_id"), col("cid"), col("n_tok"),
+          md5(array_join(
+            slice(col("toks"), (col("cid") * S + 1).cast("int"),
+              col("n_tok").cast("int")), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "cid")
     })
   )
 
@@ -257,6 +284,22 @@ object TextQueries extends QueryPack {
   private[graft] val piiPhone = graft.operators.Pii.Phone
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+           k AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                        CASE WHEN len(toks) <= 50 THEN 1
+                             ELSE (len(toks) - 50 + 39) // 40 + 1 END AS nchunks
+                 FROM d),
+           c AS (SELECT doc_id, toks, n,
+                        unnest(generate_series(0, nchunks - 1)) AS cid
+                 FROM k)
+         SELECT doc_id, CAST(cid AS BIGINT) AS cid,
+                least(cid * 40 + 50, n) - cid * 40 AS n_tok,
+                md5(array_to_string(
+                  list_slice(toks, cid * 40 + 1, least(cid * 40 + 50, n)),
+                  ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, cid""",
     "text_pii" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '$piiEmail')) AS BIGINT) AS n_emails,

@@ -164,4 +164,27 @@ class TextDedupSpec extends SparkSpec {
     val cm = SparkEntry.queries("text_langid")(spark, sfDir)
     assert(cm.agg(sum("cnt")).first().getLong(0) == docs)
   }
+
+  test("text_chunks tile every document: full coverage, exact overlap, no gaps") {
+    val chunks = SparkEntry.queries("text_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nToks = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      // dense chunk ids from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, s"doc $doc ids")
+      // every chunk but the last is full-width; stride-40 windows
+      // cover [cid*40, cid*40 + n_tok) and the last window must reach n
+      sorted.init.foreach { case (_, _, w) => assert(w == 50, s"doc $doc width $w") }
+      val (_, lastCid, lastW) = sorted.last
+      assert(lastCid * 40 + lastW == n, s"doc $doc: tail not flush with $n tokens")
+      // no gap: next window starts 10 tokens before the previous ends
+      assert(sorted.length == 1 || n > 50, s"doc $doc over-chunked")
+    }
+    assert(chunks.nonEmpty)
+  }
 }
