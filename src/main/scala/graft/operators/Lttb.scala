@@ -71,22 +71,30 @@ object Lttb {
         col("lx").as("cxs") :+ col("ly").as("cys") :+ lit(1L).as("cc"): _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val kNames = keyCols
+    // anchors joined onto the candidates ONCE — each step then only
+    // joins the (tiny) previous-pick table and filters its bucket
+    val midA = mid.join(anch, kNames :+ "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var prev = firstPt.select(keys :+ col("fx").as("px") :+ col("fy").as("py"): _*)
     var picks: Option[DataFrame] = None
-    val wPick = Window.partitionBy(keys :+ col("b"): _*)
-      .orderBy(col("e").desc, col("x"))
+    val wPick = Window.partitionBy(keys: _*).orderBy(col("e").desc, col("x"))
     for (b <- 0 until nb) {
-      val pick = mid.filter(col("b") === b)
+      // no broadcast hint on prev — it is series-scaled (AQE
+      // broadcasts it while it fits, shuffle-joins beyond)
+      val pick = midA.filter(col("b") === b)
         .join(prev, kNames)
-        .join(anch.filter(col("b") === b).drop("b"), kNames)
         .withColumn("e", abs(
           (col("px") * col("cc") - col("cxs")) * (col("y") - col("py")) -
           (col("px") - col("x")) * (col("cys") - col("py") * col("cc"))))
         .withColumn("pk", row_number().over(wPick)).filter(col("pk") === 1)
         .select(keys :+ col("x") :+ col("y"): _*)
-        // each step feeds the next join AND the result union — pin it,
-        // or step k re-executes the whole prefix chain
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // each step feeds the next join AND the result union — and the
+        // chain's nested lineage makes Catalyst re-optimize an
+        // ever-deeper tree (measured: planning, not execution,
+        // dominated the chain). localCheckpoint truncates the logical
+        // plan per step — the dedupClusters discipline for exactly
+        // this iterative shape.
+        .localCheckpoint()
       picks = Some(picks.fold(pick)(_.unionByName(pick)))
       prev = pick.select(keys :+ col("x").as("px") :+ col("y").as("py"): _*)
     }
