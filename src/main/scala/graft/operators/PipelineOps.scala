@@ -52,6 +52,14 @@ object PipelineOps {
   def hashKeep(keyCol: Column, pct: Column): Column =
     hashBucket(keyCol) < pct
 
+  /** [[hashKeep]] at parts-per-million granularity — for COMPUTED
+    * fractional rates (temperature resampling) where integer percent
+    * is too coarse. Same md5-prefix bucket family and null posture;
+    * the DuckDB mirror is the same expression with `% 1000000`. */
+  def hashKeepPpm(keyCol: Column, ppm: Column): Column =
+    (conv(substring(md5(coalesce(keyCol.cast("string"), lit(""))), 1, 8), 16, 10)
+      .cast("long") % 1000000) < ppm
+
   /** The reference's `ORDER BY rand() LIMIT n` sampling
     * (04-optimize-tables.sql:124-131), seeded. Physically this is
     * TakeOrderedAndProject — each partition keeps its top-n by the

@@ -136,6 +136,33 @@ object CorpusQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // J13 (r8): temperature-based mixture resampling — the
+    // multilingual rebalancing step of LLM data mixing: sampling
+    // probability ∝ share^α (α = 0.5, budget = half the corpus)
+    // flattens head languages and up-weights the tail. The per-lang
+    // keep rate derives from two tiny aggregates, is FROZEN to
+    // integer parts-per-million (the cross-engine threshold is then
+    // exact), broadcast onto the scan (|languages| rows — scale-free),
+    // and applied as the same deterministic md5-bucket draw as
+    // sample_mix/splitAssign: layout-independent, reproducible, one
+    // scan, zero data shuffles.
+    "sample_temperature" -> ((s, dir) => {
+      val alpha = 0.5; val budget = 0.5
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).as("n"),
+        sum(pow(col("c"), alpha)).as("z"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("keep", least(lit(1.0),
+          pow(col("c"), alpha) / col("z") * col("n") * budget / col("c")))
+        .select(col("lang"),
+          floor(col("keep") * 1000000).cast("long").as("rate_ppm"))
+      docs.join(broadcast(rates), "lang")
+        .filter(PipelineOps.hashKeepPpm(col("doc_id"), col("rate_ppm")))
+        .select(col("doc_id"), col("lang"), col("rate_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // the reference's `ORDER BY rand() LIMIT n` spot-check sampling
     // (04-optimize-tables.sql:124-131), seeded. Rows-only: DuckDB's
     // rand() stream can't equal Spark's; determinism + size + subset
@@ -300,6 +327,21 @@ object CorpusQueries extends QueryPack {
                   WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
 
   val oracles: Map[String, String] = Map(
+    // e-notation literals force DOUBLE (DuckDB decimals would diverge
+    // from Spark's double arithmetic); operation order matches the
+    // Spark expression left-to-right so the ppm freeze is identical
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+           t AS (SELECT sum(c) AS n, sum(pow(c, 0.5e0)) AS z FROM c),
+           r AS (SELECT lang,
+                        CAST(floor(least(1.0e0, pow(c, 0.5e0) / z * n * 0.5e0 / c)
+                             * 1000000) AS BIGINT) AS rate_ppm
+                 FROM c, t)
+         SELECT d.doc_id, d.lang, r.rate_ppm
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 8))::BIGINT
+                 % 1000000 < r.rate_ppm
+         ORDER BY d.doc_id""",
     "sample_bottomk" ->
       """SELECT lang, rk, doc_id, h FROM (
            SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

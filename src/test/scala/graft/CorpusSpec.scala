@@ -152,4 +152,39 @@ class CorpusSpec extends SparkSpec {
     assert(survivors.join(dropped.select("doc_id"), Seq("doc_id"), "left_semi")
       .count() == 0, "a dropped member leaked into the survivors")
   }
+
+  test("temperature resampling flattens the language distribution") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOrig = orig.values.sum.toDouble
+    val nKept = kept.values.sum.toDouble
+    // α = 0.5 must pull every language's share toward uniform: head
+    // languages shrink, tail languages grow (within hash-draw noise)
+    val uniform = 1.0 / orig.size
+    orig.keys.foreach { l =>
+      val so = orig(l) / nOrig
+      val sk = kept.getOrElse(l, 0L) / nKept
+      if (so > uniform * 1.3)
+        assert(sk < so, s"head lang $l share did not shrink: $so -> $sk")
+      if (so < uniform * 0.77)
+        assert(sk > so * 0.95, s"tail lang $l share collapsed: $so -> $sk")
+    }
+    // the draw is a pure function of doc_id (no rand()): re-running
+    // returns the identical row set
+    val again = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val keptIds = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+    // a tail language at/above uniform target keeps everything:
+    // rate_ppm saturates at 1000000
+    val ppm = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppm.values.forall(p => p > 0 && p <= 1000000))
+  }
 }
