@@ -236,6 +236,36 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // F11 (r8): perplexity-style LM quality scoring — the CCNet/KenLM
+    // filter class with a corpus-fit unigram model as the
+    // fully-relational proxy: p(tok) = (count+1)/(N+V) (add-one
+    // smoothing), per-doc score = mean −ln p — high scores flag
+    // out-of-distribution/garbled documents exactly as the real LM
+    // filter does, and the DATAFLOW (fit corpus model → broadcast-ish
+    // join → per-doc reduce) is the swap point for a real LM. Two
+    // passes: one hash-agg builds the model (vocab-sized), one
+    // token→model equi-join + per-doc avg scores (AQE broadcasts the
+    // model while it fits, shuffle-joins beyond — vocab grows
+    // sublinearly in corpus size). 4-dp rounding absorbs ln/avg
+    // ulp-order differences (the repo-wide float-oracle stance).
+    "text_unigram_ppl" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("v"))
+      toks.join(counts, "tok").crossJoin(broadcast(tot))
+        .withColumn("nll",
+          log((col("n") + col("v")).cast("double") / (col("cnt") + 1)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(col("nll")), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // F10 (r8): RAG/embedding-prep chunking — every document split
     // into overlapping token windows (50 tokens, stride 40): the
     // standard retrieval-corpus and context-window-packing precursor.
@@ -284,6 +314,16 @@ object TextQueries extends QueryPack {
   private[graft] val piiPhone = graft.operators.Pii.Phone
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents WHERE text IS NOT NULL),
+           tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+           m AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+           t AS (SELECT sum(cnt) AS n, count(*) AS v FROM m)
+         SELECT doc_id, count(*) AS n_tok,
+                round(avg(ln(CAST(t.n + t.v AS DOUBLE) / (m.cnt + 1))), 4) AS avg_nll
+         FROM tk JOIN m USING (tok) CROSS JOIN t
+         GROUP BY doc_id ORDER BY doc_id""",
     "text_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents WHERE text IS NOT NULL),

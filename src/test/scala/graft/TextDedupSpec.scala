@@ -165,6 +165,28 @@ class TextDedupSpec extends SparkSpec {
     assert(cm.agg(sum("cnt")).first().getLong(0) == docs)
   }
 
+  test("unigram perplexity ranks rare-token documents above common-token ones") {
+    val scores = SparkEntry.queries("text_unigram_ppl")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scores.values.forall { case (n, s) => n > 0 && s > 0 })
+    // independent signal: the mean corpus frequency of a doc's tokens.
+    // The doc scored MOST surprising must use rarer tokens on average
+    // than the doc scored least surprising — the property the filter
+    // exists to detect.
+    val toks = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val meanFreq = toks.join(freq, "tok").groupBy("doc_id")
+      .agg(avg(col("cnt")).as("mf")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val worst = scores.maxBy(_._2._2)._1
+    val best = scores.minBy(_._2._2)._1
+    assert(meanFreq(worst) < meanFreq(best),
+      s"most-surprising doc $worst uses commoner tokens than $best")
+  }
+
   test("text_chunks tile every document: full coverage, exact overlap, no gaps") {
     val chunks = SparkEntry.queries("text_chunks")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
