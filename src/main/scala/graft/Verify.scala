@@ -59,6 +59,7 @@ object Verify {
       "dedup_minhash_lsh" -> "dedup_minhash_lsh_check",
       "dedup_simhash" -> "dedup_simhash_check",
       "dedup_embedding_lsh" -> "dedup_embedding_lsh_check",
+      "dedup_semantic" -> "dedup_semantic_check",
       "dedup_incremental" -> "dedup_incremental_check",
       "sim_lsh_ann" -> "sim_lsh_ann_check",
       "sim_ivf_ann" -> "sim_ivf_ann_check",

@@ -84,6 +84,47 @@ object SketchQueries extends QueryPack {
           "vec_id", "embedding", tau = 0.4)
         .orderBy("i", "j")),
 
+    // D16 (r8): SemDeDup — the published semantic-dedup pipeline
+    // (cluster embeddings, prune near-dups within clusters). Rows-only
+    // (k-means centroids are iterative float state no SQL engine
+    // recomputes); the oracle-checked contract lives in
+    // dedup_semantic_check.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Dedup.semanticPairs(emb, "vec_id", "embedding",
+          tau = 0.4, k = graft.operators.Similarity.autoCentroids(
+            emb.count()))
+        .orderBy("i", "j")
+    }),
+
+    // D16 contract check (oracle-backed, same planted-pair methodology
+    // as the D6 planted check): recall of the SemDeDup path over
+    // PLANTED near-dups at τ=0.9. SemDeDup's regime is REAL
+    // near-duplicates (cos ≥ ~0.9 jittered copies, which co-cluster
+    // under any reasonable k-means) — the driver corpora's τ=0.4 pair
+    // set is the random-cosine noise tail, where borderline pairs
+    // straddle cluster boundaries by construction and NO
+    // cluster-based method can recall them (that regime belongs to
+    // D6's banded LSH). On unplanted corpora the ground truth is
+    // empty and the verdict row shows the trivial regime honestly.
+    "dedup_semantic_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2(col("v")))
+      val planted = v.as("a")
+        .join(v.as("b"), col("b.vec_id") === col("a.vec_id") + lit(500000000L))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          graft.functions.VectorFunctions.cosinePre(
+            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= 0.9)
+      val sem = graft.operators.Dedup.semanticPairs(emb, "vec_id",
+        "embedding", tau = 0.9,
+        k = graft.operators.Similarity.autoCentroids(emb.count()))
+      recallRow(sem, planted, minRecall = 0.8)
+    }),
+
     // D6 contract check (oracle-backed): every LSH pair must appear in
     // the exact all-pairs baseline with the SAME exact cosine
     // (precision 1.0 — bad_pairs 0), and recall ≥ 0.8. DuckDB derives
@@ -697,6 +738,13 @@ object SketchQueries extends QueryPack {
     "dedup_simhash_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
+    "dedup_semantic_check" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j
+               FROM n a JOIN n b ON b.vec_id = a.vec_id + 500000000
+               WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
     "dedup_embedding_lsh_check" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
