@@ -99,6 +99,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(j13._3 == 1L && j13._4 == 4L && j13._5 == 0.25)
   }
 
+  test("degenerate inputs: empty graphs return empty, never throw") {
+    val s = spark
+    import s.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.pageRank(none, iters = 2).count() == 0)
+    assert(GraphOps.nodeSimilarity(none.toDF("e", "f"), "e", "f",
+      featCap = 10L, topK = 5).count() == 0)
+    // BFS from seeds over an empty graph: the seeds themselves remain
+    val d = GraphOps.bfsDistances(none, seeds = Seq(5L), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d.toSeq == Seq((5L, 0)))
+    // maxHops = 0: settled set is exactly the seed set
+    val d0 = GraphOps.bfsDistances(edges((1L, 2L)), seeds = Seq(1L), maxHops = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d0.toSeq == Seq((1L, 0)))
+  }
+
   test("nodeSimilarity ordering key is integer-stable under ties") {
     val s = spark
     import s.implicits._
