@@ -186,6 +186,18 @@ object GraphQueries extends QueryPack {
         entity = "l_suppkey", feature = "o_custkey",
         featCap = 500L, topK = 20)),
 
+    // B11: k-core decomposition (GDS coreDecomposition) — the 2-core
+    // of the quantity ≤ 1 slice (non-degenerate: ~42% of nodes survive
+    // at every scale point, peel depth ≤ 4). Iterative peeling to the
+    // fixpoint (GraphOps.kCore, loud past maxIters); the oracle
+    // replays a FIXED 12 peel rounds — monotone shrinkage means both
+    // sides sit at the fixpoint, so converge-early == fixed-count.
+    // Output carries the in-core degree (every one ≥ k — the core
+    // invariant rides the hash compare).
+    "graph_kcore" -> ((s, dir) =>
+      GraphOps.kCore(supplyEdges(s, dir, quantityCap = Some(1.0)), k = 2)
+        .orderBy("node")),
+
     // B10: hop-bounded BFS (the Neo4j shortestPath staple) — exact
     // distances ≤ 3 from suppliers {1, 2} over the quantity ≤ 1 slice.
     // Frontier expansion: each level joins the FRONTIER (not the
@@ -233,6 +245,13 @@ object GraphQueries extends QueryPack {
            (SELECT u.a AS n, p.l FROM und u JOIN l${i - 1} p ON u.b = p.n
             UNION ALL SELECT n, l FROM l${i - 1}) x GROUP BY x.n)"""
 
+  // One k-core peel round: keep nodes with ≥ k surviving neighbors.
+  // MATERIALIZED — referenced twice by the next round's double join.
+  private def kcIter(i: Int) =
+    s"""s$i AS MATERIALIZED (SELECT u.a AS n FROM und u
+           JOIN s${i - 1} x ON u.a = x.n JOIN s${i - 1} y ON u.b = y.n
+           GROUP BY u.a HAVING count(*) >= 2)"""
+
   // One BFS level: expand everything settled so far, keep min dist.
   private def bfsIter(i: Int) =
     s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
@@ -267,6 +286,13 @@ object GraphQueries extends QueryPack {
                  CAST(floor(inter * 1000000000 / (s1.sz + s2.sz - inter)) AS BIGINT) AS sim_key
           FROM p JOIN sz s1 ON p.e1 = s1.e JOIN sz s2 ON p.e2 = s2.e
           ORDER BY sim_key DESC, e1, e2 LIMIT 20""",
+    "graph_kcore" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
+          s0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM und),
+          ${(1 to 12).map(kcIter).mkString(",\n")}
+          SELECT u.a AS node, count(*) AS core_degree
+          FROM und u JOIN s12 x ON u.a = x.n JOIN s12 y ON u.b = y.n
+          GROUP BY u.a ORDER BY node""",
     "graph_bfs" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
           d0 AS (SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 0),

@@ -99,6 +99,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(j13._3 == 1L && j13._4 == 4L && j13._5 == 0.25)
   }
 
+  test("kCore peels tails, keeps cycles, and empties trees") {
+    // triangle 1-2-3 with a pendant path 3-4-5: the 2-core is exactly
+    // the triangle (4 and 5 peel off over two rounds), every member
+    // reporting in-core degree 2
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val core = GraphOps.kCore(g, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a tree has no 2-core
+    assert(GraphOps.kCore(edges((1L, 2L), (2L, 3L), (2L, 4L)), k = 2)
+      .count() == 0)
+    // k = 1 keeps every non-isolated node
+    assert(GraphOps.kCore(g, k = 1).count() == 5)
+  }
+
   test("degenerate inputs: empty graphs return empty, never throw") {
     val s = spark
     import s.implicits._
