@@ -582,6 +582,22 @@ object CdcQueries extends QueryPack {
         .orderBy("event_type", "day_idx")
     }),
 
+    // Activity heatmap (r8) — the hour-of-day × day-of-week dashboard
+    // matrix every ops console draws. Bucketing is PURE INTEGER
+    // arithmetic on epoch micros (day index % 7, hour index % 24 —
+    // epoch day 0 is a Thursday, documented; engine calendar
+    // conventions for dayofweek() differ between Spark and DuckDB, so
+    // neither is used). One hash-agg to a 168-cell rollup.
+    "cdc_activity_heatmap" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(
+          (floor(col("us") / 86400000000L) % 7).cast("long").as("dow_idx"),
+          (floor(col("us") / 3600000000L) % 24).cast("long").as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("dow_idx", "hour")),
+
     // SCD Type-2 history build (r8) — the CDC-warehouse staple the
     // reference's latest-state MV is a projection OF: every event
     // becomes a VERSIONED row with [valid_from, valid_to) and a
@@ -1154,6 +1170,11 @@ object CdcQueries extends QueryPack {
                 CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
                      OVER (PARTITION BY event_type) AS BIGINT) AS delta_sum_pos
          FROM dd ORDER BY 1, 2""",
+    "cdc_activity_heatmap" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow_idx,
+                CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour,
+                count(*) AS cnt, round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "cdc_history_scd2" ->
       """WITH v AS (SELECT user_id, event_type, value, epoch_us(ts) AS f,
                            row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
