@@ -21,6 +21,19 @@ import org.apache.spark.storage.StorageLevel
   * The edge list is persisted ONCE (it joins in every round; without
   * pinning, each round re-runs the upstream edge derivation — the
   * repo-wide caching stance, docs/SCALE.md).
+  *
+  * CACHE LIFETIME (ADVICE r8): the persisted relations (edge lists,
+  * degrees, capped feature lists) stay referenced by the RETURNED
+  * lazy plan, so the operator cannot unpersist them itself without
+  * forcing execution — cleanup is CALLER-OWNED, same contract as the
+  * sketch operators (docs/SCALE.md "caching stance"): they are
+  * plan-keyed in the CacheManager (repeat builds share one copy) and
+  * a long-lived session reclaims them with
+  * `spark.catalog.clearCache()` once results are materialized.
+  * Loop-scoped `localCheckpoint` rounds are NOT in that cache — the
+  * ContextCleaner reclaims each round's checkpoint as soon as the
+  * next round drops the reference, so live checkpoint state is
+  * bounded by one round regardless of iteration count.
   */
 object GraphOps {
 
@@ -51,7 +64,16 @@ object GraphOps {
     * Output: (node, rank) — ranks unrounded; callers round for
     * cross-engine comparison.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
+    pageRankWithN(edges, iters, damping)._1
+
+  /** [[pageRank]] plus the node count N it already collects — callers
+    * that scale or normalize ranks by N (e.g. the rank·N driver entry)
+    * take it from here instead of re-counting the iterated result,
+    * which would re-execute the whole join/agg loop a second time
+    * (ADVICE r8). */
+  def pageRankWithN(edges: DataFrame, iters: Int,
+                    damping: Double = 0.85): (DataFrame, Long) = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     // the degree table doubles as the node table (every node has
@@ -75,7 +97,7 @@ object GraphOps {
         .agg((lit((1.0 - damping) / n) + lit(damping) * sum(col("c")))
           .as("rank"))
     }
-    ranks
+    (ranks, n)
   }
 
   /** Hop-bounded BFS: exact shortest-path distance (≤ `maxHops`) from

@@ -666,9 +666,13 @@ object CdcQueries extends QueryPack {
     // depends on the CURRENT row, which no window frame can express;
     // but ema = Σ v·w / Σ w with the current-row factor cancelling,
     // so both sums use the pure per-row weight 2^((d−d0)/7) (d0 = the
-    // series min, pinning the exponent range so the factor never
-    // overflows). Two window sums over the already-collapsed
-    // |types × days| rollup.
+    // series min, which bounds the exponent to the SERIES SPAN — valid
+    // while span/7 < 1024, i.e. spans under ~7000 days / ~19.5 years;
+    // past that 2^(span/7) exceeds double range and the ema would go
+    // silently NaN/Inf in BOTH engines, so the span is guarded LOUDLY
+    // here: a series that long needs the exponent rebased in segments,
+    // not a quiet garbage answer — ADVICE r8). Two window sums over
+    // the already-collapsed |types × days| rollup.
     "cdc_value_ema" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.load(s, dir, "events")
@@ -679,8 +683,17 @@ object CdcQueries extends QueryPack {
       val w = Window.partitionBy("event_type").orderBy("d")
         .rangeBetween(-30, 0)
       daily
-        .withColumn("g", pow(lit(2.0),
-          (col("d") - min(col("d")).over(wT)).cast("double") / lit(7.0)))
+        // the guard lives INSIDE g's expression tree (a dropped helper
+        // column would be pruned away with the check it carries)
+        .withColumn("g", when(
+          max(col("d")).over(wT) - min(col("d")).over(wT) > 7000,
+          raise_error(concat(lit("cdc_value_ema: series span "),
+            (max(col("d")).over(wT) - min(col("d")).over(wT)).cast("string"),
+            lit(" days exceeds the 2^(span/7) double-overflow bound " +
+              "(~7100 days); rebase the exponent in segments for " +
+              "multi-decade series"))).cast("double"))
+          .otherwise(pow(lit(2.0),
+            (col("d") - min(col("d")).over(wT)).cast("double") / lit(7.0))))
         .withColumn("ema",
           sum(col("v") * col("g")).over(w) / sum(col("g")).over(w))
         .select(col("event_type"), col("d").as("day_idx"),
@@ -715,7 +728,11 @@ object CdcQueries extends QueryPack {
         .withColumn("n", count(lit(1)).over(wT))
       val firstPt = pts.filter(col("rn") === 1)
         .select(col("event_type"), col("x").as("fx"), col("y").as("fy"))
-      val lastPt = pts.filter(col("rn") === col("n"))
+      // n = 1: the single point IS the series — it already rides
+      // firstPt, and emitting it from lastPt too would duplicate the
+      // row (ADVICE r8; the exact variant's short-series passthrough
+      // has the same guard built in)
+      val lastPt = pts.filter(col("rn") === col("n") && col("n") > 1)
         .select(col("event_type"), col("x").as("lx"), col("y").as("ly"))
       val mid = pts.filter(col("rn") > 1 && col("rn") < col("n"))
         .withColumn("b",
@@ -1226,7 +1243,7 @@ object CdcQueries extends QueryPack {
                           count(*) OVER (PARTITION BY event_type) AS n
                    FROM daily),
            firstpt AS (SELECT event_type, x AS fx, y AS fy FROM pts WHERE rn = 1),
-           lastpt AS (SELECT event_type, x AS lx, y AS ly FROM pts WHERE rn = n),
+           lastpt AS (SELECT event_type, x AS lx, y AS ly FROM pts WHERE rn = n AND n > 1),
            mid AS (SELECT event_type, x, y,
                           least(CAST(floor((rn - 2) * 8 / (n - 2)) AS BIGINT), 7) AS b
                    FROM pts WHERE rn > 1 AND rn < n),

@@ -145,12 +145,13 @@ object GraphQueries extends QueryPack {
     // scaling keeps the comparison's discriminating power scale-free.
     // 6dp rounding absorbs cross-engine sum-order ulps.
     "graph_pagerank" -> ((s, dir) => {
-      val pr = GraphOps.pageRank(supplyEdges(s, dir), iters = 3)
-      // one-row aggregate broadcast onto the scan (the repo's scalar
-      // crossJoin shape) — never a single-partition window
-      pr.crossJoin(broadcast(pr.agg(count(lit(1)).as("n"))))
-        .select(col("node"),
-          round(col("rank") * col("n"), 6).as("rank_x_n"))
+      // N comes from the operator (it collects the scalar anyway for
+      // the rank initialization) — a count over the iterated result
+      // would re-execute the whole 3-round loop a second time
+      // (ADVICE r8), and N is a pure literal in the scaling projection
+      val (pr, n) = GraphOps.pageRankWithN(supplyEdges(s, dir), iters = 3)
+      pr.select(col("node"),
+          round(col("rank") * lit(n), 6).as("rank_x_n"))
         .orderBy("node")
     }),
 
