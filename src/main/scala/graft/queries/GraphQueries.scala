@@ -209,7 +209,74 @@ object GraphQueries extends QueryPack {
       GraphOps.bfsDistances(
           supplyEdges(s, dir, quantityCap = Some(1.0)),
           seeds = Seq(-1L, -2L), maxHops = 3)
-        .orderBy("node"))
+        .orderBy("node")),
+
+    // B12 (r9): triangle count + local clustering coefficient (GDS
+    // triangleCount — the most-used GDS algorithm, VERDICT r8 #2).
+    // The supply graph is BIPARTITE (triangle-free by construction),
+    // so this runs on the natural triangle-bearing projection: the
+    // part CO-PURCHASE graph — parts appearing in the same order,
+    // quantity ≤ 25 to keep the projection sparse (299k edges / 204k
+    // triangles at sf0.1). The per-order self-join is bounded by
+    // order size (≤ 7 lineitems → ≤ 21 pairs/order) — never a hot
+    // key; the triangle enumeration itself is the degree-ordered
+    // edge-iterator in GraphOps.triangleCounts.
+    "graph_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 25)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      GraphOps.triangleCounts(edges).orderBy("node")
+    }),
+
+    // B13 (r9): label propagation (GDS labelPropagation, VERDICT r8
+    // #3) on the sparse supply slice — community detection beyond
+    // WCC. SYNCHRONOUS rounds with the min-label tie-break make the
+    // recurrence a pure function of the edge list; fixed 8 rounds
+    // (sync LPA can 2-cycle — "converged" is undefined, a fixed-round
+    // replay is not), oracle replays the identical 8 rounds.
+    "graph_lpa" -> ((s, dir) =>
+      GraphOps.labelPropagation(
+          supplyEdges(s, dir, quantityCap = Some(1.0), partStratum = Some(7)),
+          rounds = 8)
+        .orderBy("node")),
+
+    // B14 (r9): weighted hop-bounded shortest path (GDS Dijkstra with
+    // a cost property, VERDICT r8 #4) — min path COST within ≤ 4
+    // hops from suppliers {1, 2}, edge cost = cheapest contributing
+    // lineitem in integer CENTS (integer min-aggregation: relaxation
+    // can't diverge on a float ulp). Delta-relaxation Bellman-Ford
+    // (GraphOps.ssspBounded): a cheap 3-hop path beats an expensive
+    // 1-hop one — the case hop-BFS (B10) cannot express.
+    "graph_sssp" -> ((s, dir) => {
+      val we = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 1)
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((-col("l_suppkey")).as("a"), col("o_custkey").as("b"),
+          round(col("l_extendedprice") * 100).cast("long").as("wc"))
+        .groupBy("a", "b").agg(min(col("wc")).as("w"))
+      GraphOps.ssspBounded(we, seeds = Seq(-1L, -2L), maxHops = 4)
+        .orderBy("node")
+    }),
+
+    // B15 (r9): PageRank in the DIRECTED (GDS NATURAL) orientation
+    // with dangling-mass redistribution (VERDICT r8 #8). The supply
+    // graph directed supplier→customer makes every customer a pure
+    // sink — the exact shape where dropping dangling mass leaks rank
+    // (here ~94% of nodes are sinks); Dₜ is one 1-row aggregate per
+    // round, broadcast back via the scalar-crossJoin shape. Output
+    // scaled rank·N like B7; 6dp absorbs sum-order ulps.
+    "graph_pagerank_directed" -> ((s, dir) => {
+      val (pr, n) = GraphOps.pageRankDirectedWithN(
+        supplyEdges(s, dir), iters = 3)
+      pr.select(col("node"),
+          round(col("rank") * lit(n), 6).as("rank_x_n"))
+        .orderBy("node")
+    })
   )
 
   // Shared oracle fragment: the namespaced supply edge list (directed
@@ -260,6 +327,46 @@ object GraphQueries extends QueryPack {
             UNION ALL SELECT u.b AS node, $i AS dist
             FROM und u JOIN d${i - 1} p ON u.a = p.node) x GROUP BY node)"""
 
+  // One synchronous LPA round: argmax neighbor label by (count desc,
+  // label asc) — the exact twin of the operator's min(struct(-cnt,
+  // label)). MATERIALIZED (referenced by the next round).
+  private def lpaIter(i: Int) =
+    s"""lp$i AS MATERIALIZED (SELECT node, l AS label FROM (
+           SELECT u.b AS node, p.label AS l, count(*) AS c,
+                  row_number() OVER (PARTITION BY u.b
+                    ORDER BY count(*) DESC, p.label) AS rk
+           FROM und u JOIN lp${i - 1} p ON u.a = p.node
+           GROUP BY u.b, p.label) WHERE rk = 1)"""
+
+  // One Bellman-Ford round over the weighted symmetric relation:
+  // expand everything settled, keep min cost (full relax — the
+  // operator's delta-frontier form reaches the identical d_h).
+  private def ssspIter(i: Int) =
+    s"""c$i AS MATERIALIZED (SELECT node, min(cost) AS cost FROM
+           (SELECT node, cost FROM c${i - 1}
+            UNION ALL SELECT u.b AS node, p.cost + u.w AS cost
+            FROM undw u JOIN c${i - 1} p ON u.a = p.node) x GROUP BY node)"""
+
+  // One directed-PageRank round with the dangling term: g$i is the
+  // scalar dangling mass of the previous round; contributions ride a
+  // LEFT join so in-edge-free nodes keep the teleport + dangling
+  // share. Arithmetic structured EXACTLY as the Spark expression:
+  // k1 + 0.85·(s + dm/N), doubles throughout (e-notation literals).
+  private def prDirIter(i: Int) =
+    s"""g$i AS (SELECT coalesce(sum(r.rank), 0e0) AS dm
+           FROM r${i - 1} r LEFT JOIN od ON r.node = od.a
+           WHERE od.a IS NULL),
+        r$i AS MATERIALIZED (SELECT n.node,
+           (SELECT (1 - 0.85e0) / cnt FROM nn) + 0.85e0 *
+             (coalesce(c.s, 0e0) +
+              (SELECT dm FROM g$i) / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+             AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.b AS node, sum(r.rank / od.outd) AS s
+             FROM e0 e JOIN r${i - 1} r ON e.a = r.node
+                       JOIN od ON e.a = od.a
+             GROUP BY e.b) c ON n.node = c.node)"""
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" ->
       s"""WITH ${edgeSql("")},
@@ -300,6 +407,65 @@ object GraphQueries extends QueryPack {
                                        (CAST(-2 AS BIGINT), 0)) t(node, dist)),
           ${(1 to 3).map(bfsIter).mkString(",\n")}
           SELECT node, dist FROM d3 ORDER BY node""",
+    "graph_triangles" ->
+      """WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             FROM lineitem x JOIN lineitem y
+               ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             WHERE x.l_quantity <= 25 AND y.l_quantity <= 25),
+          deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
+             (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+          orient AS MATERIALIZED (
+             SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                         THEN e0.a ELSE e0.b END AS u,
+                    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                         THEN e0.b ELSE e0.a END AS v,
+                    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                         THEN db.d ELSE da.d END AS dv
+             FROM e0 JOIN deg da ON e0.a = da.n JOIN deg db ON e0.b = db.n),
+          tri AS (SELECT x.u AS tu, x.v AS tv, y.v AS tw
+                  FROM orient x JOIN orient y ON x.u = y.u
+                    AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+                  JOIN orient o ON x.v = o.u AND y.v = o.v),
+          tc AS (SELECT n, count(*) AS t FROM
+             (SELECT tu AS n FROM tri UNION ALL SELECT tv FROM tri
+              UNION ALL SELECT tw FROM tri) GROUP BY n)
+          SELECT deg.n AS node, deg.d AS deg,
+                 coalesce(tc.t, 0) AS triangles,
+                 CASE WHEN deg.d >= 2 THEN
+                   round(2e0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 6)
+                 ELSE 0e0 END AS lcc
+          FROM deg LEFT JOIN tc ON deg.n = tc.n ORDER BY node""",
+    "graph_lpa" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
+          lp0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+          ${(1 to 8).map(lpaIter).mkString(",\n")}
+          SELECT node, label FROM lp8 ORDER BY node""",
+    "graph_sssp" ->
+      s"""WITH we AS (SELECT -l_suppkey AS a, o_custkey AS b,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_quantity <= 1 GROUP BY 1, 2),
+          undw AS MATERIALIZED (SELECT a, b, min(w) AS w FROM
+             (SELECT a, b, w FROM we UNION ALL SELECT b, a, w FROM we)
+             WHERE a <> b GROUP BY a, b),
+          c0 AS (SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+                                       (CAST(-2 AS BIGINT), CAST(0 AS BIGINT)))
+                 t(node, cost)),
+          ${(1 to 4).map(ssspIter).mkString(",\n")}
+          SELECT node, cost FROM c4 ORDER BY node""",
+    "graph_pagerank_directed" ->
+      s"""WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+          nn AS (SELECT count(*) AS cnt FROM nodes),
+          od AS MATERIALIZED (SELECT a, count(*) AS outd FROM e0 GROUP BY a),
+          r0 AS (SELECT node, 1.0e0 / cnt AS rank FROM nodes, nn),
+          ${(1 to 3).map(prDirIter).mkString(",\n")}
+          SELECT node, round(rank * (SELECT cnt FROM nn), 6) AS rank_x_n
+          FROM r3 ORDER BY node""",
     "graph_degree" ->
       """SELECT o_custkey AS node_id, count(*) AS out_degree, round(sum(o_totalprice), 4) AS weight
          FROM orders GROUP BY o_custkey ORDER BY node_id""",

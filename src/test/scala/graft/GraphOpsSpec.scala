@@ -131,6 +131,105 @@ class GraphOpsSpec extends SparkSpec {
     assert(d0.toSeq == Seq((1L, 0)))
   }
 
+  test("triangleCounts: hand-counted triangles and clustering coefficients") {
+    // triangle 1-2-3 with pendant edge 3-4 (canonical a < b form)
+    val t = GraphOps.triangleCounts(
+      edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(t(1L) == ((2L, 1L, 1.0)))
+    assert(t(2L) == ((2L, 1L, 1.0)))
+    assert(t(3L) == ((3L, 1L, 0.333333))) // 2·1/(3·2)
+    assert(t(4L) == ((1L, 0L, 0.0)))      // deg 1 cannot close a wedge
+  }
+
+  test("triangleCounts: K4 finds every triangle once per node") {
+    // K4 has 4 triangles; every node sits in exactly 3, lcc = 1
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t = GraphOps.triangleCounts(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(t.length == 4)
+    t.foreach { case (n, d, tr, l) =>
+      assert(d == 3L && tr == 3L && l == 1.0, s"node $n: ($d, $tr, $l)") }
+    // a path is triangle-free
+    val p = GraphOps.triangleCounts(edges((1L, 2L), (2L, 3L), (3L, 4L)))
+      .collect().map(_.getLong(2)).sum
+    assert(p == 0L)
+  }
+
+  test("triangleCounts is partitioning-invariant") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val a = GraphOps.triangleCounts(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = GraphOps.triangleCounts(g.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("labelPropagation: triangle converges to min label, sync pair 2-cycles") {
+    // triangle {1,2,3}: r1 = (2,1,1) [node 1 ties {2,3} → min 2],
+    // r2 = (1,1,1), stable after — rounds ≥ 2 give all-1
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    for (k <- Seq(2, 4)) {
+      val l = GraphOps.labelPropagation(tri, rounds = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"rounds=$k got $l")
+    }
+    // isolated pair {10,11}: synchronous LPA swaps labels every round
+    // (the 2-cycle the fixed-round contract exists for) — even round
+    // counts return to own labels, odd counts are swapped
+    val even = GraphOps.labelPropagation(edges((10L, 11L)), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(10L -> 10L, 11L -> 11L))
+    val odd = GraphOps.labelPropagation(edges((10L, 11L)), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(10L -> 11L, 11L -> 10L))
+  }
+
+  test("ssspBounded: cheap long path beats expensive short path") {
+    val s = spark
+    import s.implicits._
+    // 1→4 costs 100 directly; 1→2→3→4 costs 3
+    val w = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    def run(h: Int) = GraphOps.ssspBounded(w, seeds = Seq(1L), maxHops = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // within 1 hop the expensive edge is the only route
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 100L))
+    // 2 hops cannot finish the cheap route — expensive still wins
+    assert(run(2)(4L) == 100L)
+    // parallel edges collapse to the min weight
+    val multi = Seq((1L, 2L, 9L), (1L, 2L, 4L)).toDF("a", "b", "w")
+    assert(GraphOps.ssspBounded(multi, Seq(1L), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 0L, 2L -> 4L))
+  }
+
+  test("pageRankDirected: dangling mass is redistributed, total rank stays 1") {
+    val s = spark
+    import s.implicits._
+    // 1→2, 1→3, 2→3: node 3 is a pure sink holding 1/3 of the mass
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    for (k <- Seq(1, 3, 5)) {
+      val (pr, n) = GraphOps.pageRankDirectedWithN(e, iters = k)
+      assert(n == 3L)
+      val r = pr.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(math.abs(r.values.sum - 1.0) < 1e-9,
+        s"iters=$k mass=${r.values.sum} — dangling mass leaked")
+    }
+    // hand arithmetic, 1 iteration: D₀ = 1/3,
+    //   r(1) = 0.05 + 0.85·(0   + 1/9) = 0.1444...,
+    //   r(2) = 0.05 + 0.85·(1/6 + 1/9),
+    //   r(3) = 0.05 + 0.85·(1/6 + 1/3 + 1/9)
+    val (pr1, _) = GraphOps.pageRankDirectedWithN(e, iters = 1)
+    val r1 = pr1.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r1(1L) - (0.05 + 0.85 / 9)) < 1e-12)
+    assert(math.abs(r1(2L) - (0.05 + 0.85 * (1.0 / 6 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1(3L) - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
+  }
+
   test("nodeSimilarity ordering key is integer-stable under ties") {
     val s = spark
     import s.implicits._
