@@ -65,6 +65,21 @@ object Plans {
         graft.operators.Similarity.lshTopK(
           Tables.load(s, d, "embeddings"), "vec_id", "embedding",
           tables = Some(16), bits = Some(4)).orderBy("q_id", "rk")),
+      // pinned to the POSTING pair-generation shape (cutover forced
+      // to 0): at sf0.01 the cost-based selector correctly keeps the
+      // small-graph self-join, but the plan a 100× graph executes is
+      // the posting one — the audit point is the partial HashAggregate
+      // sitting directly over the pair Generate, BEFORE the exchange
+      "graph_node_similarity" -> ((s, d) =>
+        graft.operators.GraphOps.nodeSimilarity(
+          Tables.load(s, d, "lineitem")
+            .join(Tables.load(s, d, "orders"),
+              org.apache.spark.sql.functions.col("l_orderkey") ===
+                org.apache.spark.sql.functions.col("o_orderkey"))
+            .select(org.apache.spark.sql.functions.col("l_suppkey"),
+              org.apache.spark.sql.functions.col("o_custkey")),
+          entity = "l_suppkey", feature = "o_custkey",
+          featCap = 500L, topK = 20, postingCutover = 0L)),
       // the daily-ingest exact screen: the audit point is the ABSENCE
       // of Exchange/Join — history rides the plan as a filter literal
       "dedup_bloom_screen" -> ((s, d) => {
@@ -79,6 +94,10 @@ object Plans {
           "text", p).filter(!col("maybe_dup"))
       }))
     val pinnedNote: Map[String, String] = Map(
+      "graph_node_similarity" -> (" (pinned postingCutover=0 — the " +
+        "posting-array pair-generation SHAPE a 100× graph executes; " +
+        "the sf0.01 driver entry cost-selects the small-graph " +
+        "self-join)"),
       "dedup_embedding_lsh" -> (" (pinned tables=16 bits=4 — the bucketed " +
         "plan SHAPE; auto mode scales bits/tables with the corpus and " +
         "the sf0.01 driver entry cost-falls-back to exact)"),

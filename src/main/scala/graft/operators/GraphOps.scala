@@ -411,10 +411,21 @@ object GraphOps {
     *      not pair-occurrence volume. Measured at the 100× pack:
     *      1.28 G pair occurrences → ~50 M exchanged rows.
     *
+    * COST-BASED CUTOVER (the LSH auto-mode precedent): below
+    * `postingCutover` capped edges the posting path's fixed costs
+    * (the collect_list object aggregate + the generator stages)
+    * exceed what the shuffle saves — a small graph's pair stream fits
+    * one exchange comfortably — so the operator keeps the plain
+    * feature-key self-join there and switches to the posting shape
+    * above it. The selector is a ROW COUNT (deterministic, never a
+    * timing), the capped relation is persisted and needed by both
+    * paths, and both paths compute the identical exact result.
+    *
     * Output: (e1, e2, inter, union_sz, jaccard, sim_key) with e1 < e2.
     */
   def nodeSimilarity(edges: DataFrame, entity: String, feature: String,
-                     featCap: Long, topK: Int): DataFrame = {
+                     featCap: Long, topK: Int,
+                     postingCutover: Long = 2000000L): DataFrame = {
     val ef = edges.select(col(entity).as("e"), col(feature).as("f")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val okFeat = ef.groupBy("f").agg(count(lit(1)).as("dfreq"))
@@ -422,21 +433,32 @@ object GraphOps {
       .select("f")
     val capped = ef.join(okFeat, "f").persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.groupBy("e").agg(count(lit(1)).as("sz"))
-    // per-feature sorted posting array; singleton lists emit no pairs
-    val posting = capped.groupBy("f")
-      .agg(sort_array(collect_list(col("e"))).as("es"))
-      .filter(size(col("es")) >= 2)
-      .withColumn("pkey", element_at(col("es"), 1))
-      .repartitionByRange(col("pkey"))
-    // all C(d,2) ordered pairs of a sorted array: element i with every
-    // later element — ascending order makes e1 < e2 structural
-    val pairArr = flatten(transform(col("es"), (x, i) =>
-      transform(slice(col("es"), i + lit(2), size(col("es")) - i - lit(1)),
-        y => struct(x.as("e1"), y.as("e2")))))
-    val pairs = posting
-      .select(explode(pairArr).as("p"))
-      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
-      .agg(count(lit(1)).as("inter"))
+    val nEdges = capped.count() // materializes the shared cache anyway
+    val pairs = if (nEdges <= postingCutover) {
+      capped.as("x")
+        .join(capped.as("y"),
+          col("x.f") === col("y.f") && col("x.e") < col("y.e"))
+        .groupBy(col("x.e").as("e1"), col("y.e").as("e2"))
+        .agg(count(lit(1)).as("inter"))
+    } else {
+      // per-feature sorted posting array; singleton lists emit no
+      // pairs. Pair explode as two chained generators (posexplode +
+      // slice-explode — codegen'd; the flatten∘transform∘transform
+      // HOF form builds the same pairs through interpreted lambdas,
+      // measured 2× slower); ascending order makes e1 < e2 structural
+      val posting = capped.groupBy("f")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .filter(size(col("es")) >= 2)
+        .withColumn("pkey", element_at(col("es"), 1))
+        .repartitionByRange(col("pkey"))
+      posting
+        .select(posexplode(col("es")).as(Seq("i", "e1")), col("es"))
+        .select(col("e1"),
+          explode(slice(col("es"), col("i") + lit(2),
+            size(col("es")) - col("i") - lit(1))).as("e2"))
+        .groupBy("e1", "e2")
+        .agg(count(lit(1)).as("inter"))
+    }
     pairs
       .join(sizes.select(col("e").as("e1"), col("sz").as("sz1")), "e1")
       .join(sizes.select(col("e").as("e2"), col("sz").as("sz2")), "e2")

@@ -230,6 +230,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r1(3L) - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
   }
 
+  test("nodeSimilarity: posting path and self-join path agree exactly") {
+    val s = spark
+    import s.implicits._
+    // a graph with overlap structure + a capped-out hot feature —
+    // forcing postingCutover = 0 exercises the posting/explode shape
+    // on data the default path handles via the self-join; both must
+    // produce the identical exact table (differential pin for the
+    // cost-based cutover)
+    val ef = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 30L), (3L, 50L), (4L, 10L), (4L, 30L), (4L, 50L),
+      (1L, 40L), (2L, 40L), (3L, 40L), (4L, 40L)).toDF("e", "f")
+    val viaJoin = GraphOps.nodeSimilarity(ef, "e", "f",
+      featCap = 3L, topK = 100).collect().map(_.toSeq).toSeq
+    val viaPosting = GraphOps.nodeSimilarity(ef, "e", "f",
+      featCap = 3L, topK = 100, postingCutover = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaJoin == viaPosting)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("nodeSimilarity ordering key is integer-stable under ties") {
     val s = spark
     import s.implicits._
