@@ -29,6 +29,18 @@ object Bench {
     // measurement (the codegen cache is bounded; a whole-suite warmup
     // pass evicts its own entries).
     var errors = List.empty[(String, String)]
+    // Execute the query's OWN physical plan and drain it distributed
+    // (no driver collect). NOT `df.count()`: that re-plans with an
+    // Aggregate on top, and Catalyst's unique-key outer-join
+    // elimination then DROPS whole operator branches whose columns a
+    // count doesn't need — measured r9: 13 entries lost joins under
+    // count() (worst: graph_triangles' entire triangle phase — its
+    // "timed" plan was a cached degree table; text_repetition's
+    // bigram half; one round of the directed-PageRank/HITS loops).
+    // toRdd executes the full result: every join, projection, and the
+    // final ordering — the work the operator actually claims.
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // SPARK_GRAFT_ONLY=a,b,c — time only the named queries (local
     // iteration aid; the driver never sets it, so round benches still
     // cover the full pack)
@@ -37,7 +49,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       // min of two timed runs: single-run numbers on a 32-thread local
       // JVM carry multi-second GC/cleaner noise that would read as
       // phantom regressions round-over-round
@@ -47,7 +59,7 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { exec(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
@@ -67,7 +79,7 @@ object Bench {
           // only append on success — a failed re-run's near-zero
           // time-to-exception would otherwise become the reported min,
           // the exact hazard the no-timing-row-on-error rule exists for
-          val ok = try { fn(spark, sfDir).count(); true }
+          val ok = try { exec(fn(spark, sfDir)); true }
                    catch { case _: Throwable => false }
           if (ok) times :+ (System.nanoTime() - t0) / 1e9 else times
         } else times

@@ -374,6 +374,51 @@ object GraphOps {
     (ranks, n)
   }
 
+  /** HITS hubs-and-authorities (Neo4j GDS `alpha.hits`) with a FIXED
+    * iteration count and L1 normalization — the directed complement
+    * to PageRank: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
+    * authority(v), each vector rescaled to sum 1 after its half-step
+    * (the scalar rides a 1-row aggregate broadcast back via the
+    * scalar-crossJoin shape — same discipline as the dangling term in
+    * [[pageRankDirectedWithN]]). Nodes without in-edges hold
+    * authority 0 (and sources hub 0) via left joins, so the output
+    * covers EVERY node. Fixed rounds keep the recurrence a pure
+    * function of the edge list for the oracle replay; 6dp output
+    * rounding (callers) absorbs sum-order ulps exactly as PageRank's
+    * does — normalization divides by a global sum, which preserves
+    * relative error at the ulp level.
+    *
+    * Returns ((node, hub, auth), N).
+    */
+  def hitsWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e0 = edges.select(col("a"), col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar collect — model-fit class
+    var hub = nodes.withColumn("h", lit(1.0 / n))
+    var auth = nodes.withColumn("x", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val aRaw = e0.join(hub, col("a") === col("node"))
+        .groupBy(col("b")).agg(sum(col("h")).as("xr"))
+      val aNorm = aRaw.agg(sum(col("xr")).as("xs"))
+      auth = nodes.join(aRaw, col("node") === col("b"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("node"),
+          (coalesce(col("xr"), lit(0.0)) / col("xs")).as("x"))
+      val hRaw = e0.join(auth, col("b") === col("node"))
+        .groupBy(col("a")).agg(sum(col("x")).as("hr"))
+      val hNorm = hRaw.agg(sum(col("hr")).as("hs"))
+      hub = nodes.join(hRaw, col("node") === col("a"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("node"),
+          (coalesce(col("hr"), lit(0.0)) / col("hs")).as("h"))
+    }
+    (hub.join(auth, "node").select(col("node"), col("h"), col("x")), n)
+  }
+
   /** Node similarity (Neo4j GDS `nodeSimilarity` analog): top-k entity
     * pairs by Jaccard similarity of their feature/neighbor sets, from
     * a bipartite (entity, feature) edge list, with the two-pass degree

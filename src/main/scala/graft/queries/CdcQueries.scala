@@ -673,6 +673,29 @@ object CdcQueries extends QueryPack {
     // here: a series that long needs the exponent rebased in segments,
     // not a quiet garbage answer — ADVICE r8). Two window sums over
     // the already-collapsed |types × days| rollup.
+    // entropy() analog (r9): Shannon entropy of each event type's
+    // USER distribution — the ClickHouse entropy aggregate, the
+    // standard concentration diagnostic (uniform traffic → ln(users);
+    // one bot user → ~0). Two-level exact aggregation: counts per
+    // (type, user), then H = ln(n) − Σ c·ln(c) / n in ONE hash-agg —
+    // no window, no collect. Natural log on both engines (the
+    // text_unigram_ppl parity precedent), 4dp rounding absorbs libm +
+    // sum-order ulps.
+    "cdc_user_entropy" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).cast("long").as("n_users"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("slc"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          col("n_users"),
+          round(log(col("n").cast("double")) - col("slc") / col("n"), 4)
+            .as("entropy_nats"))
+        .orderBy("event_type")),
+
     "cdc_value_ema" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.load(s, dir, "events")
@@ -1218,6 +1241,15 @@ object CdcQueries extends QueryPack {
     // pow(2e0, …/7e0): e-notation forces DOUBLE literals (DuckDB's
     // bare decimals are DECIMAL-typed, whose division would diverge
     // from Spark's double arithmetic at the ulp level).
+    "cdc_user_entropy" ->
+      """WITH uc AS (SELECT event_type, user_id, count(*) AS c
+                     FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_users,
+                round(ln(CAST(sum(c) AS DOUBLE)) -
+                      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c),
+                      4) AS entropy_nats
+         FROM uc GROUP BY event_type ORDER BY event_type""",
     "cdc_value_ema" ->
       """WITH daily AS (SELECT event_type,
                                CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,

@@ -263,6 +263,20 @@ object GraphQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // B16 (r9): HITS hubs/authorities (GDS alpha.hits) — the directed
+    // complement to PageRank on the supplier→customer graph: suppliers
+    // score as hubs, customers as authorities. Fixed 3 rounds, L1
+    // normalization per half-step (1-row aggregate broadcast — the
+    // scalar-crossJoin shape); output scaled ×N like B7/B15 so 6dp
+    // keeps discriminating power at any node count.
+    "graph_hits" -> ((s, dir) => {
+      val (ha, n) = GraphOps.hitsWithN(supplyEdges(s, dir), iters = 3)
+      ha.select(col("node"),
+          round(col("h") * lit(n), 6).as("hub_x_n"),
+          round(col("x") * lit(n), 6).as("auth_x_n"))
+        .orderBy("node")
+    }),
+
     // B15 (r9): PageRank in the DIRECTED (GDS NATURAL) orientation
     // with dangling-mass redistribution (VERDICT r8 #8). The supply
     // graph directed supplier→customer makes every customer a pure
@@ -367,7 +381,37 @@ object GraphQueries extends QueryPack {
                        JOIN od ON e.a = od.a
              GROUP BY e.b) c ON n.node = c.node)"""
 
+  // One HITS round: authority half-step (raw sums → L1 scalar →
+  // normalized full-node table), then the hub half-step from the NEW
+  // authorities — the exact operator recurrence. a$i/h$i MATERIALIZED
+  // (each feeds the next half-step AND the final projection).
+  private def hitsIter(i: Int) =
+    s"""ar$i AS (SELECT e.b AS node, sum(h.h) AS xr
+           FROM e0 e JOIN h${i - 1} h ON e.a = h.node GROUP BY e.b),
+        ans$i AS (SELECT sum(xr) AS xs FROM ar$i),
+        a$i AS MATERIALIZED (SELECT n.node,
+           coalesce(ar.xr, 0e0) / (SELECT xs FROM ans$i) AS x
+           FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node),
+        hr$i AS (SELECT e.a AS node, sum(a.x) AS hr
+           FROM e0 e JOIN a$i a ON e.b = a.node GROUP BY e.a),
+        hns$i AS (SELECT sum(hr) AS hs FROM hr$i),
+        h$i AS MATERIALIZED (SELECT n.node,
+           coalesce(hr.hr, 0e0) / (SELECT hs FROM hns$i) AS h
+           FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)"""
+
   val oracles: Map[String, String] = Map(
+    "graph_hits" ->
+      s"""WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+          nn AS (SELECT count(*) AS cnt FROM nodes),
+          h0 AS (SELECT node, 1.0e0 / cnt AS h FROM nodes, nn),
+          ${(1 to 3).map(hitsIter).mkString(",\n")}
+          SELECT h.node, round(h.h * (SELECT cnt FROM nn), 6) AS hub_x_n,
+                 round(a.x * (SELECT cnt FROM nn), 6) AS auth_x_n
+          FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY h.node""",
     "graph_pagerank" ->
       s"""WITH ${edgeSql("")},
           deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),

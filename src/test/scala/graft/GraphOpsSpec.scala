@@ -230,6 +230,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r1(3L) - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
   }
 
+  test("hits: hand arithmetic on the 2-path, L1 mass, hub/auth split") {
+    val s = spark
+    import s.implicits._
+    // 1→2→3: the fixpoint (reached after round 1) is
+    //   auth = (0, 1/2, 1/2), hub = (1/2, 1/2, 0)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    for (k <- Seq(1, 3)) {
+      val (ha, n) = GraphOps.hitsWithN(e, iters = k)
+      assert(n == 3L)
+      val m = ha.collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(math.abs(m(1L)._1 - 0.5) < 1e-12 && m(1L)._2 == 0.0, s"k=$k $m")
+      assert(math.abs(m(2L)._1 - 0.5) < 1e-12 &&
+        math.abs(m(2L)._2 - 0.5) < 1e-12)
+      assert(m(3L)._1 == 0.0 && math.abs(m(3L)._2 - 0.5) < 1e-12)
+      // each vector carries L1 mass 1
+      assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-12)
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12)
+    }
+    // co-citation: 1→3, 2→3 — node 3 is the sole authority, the two
+    // sources split hub mass evenly
+    val (ha2, _) = GraphOps.hitsWithN(Seq((1L, 3L), (2L, 3L)).toDF("a", "b"),
+      iters = 2)
+    val m2 = ha2.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m2(3L)._2 == 1.0 && m2(3L)._1 == 0.0)
+    assert(math.abs(m2(1L)._1 - 0.5) < 1e-12 && m2(1L)._2 == 0.0)
+  }
+
   test("nodeSimilarity: posting path and self-join path agree exactly") {
     val s = spark
     import s.implicits._
