@@ -46,7 +46,8 @@ object Plans {
       "cdc_active_time", "cdc_value_stats", "cdc_funnel_strict_order",
       "cdc_monthly_totals",
       "graph_pagerank", "graph_node_similarity", "graph_triangles",
-      "graph_lpa", "graph_sssp", "graph_pagerank_directed",
+      "graph_lpa", "graph_sssp", "graph_pagerank_directed", "graph_hits",
+      "cdc_user_entropy",
       "cdc_history_scd2", "cdc_path_counts", "cdc_value_ema", "cdc_lttb",
       "text_chunks", "sample_temperature")
     // the LSH entries are PINNED to their bucketed operating point

@@ -22,18 +22,25 @@ import org.apache.spark.storage.StorageLevel
   * pinning, each round re-runs the upstream edge derivation — the
   * repo-wide caching stance, docs/SCALE.md).
   *
-  * CACHE LIFETIME (ADVICE r8): the persisted relations (edge lists,
-  * degrees, capped feature lists) stay referenced by the RETURNED
-  * lazy plan, so the operator cannot unpersist them itself without
-  * forcing execution — cleanup is CALLER-OWNED, same contract as the
-  * sketch operators (docs/SCALE.md "caching stance"): they are
-  * plan-keyed in the CacheManager (repeat builds share one copy) and
-  * a long-lived session reclaims them with
-  * `spark.catalog.clearCache()` once results are materialized.
-  * Loop-scoped `localCheckpoint` rounds are NOT in that cache — the
-  * ContextCleaner reclaims each round's checkpoint as soon as the
-  * next round drops the reference, so live checkpoint state is
-  * bounded by one round regardless of iteration count.
+  * CACHE LIFETIME (ADVICE r8, tightened r9): LOOP-INVARIANT
+  * relations (the symmetrized edge list, per-node degrees, the node
+  * table) are `localCheckpoint`ed, not persisted — a CacheManager
+  * entry is evictable under storage pressure, and an evicted loop
+  * relation silently re-derives its whole upstream join once per
+  * round (measured: suite-level cache pressure at the 100× pack
+  * turned 8-round LPA from 6 s into 31 s); a local checkpoint is
+  * disk-backed, eviction-immune, and reclaimed by the ContextCleaner
+  * as soon as the caller releases the result — no session-lifetime
+  * accumulation. The remaining `persist` calls are
+  * CONSTRUCTION-SCOPED derivations consumed while the operator
+  * builds (e.g. `und` feeding deg + withDeg, `capped` feeding
+  * sizes + posting); they are plan-keyed in the CacheManager and a
+  * long-lived session reclaims them with
+  * `spark.catalog.clearCache()` — the sketch-operator contract
+  * (docs/SCALE.md "caching stance"). Loop-SCOPED checkpoints (each
+  * round's state) are likewise GC-reclaimed when the next round
+  * drops the reference, so live state is bounded by one round at any
+  * iteration count.
   */
 object GraphOps {
 
@@ -83,8 +90,12 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // (a, b, deg(a)) — the join payload each round; deg is scale-free
     // per node so this adds one long to each cached edge row
-    val withDeg = und.join(deg, "a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-invariant: checkpointed, not persisted — a CacheManager
+    // entry is EVICTABLE, and an evicted loop relation re-derives the
+    // whole upstream join once per round (measured: the 100x suite's
+    // cache pressure turned 8-round LPA from 6 s into 31 s); a local
+    // checkpoint is disk-backed and immune
+    val withDeg = und.join(deg, "a").localCheckpoint()
     val n = deg.count() // scalar collect
     var ranks = deg.select(col("a").as("node"))
       .withColumn("rank", lit(1.0 / n))
@@ -117,7 +128,7 @@ object GraphOps {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).localCheckpoint() // loop-invariant
     var settled = seeds.toDF("node").withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = settled
@@ -150,7 +161,7 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).localCheckpoint() // loop-invariant
     var s = und.select(col("a").as("n")).distinct().localCheckpoint()
     var prev = -1L
     var n = s.count()
@@ -257,7 +268,7 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).localCheckpoint() // loop-invariant
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -298,7 +309,7 @@ object GraphOps {
       .union(wEdges.select(col("b").as("a"), col("a").as("b"), col("w")))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // loop-invariant
     var settled = seeds.toDF("node").withColumn("cost", lit(0L))
       .localCheckpoint()
     var frontier = settled
@@ -348,14 +359,15 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // loop-invariant (left-joined every round)
     val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
-    // (a, b, out(a)) — loop-invariant join payload, pinned once
-    val withOut = e0.join(outdeg, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    // (a, b, out(a)) — loop-invariant join payload, pinned once;
+    // checkpointed for eviction immunity (see pageRankWithN note)
+    val withOut = e0.join(outdeg, "a").localCheckpoint()
     // dangling = nodes with no out-edge (pure sinks)
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // loop-invariant
     val n = nodes.count() // scalar collect — model-fit class
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -388,15 +400,22 @@ object GraphOps {
     * does — normalization divides by a global sum, which preserves
     * relative error at the ulp level.
     *
+    * localCheckpoint per half-step (the iterative-lineage
+    * discipline): each half-step references the previous vector
+    * TWICE (propagation + normalization), so the lazy tree DOUBLES
+    * per half-step — 2^(2·iters) subtree copies by round 3 (measured
+    * 377 logical joins, and a stage-materialization failure at the
+    * 100× pack) without truncation, 6 bounded plans with it.
+    *
     * Returns ((node, hub, auth), N).
     */
   def hitsWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e0 = edges.select(col("a"), col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // loop-invariant (joined every half-step)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // loop-invariant (left-joined every half-step)
     val n = nodes.count() // scalar collect — model-fit class
     var hub = nodes.withColumn("h", lit(1.0 / n))
     var auth = nodes.withColumn("x", lit(1.0 / n))
@@ -408,6 +427,7 @@ object GraphOps {
         .crossJoin(broadcast(aNorm))
         .select(col("node"),
           (coalesce(col("xr"), lit(0.0)) / col("xs")).as("x"))
+        .localCheckpoint()
       val hRaw = e0.join(auth, col("b") === col("node"))
         .groupBy(col("a")).agg(sum(col("x")).as("hr"))
       val hNorm = hRaw.agg(sum(col("hr")).as("hs"))
@@ -415,6 +435,7 @@ object GraphOps {
         .crossJoin(broadcast(hNorm))
         .select(col("node"),
           (coalesce(col("hr"), lit(0.0)) / col("hs")).as("h"))
+        .localCheckpoint()
     }
     (hub.join(auth, "node").select(col("node"), col("h"), col("x")), n)
   }
