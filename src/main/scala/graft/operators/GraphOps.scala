@@ -22,25 +22,26 @@ import org.apache.spark.storage.StorageLevel
   * pinning, each round re-runs the upstream edge derivation — the
   * repo-wide caching stance, docs/SCALE.md).
   *
-  * CACHE LIFETIME (ADVICE r8, tightened r9): LOOP-INVARIANT
-  * relations (the symmetrized edge list, per-node degrees, the node
-  * table) are `localCheckpoint`ed, not persisted — a CacheManager
-  * entry is evictable under storage pressure, and an evicted loop
-  * relation silently re-derives its whole upstream join once per
-  * round (measured: suite-level cache pressure at the 100× pack
-  * turned 8-round LPA from 6 s into 31 s); a local checkpoint is
-  * disk-backed, eviction-immune, and reclaimed by the ContextCleaner
-  * as soon as the caller releases the result — no session-lifetime
-  * accumulation. The remaining `persist` calls are
-  * CONSTRUCTION-SCOPED derivations consumed while the operator
-  * builds (e.g. `und` feeding deg + withDeg, `capped` feeding
-  * sizes + posting); they are plan-keyed in the CacheManager and a
-  * long-lived session reclaims them with
-  * `spark.catalog.clearCache()` — the sketch-operator contract
-  * (docs/SCALE.md "caching stance"). Loop-SCOPED checkpoints (each
-  * round's state) are likewise GC-reclaimed when the next round
-  * drops the reference, so live state is bounded by one round at any
-  * iteration count.
+  * CACHE LIFETIME (ADVICE r8; split tested both ways in r9):
+  * LOOP-INVARIANT relations (edge lists, degrees, node tables) use
+  * `persist(MEMORY_AND_DISK)` — with a disk-backed level, memory
+  * eviction SPILLS the blocks, it does not trigger recompute, and
+  * plan-keyed CacheManager entries are shared across repeated builds
+  * of the same graph (an r9 experiment that localCheckpoint'ed these
+  * instead paid the full invariant materialization on every
+  * execution — 4-6× on the 100× full-supply-graph entries — for no
+  * robustness gain, and was reverted). Cleanup of these entries is
+  * CALLER-OWNED, the sketch-operator contract (docs/SCALE.md
+  * "caching stance"): a long-lived session reclaims them with
+  * `spark.catalog.clearCache()` once results are materialized; the
+  * operator itself cannot unpersist them without forcing execution,
+  * since the returned lazy plan still references them. LOOP-SCOPED
+  * STATE (each round's ranks/labels/frontier, and the HITS vectors
+  * whose lazy tree otherwise doubles per half-step) is
+  * `localCheckpoint`ed — lineage truncation is what iterative plans
+  * need, and the ContextCleaner reclaims each round's checkpoint as
+  * soon as the next round drops the reference, so live checkpoint
+  * state is bounded by one round at any iteration count.
   */
 object GraphOps {
 
@@ -90,12 +91,8 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // (a, b, deg(a)) — the join payload each round; deg is scale-free
     // per node so this adds one long to each cached edge row
-    // loop-invariant: checkpointed, not persisted — a CacheManager
-    // entry is EVICTABLE, and an evicted loop relation re-derives the
-    // whole upstream join once per round (measured: the 100x suite's
-    // cache pressure turned 8-round LPA from 6 s into 31 s); a local
-    // checkpoint is disk-backed and immune
-    val withDeg = und.join(deg, "a").localCheckpoint()
+    val withDeg = und.join(deg, "a")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // scalar collect
     var ranks = deg.select(col("a").as("node"))
       .withColumn("rank", lit(1.0 / n))
@@ -128,7 +125,7 @@ object GraphOps {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = undirected(edges).localCheckpoint() // loop-invariant
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var settled = seeds.toDF("node").withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = settled
@@ -161,7 +158,7 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    val und = undirected(edges).localCheckpoint() // loop-invariant
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var s = und.select(col("a").as("n")).distinct().localCheckpoint()
     var prev = -1L
     var n = s.count()
@@ -268,7 +265,7 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
-    val und = undirected(edges).localCheckpoint() // loop-invariant
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -309,7 +306,7 @@ object GraphOps {
       .union(wEdges.select(col("b").as("a"), col("a").as("b"), col("w")))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .localCheckpoint() // loop-invariant
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var settled = seeds.toDF("node").withColumn("cost", lit(0L))
       .localCheckpoint()
     var frontier = settled
@@ -359,15 +356,14 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .localCheckpoint() // loop-invariant (left-joined every round)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
-    // (a, b, out(a)) — loop-invariant join payload, pinned once;
-    // checkpointed for eviction immunity (see pageRankWithN note)
-    val withOut = e0.join(outdeg, "a").localCheckpoint()
+    // (a, b, out(a)) — loop-invariant join payload, pinned once
+    val withOut = e0.join(outdeg, "a").persist(StorageLevel.MEMORY_AND_DISK)
     // dangling = nodes with no out-edge (pure sinks)
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
-      .localCheckpoint() // loop-invariant
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar collect — model-fit class
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -412,10 +408,10 @@ object GraphOps {
   def hitsWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e0 = edges.select(col("a"), col("b")).distinct()
-      .localCheckpoint() // loop-invariant (joined every half-step)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .localCheckpoint() // loop-invariant (left-joined every half-step)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar collect — model-fit class
     var hub = nodes.withColumn("h", lit(1.0 / n))
     var auth = nodes.withColumn("x", lit(1.0 / n))
