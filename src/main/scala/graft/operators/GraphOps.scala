@@ -204,8 +204,41 @@ object GraphOps {
     * — deg from the full undirected relation, triangles the number of
     * triangles through the node, lcc = 2T/(deg·(deg−1)) rounded 6dp
     * (0 for deg 1, which cannot close a wedge).
+    *
+    * WEDGE GENERATION (reworked r10 — VERDICT r9 #1, the same hazard
+    * class nodeSimilarity's r9 posting rework killed): the former
+    * orient⋈orient wedge self-join emitted the full Σ C(outdeg, 2)
+    * wedge stream INTO the closing join's exchange (240 M rows at the
+    * 100× pack — the dominant exchange, and pure occurrence volume).
+    * Above `adjCutover` canonical edges the operator instead:
+    *   1. builds per-node oriented ADJACENCY ARRAYS (one hash-agg of
+    *      the |E| oriented rows);
+    *   2. joins each oriented edge (u, v) to BOTH endpoint arrays and
+    *      intersects them (`array_intersect` — hash-set codegen;
+    *      arrays are duplicate-free so set semantics are exact):
+    *      every w ∈ N⁺(u) ∩ N⁺(v) closes the triangle {u, v, w},
+    *      found exactly once because the orientation is a total
+    *      order (u before v before w);
+    *   3. explodes the per-edge common sets into (corner, 1) rows
+    *      that die in the map-side partial aggregate.
+    *    The wedge volume still exists as ARITHMETIC (the intersection
+    *    scans Σ |N⁺(u)|+|N⁺(v)| entries) but lives INSIDE one stage:
+    *    the exchanges now carry ~2|E| oriented rows + |V| adjacency
+    *    arrays (degree-ordering bounds each array at ~√(2m) entries),
+    *    never the wedge stream. Below the cutover the plain wedge
+    *    join stays — a small graph's wedge stream fits one exchange
+    *    and skips the array-agg fixed costs (the B9 posting-cutover
+    *    precedent). Both paths compute the identical exact result
+    *    (differential spec); the selector is a ROW COUNT.
+    *
+    * EAGER AT CONSTRUCTION (like [[nodeSimilarity]]): the selector
+    * counts the canonical edge relation, which materializes the
+    * persisted e0 both paths need anyway; pass `edgeCount` to stay
+    * lazy (steers path choice only, never correctness).
     */
-  def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
+  def triangleCounts(canonicalEdges: DataFrame,
+                     adjCutover: Long = 2000000L,
+                     edgeCount: Option[Long] = None): DataFrame = {
     val e0 = canonicalEdges.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e0.select(col("a").as("n"))
@@ -225,15 +258,34 @@ object GraphOps {
         when(lower, col("b")).otherwise(col("a")).as("v"),
         when(lower, col("db")).otherwise(col("da")).as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val wedge = orient.as("x").join(orient.as("y"),
-        col("x.u") === col("y.u") &&
-          (col("x.dv") < col("y.dv") ||
-            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
-      .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
-    val tri = wedge.join(orient.as("o"),
-        col("tv") === col("o.u") && col("tw") === col("o.v"))
-      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("t"))
+    val m = edgeCount.getOrElse(e0.count()) // materializes the shared cache
+    val corners = if (m <= adjCutover) {
+      // small-graph path: wedge self-join + closing join — one
+      // exchange of the wedge stream, acceptable below the cutover
+      val wedge = orient.as("x").join(orient.as("y"),
+          col("x.u") === col("y.u") &&
+            (col("x.dv") < col("y.dv") ||
+              (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+        .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
+      wedge.join(orient.as("o"),
+          col("tv") === col("o.u") && col("tw") === col("o.v"))
+        .select(explode(array(col("tu"), col("tv"), col("tw"))).as("n"))
+    } else {
+      // scale path: per-node oriented adjacency arrays, per-edge
+      // intersection (scaladoc above). Inner joins are exact: an
+      // endpoint missing from `adj` has no out-neighbors, so its
+      // intersection is empty and the edge closes nothing.
+      val adj = orient.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      orient.select(col("u"), col("v"))
+        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          array_intersect(col("nu"), col("nv")).as("common"))
+        .filter(size(col("common")) >= 1)
+        .select(col("u"), col("v"), explode(col("common")).as("w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+    }
+    val tri = corners.groupBy("n").agg(count(lit(1)).as("t"))
     deg.join(tri, Seq("n"), "left")
       .select(col("n").as("node"), col("d").as("deg"),
         coalesce(col("t"), lit(0L)).as("triangles"),
@@ -372,12 +424,17 @@ object GraphOps {
       val inc = withOut.join(ranks, col("a") === col("node"))
         .select(col("b"), (col("rank") / col("out")).as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      // localCheckpoint per round (ADVICE r9): each round references
+      // `ranks` TWICE (dangling-mass aggregate + contribution join),
+      // so the lazy tree doubles per iteration without truncation —
+      // the measured HITS failure mode at the 100× pack.
       ranks = nodes.join(inc, col("node") === col("b"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("rank"))
+        .localCheckpoint()
     }
     (ranks, n)
   }
@@ -385,23 +442,31 @@ object GraphOps {
   /** HITS hubs-and-authorities (Neo4j GDS `alpha.hits`) with a FIXED
     * iteration count and L1 normalization — the directed complement
     * to PageRank: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
-    * authority(v), each vector rescaled to sum 1 after its half-step
-    * (the scalar rides a 1-row aggregate broadcast back via the
-    * scalar-crossJoin shape — same discipline as the dangling term in
-    * [[pageRankDirectedWithN]]). Nodes without in-edges hold
-    * authority 0 (and sources hub 0) via left joins, so the output
-    * covers EVERY node. Fixed rounds keep the recurrence a pure
-    * function of the edge list for the oracle replay; 6dp output
-    * rounding (callers) absorbs sum-order ulps exactly as PageRank's
-    * does — normalization divides by a global sum, which preserves
-    * relative error at the ulp level.
+    * authority(v), output vectors rescaled to sum 1. Nodes without
+    * in-edges hold authority 0 (and sources hub 0) via the output
+    * left joins, so the result covers EVERY node. Fixed rounds keep
+    * the recurrence a pure function of the edge list for the oracle
+    * replay; 6dp output rounding (callers) absorbs sum-order ulps
+    * exactly as PageRank's does.
     *
-    * localCheckpoint per half-step (the iterative-lineage
-    * discipline): each half-step references the previous vector
-    * TWICE (propagation + normalization), so the lazy tree DOUBLES
-    * per half-step — 2^(2·iters) subtree copies by round 3 (measured
-    * 377 logical joins, and a stage-materialization failure at the
-    * 100× pack) without truncation, 6 bounded plans with it.
+    * RAW ITERATION (reworked r10 — VERDICT r9 #3): propagation is
+    * LINEAR, so the per-half-step L1 rescale cancels in the next
+    * half-step's sums — normalize(E·(v/s)) = normalize(E·v) for any
+    * scalar s > 0. The loop therefore carries UNNORMALIZED sparse
+    * vectors (one join + one hash-agg per half-step, localCheckpoint
+    * to truncate lineage) and applies the ONE L1 normalization at
+    * output (two 1-row aggregates broadcast via the scalar-crossJoin
+    * shape, plus the full-node left joins — once, not per step).
+    * This halves the old shape's per-half-step work, which
+    * materialized a normalized FULL-NODE vector every half-step
+    * (raw agg + nodes left-join + scalar crossJoin, twice per
+    * round). Exact-arithmetic equivalence is pinned by spec (the
+    * hand-arithmetic fixpoints are unchanged); FP difference is ulp
+    * scale, absorbed by the callers' 6dp rounding. Raw magnitudes
+    * drift by ~(mean degree)^halfSteps — doubles hold that for any
+    * sane fixed iteration count (document: overflow at iters ≳ 180
+    * on a degree-50 graph; per-step rescaling would be needed for
+    * spectral-convergence use, not for fixed-round replay).
     *
     * Returns ((node, hub, auth), N).
     */
@@ -414,26 +479,25 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar collect — model-fit class
     var hub = nodes.withColumn("h", lit(1.0 / n))
-    var auth = nodes.withColumn("x", lit(1.0 / n))
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e0.join(hub, col("a") === col("node"))
-        .groupBy(col("b")).agg(sum(col("h")).as("xr"))
-      val aNorm = aRaw.agg(sum(col("xr")).as("xs"))
-      auth = nodes.join(aRaw, col("node") === col("b"), "left")
-        .crossJoin(broadcast(aNorm))
-        .select(col("node"),
-          (coalesce(col("xr"), lit(0.0)) / col("xs")).as("x"))
+      auth = e0.join(hub, col("a") === col("node"))
+        .groupBy(col("b").as("node")).agg(sum(col("h")).as("x"))
         .localCheckpoint()
-      val hRaw = e0.join(auth, col("b") === col("node"))
-        .groupBy(col("a")).agg(sum(col("x")).as("hr"))
-      val hNorm = hRaw.agg(sum(col("hr")).as("hs"))
-      hub = nodes.join(hRaw, col("node") === col("a"), "left")
-        .crossJoin(broadcast(hNorm))
-        .select(col("node"),
-          (coalesce(col("hr"), lit(0.0)) / col("hs")).as("h"))
+      hub = e0.join(auth, col("b") === col("node"))
+        .groupBy(col("a").as("node")).agg(sum(col("x")).as("h"))
         .localCheckpoint()
     }
-    (hub.join(auth, "node").select(col("node"), col("h"), col("x")), n)
+    val xs = auth.agg(sum(col("x")).as("xs"))
+    val hs = hub.agg(sum(col("h")).as("hs"))
+    val out = nodes
+      .join(auth.select(col("node"), col("x").as("xr")), Seq("node"), "left")
+      .join(hub.select(col("node"), col("h").as("hr")), Seq("node"), "left")
+      .crossJoin(broadcast(xs)).crossJoin(broadcast(hs))
+      .select(col("node"),
+        (coalesce(col("hr"), lit(0.0)) / col("hs")).as("h"),
+        (coalesce(col("xr"), lit(0.0)) / col("xs")).as("x"))
+    (out, n)
   }
 
   /** Node similarity (Neo4j GDS `nodeSimilarity` analog): top-k entity
@@ -484,10 +548,21 @@ object GraphOps {
     * paths, and both paths compute the identical exact result.
     *
     * Output: (e1, e2, inter, union_sz, jaccard, sim_key) with e1 < e2.
+    *
+    * EAGER AT CONSTRUCTION (ADVICE r9): the cost-based selector needs
+    * the capped edge COUNT, so building this DataFrame runs one Spark
+    * job over the edge relation (which materializes the shared cache
+    * both paths need anyway — a caller that executes the result pays
+    * nothing extra). Callers that must stay lazy (plan audits, explain
+    * tooling, plan-composition tests) pass `cappedEdgeCount` — the
+    * selector then uses the supplied figure and no job runs until the
+    * result is acted on; the figure only steers path CHOICE, never
+    * correctness, so a stale estimate is safe.
     */
   def nodeSimilarity(edges: DataFrame, entity: String, feature: String,
                      featCap: Long, topK: Int,
-                     postingCutover: Long = 2000000L): DataFrame = {
+                     postingCutover: Long = 2000000L,
+                     cappedEdgeCount: Option[Long] = None): DataFrame = {
     val ef = edges.select(col(entity).as("e"), col(feature).as("f")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val okFeat = ef.groupBy("f").agg(count(lit(1)).as("dfreq"))
@@ -495,7 +570,8 @@ object GraphOps {
       .select("f")
     val capped = ef.join(okFeat, "f").persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = capped.groupBy("e").agg(count(lit(1)).as("sz"))
-    val nEdges = capped.count() // materializes the shared cache anyway
+    val nEdges = // materializes the shared cache anyway (see scaladoc)
+      cappedEdgeCount.getOrElse(capped.count())
     val pairs = if (nEdges <= postingCutover) {
       capped.as("x")
         .join(capped.as("y"),

@@ -1256,7 +1256,11 @@ object CdcQueries extends QueryPack {
                                sum(value) AS v
                         FROM events GROUP BY 1, 2),
            g AS (SELECT event_type, d, v,
-                        pow(2e0, CAST(d - min(d) OVER (PARTITION BY event_type) AS DOUBLE) / 7e0) AS g
+                        CASE WHEN max(d) OVER (PARTITION BY event_type)
+                                  - min(d) OVER (PARTITION BY event_type) > 7000
+                             THEN CAST(error('cdc_value_ema: series span exceeds the 2^(span/7) double-overflow bound (~7100 days)') AS DOUBLE)
+                             ELSE pow(2e0, CAST(d - min(d) OVER (PARTITION BY event_type) AS DOUBLE) / 7e0)
+                        END AS g
                  FROM daily)
          SELECT event_type, d AS day_idx, round(v, 4) AS v,
                 round(sum(v * g) OVER w / sum(g) OVER w, 4) AS ema

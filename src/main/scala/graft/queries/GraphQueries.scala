@@ -381,23 +381,18 @@ object GraphQueries extends QueryPack {
                        JOIN od ON e.a = od.a
              GROUP BY e.b) c ON n.node = c.node)"""
 
-  // One HITS round: authority half-step (raw sums → L1 scalar →
-  // normalized full-node table), then the hub half-step from the NEW
-  // authorities — the exact operator recurrence. a$i/h$i MATERIALIZED
-  // (each feeds the next half-step AND the final projection).
+  // One HITS round in the RAW (unnormalized) form the r10 operator
+  // carries: sparse authority sums from the previous raw hub vector,
+  // then sparse hub sums from the new authorities — per-step L1
+  // rescaling cancels in the next half-step's sums (linearity), so
+  // normalization happens ONCE in the final projection, exactly like
+  // the Spark loop. a$i/h$i MATERIALIZED (each feeds the next
+  // half-step AND, for the last round, the final projection twice).
   private def hitsIter(i: Int) =
-    s"""ar$i AS (SELECT e.b AS node, sum(h.h) AS xr
+    s"""a$i AS MATERIALIZED (SELECT e.b AS node, sum(h.h) AS x
            FROM e0 e JOIN h${i - 1} h ON e.a = h.node GROUP BY e.b),
-        ans$i AS (SELECT sum(xr) AS xs FROM ar$i),
-        a$i AS MATERIALIZED (SELECT n.node,
-           coalesce(ar.xr, 0e0) / (SELECT xs FROM ans$i) AS x
-           FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node),
-        hr$i AS (SELECT e.a AS node, sum(a.x) AS hr
-           FROM e0 e JOIN a$i a ON e.b = a.node GROUP BY e.a),
-        hns$i AS (SELECT sum(hr) AS hs FROM hr$i),
-        h$i AS MATERIALIZED (SELECT n.node,
-           coalesce(hr.hr, 0e0) / (SELECT hs FROM hns$i) AS h
-           FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)"""
+        h$i AS MATERIALIZED (SELECT e.a AS node, sum(a.x) AS h
+           FROM e0 e JOIN a$i a ON e.b = a.node GROUP BY e.a)"""
 
   val oracles: Map[String, String] = Map(
     "graph_hits" ->
@@ -408,10 +403,17 @@ object GraphQueries extends QueryPack {
              (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
           nn AS (SELECT count(*) AS cnt FROM nodes),
           h0 AS (SELECT node, 1.0e0 / cnt AS h FROM nodes, nn),
-          ${(1 to 3).map(hitsIter).mkString(",\n")}
-          SELECT h.node, round(h.h * (SELECT cnt FROM nn), 6) AS hub_x_n,
-                 round(a.x * (SELECT cnt FROM nn), 6) AS auth_x_n
-          FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY h.node""",
+          ${(1 to 3).map(hitsIter).mkString(",\n")},
+          xs AS (SELECT sum(x) AS xs FROM a3),
+          hs AS (SELECT sum(h) AS hs FROM h3)
+          SELECT n.node,
+                 round(coalesce(h.h, 0e0) / (SELECT hs FROM hs)
+                       * (SELECT cnt FROM nn), 6) AS hub_x_n,
+                 round(coalesce(a.x, 0e0) / (SELECT xs FROM xs)
+                       * (SELECT cnt FROM nn), 6) AS auth_x_n
+          FROM nodes n LEFT JOIN h3 h ON n.node = h.node
+                       LEFT JOIN a3 a ON n.node = a.node
+          ORDER BY n.node""",
     "graph_pagerank" ->
       s"""WITH ${edgeSql("")},
           deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),

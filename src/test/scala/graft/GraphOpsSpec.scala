@@ -158,6 +158,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(p == 0L)
   }
 
+  test("triangleCounts: wedge-join and adjacency-intersect paths are equal") {
+    // r10 differential (VERDICT r9 #1): adjCutover = 0 forces the
+    // adjacency-array path; default keeps the wedge join on a graph
+    // this small. Fixture mixes K4 (dense core), a triangle sharing
+    // node 4, a pendant path, and an isolated edge — hubs, shared
+    // corners, and triangle-free tails all present.
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (8L, 9L))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val wedge = m(GraphOps.triangleCounts(g))
+    val adjacency = m(GraphOps.triangleCounts(g, adjCutover = 0L))
+    assert(wedge == adjacency)
+    // and against hand counts: K4 gives nodes 1-3 three triangles;
+    // node 4 sits in the K4's three plus {4,5,6}; 7-9 in none
+    assert(wedge(4L)._2 == 4L && wedge(1L)._2 == 3L && wedge(5L)._2 == 1L
+      && wedge(7L)._2 == 0L && wedge(8L)._2 == 0L)
+  }
+
+  test("triangleCounts adjacency path: K4 and hand-counted lcc") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t = GraphOps.triangleCounts(k4, adjCutover = 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(t.length == 4 && t.forall(_ == ((3L, 3L, 1.0))))
+    // supplied edgeCount steers path choice without a count job:
+    // claim > cutover to force adjacency explicitly
+    val t2 = GraphOps.triangleCounts(k4, adjCutover = 1L, edgeCount = Some(6L))
+      .collect().map(_.getLong(2)).sum
+    assert(t2 == 12L) // 4 triangles × 3 corners
+  }
+
   test("triangleCounts is partitioning-invariant") {
     val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
     val a = GraphOps.triangleCounts(g).collect()
