@@ -87,6 +87,11 @@ object Bench {
       // zero and would read as the fastest query in the bench JSON
       if (err.isEmpty) Some(name -> adjudicated) else None
     }.flatten
+    // End-of-pass cache hygiene (VERDICT r9 #7): plan-keyed cache
+    // entries are deliberately shared across entries within the pass
+    // (releasing per entry would forfeit the reuse AND distort the
+    // timings); the pass owns the cache, so it releases once, here.
+    spark.catalog.clearCache()
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

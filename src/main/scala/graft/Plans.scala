@@ -49,7 +49,8 @@ object Plans {
       "graph_lpa", "graph_sssp", "graph_pagerank_directed", "graph_hits",
       "cdc_user_entropy",
       "cdc_history_scd2", "cdc_path_counts", "cdc_value_ema", "cdc_lttb",
-      "text_chunks", "sample_temperature")
+      "text_chunks", "sample_temperature",
+      "graph_betweenness", "graph_modularity", "corpus_domain_cap")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to
@@ -81,6 +82,24 @@ object Plans {
               org.apache.spark.sql.functions.col("o_custkey")),
           entity = "l_suppkey", feature = "o_custkey",
           featCap = 500L, topK = 20, postingCutover = 0L)),
+      // pinned to the ADJACENCY-INTERSECT wedge generation (cutover
+      // forced to 0): at sf0.01 the cost-based selector correctly
+      // keeps the small-graph wedge join, but the plan a 100× graph
+      // executes intersects per-edge adjacency arrays — the audit
+      // point is the Generate/intersect stack with NO wedge-stream
+      // Exchange between the adjacency joins and the corner aggregate
+      "graph_triangles" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val li = Tables.load(s, d, "lineitem")
+          .filter(col("l_quantity") <= 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        graft.operators.GraphOps.triangleCounts(edges, adjCutover = 0L)
+          .orderBy("node")
+      }),
       // the daily-ingest exact screen: the audit point is the ABSENCE
       // of Exchange/Join — history rides the plan as a filter literal
       "dedup_bloom_screen" -> ((s, d) => {
@@ -106,7 +125,10 @@ object Plans {
         "plan SHAPE; auto mode scales bits/tables with the corpus and " +
         "the sf0.01 driver entry cost-falls-back to exact)"),
       "dedup_bloom_screen" -> (" (the daily-ingest exact screen — audit " +
-        "point is the ABSENCE of Exchange/Join: history is a filter literal)"))
+        "point is the ABSENCE of Exchange/Join: history is a filter literal)"),
+      "graph_triangles" -> (" (pinned adjCutover=0 — the adjacency-" +
+        "intersect wedge-generation SHAPE a 100× graph executes; the " +
+        "sf0.01 driver entry cost-selects the small-graph wedge join)"))
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`)\n\n")
     sb.append("Audit notes per query follow the plan. Regenerate after any\n")

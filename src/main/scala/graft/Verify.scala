@@ -31,6 +31,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // End-of-pass cache hygiene (VERDICT r9 #7): operators pin
+    // loop-invariant relations with caller-owned cleanup, and across
+    // a full pack the plan-keyed entries are deliberately REUSED
+    // between entries sharing a graph (scoping the release per entry
+    // would forfeit that). The pass is the owner, so it releases
+    // everything once, here — zero residual cached relations.
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -32,10 +32,13 @@ import org.apache.spark.storage.StorageLevel
   * execution — 4-6× on the 100× full-supply-graph entries — for no
   * robustness gain, and was reverted). Cleanup of these entries is
   * CALLER-OWNED, the sketch-operator contract (docs/SCALE.md
-  * "caching stance"): a long-lived session reclaims them with
-  * `spark.catalog.clearCache()` once results are materialized; the
-  * operator itself cannot unpersist them without forcing execution,
-  * since the returned lazy plan still references them. LOOP-SCOPED
+  * "caching stance"): the operator itself cannot unpersist them
+  * without forcing execution, since the returned lazy plan still
+  * references them. Every pin is registered, so callers have three
+  * reclaim shapes (r10, VERDICT r9 #7): [[materialized]] for
+  * one-shot results (checkpoint + scoped release), [[releasePinned]]
+  * after composing several operators, or the blunt
+  * `spark.catalog.clearCache()`. LOOP-SCOPED
   * STATE (each round's ranks/labels/frontier, and the HITS vectors
   * whose lazy tree otherwise doubles per half-step) is
   * `localCheckpoint`ed — lineage truncation is what iterative plans
@@ -44,6 +47,46 @@ import org.apache.spark.storage.StorageLevel
   * state is bounded by one round at any iteration count.
   */
 object GraphOps {
+
+  /** Every loop-invariant relation this operator family persists
+    * (pinned via [[pin]]), so a one-shot caller can reclaim exactly
+    * these without touching unrelated session cache. Synchronized
+    * list — registration is cheap; release is explicit. */
+  private val pinnedRelations =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pinnedRelations.add(p)
+    p
+  }
+
+  /** Unpersist every relation this object has pinned since the last
+    * release (non-blocking). Exactly the caller-owned-cleanup step of
+    * the cache contract in the header — scoped to GraphOps' own pins,
+    * unlike `spark.catalog.clearCache()` which drops unrelated
+    * session cache too. NOT safe while another thread is inside a
+    * GraphOps iterative build (its loop-invariants would vanish
+    * mid-loop and silently recompute); single-tenant callers only. */
+  def releasePinned(): Unit = pinnedRelations.synchronized {
+    pinnedRelations.forEach(_.unpersist(false))
+    pinnedRelations.clear()
+  }
+
+  /** One-shot driver discipline (VERDICT r9 #7): MATERIALIZE the
+    * operator result (eager `localCheckpoint` — executes the plan
+    * once and truncates lineage, so the returned frame no longer
+    * references the pinned invariants), release every relation this
+    * object pinned, then hand the checkpointed result to `use`. A
+    * full pass over one-shot entries therefore ends with zero
+    * residual GraphOps cache. Library callers composing several
+    * graph operators over the same edge relation should NOT use
+    * this — the plan-keyed cache reuse across calls is the point of
+    * the persist contract — and instead call [[releasePinned]] (or
+    * `spark.catalog.clearCache()`) once they materialize. */
+  def materialized[T](df: DataFrame)(use: DataFrame => T): T =
+    try use(df.localCheckpoint())
+    finally releasePinned()
 
   /** Symmetrize a directed edge list (cols `a`, `b`) into the
     * undirected adjacency relation, self-loops dropped, duplicates
@@ -83,16 +126,16 @@ object GraphOps {
   def pageRankWithN(edges: DataFrame, iters: Int,
                     damping: Double = 0.85): (DataFrame, Long) = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).transform(pin)
     // the degree table doubles as the node table (every node has
     // degree ≥ 1 after symmetrization), so N and the initial ranks
     // both come from it — no separate distinct pass over the edges
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     // (a, b, deg(a)) — the join payload each round; deg is scale-free
     // per node so this adds one long to each cached edge row
     val withDeg = und.join(deg, "a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val n = deg.count() // scalar collect
     var ranks = deg.select(col("a").as("node"))
       .withColumn("rank", lit(1.0 / n))
@@ -125,16 +168,16 @@ object GraphOps {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).transform(pin)
     var settled = seeds.toDF("node").withColumn("dist", lit(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     var frontier = settled
     for (h <- 1 to maxHops) {
       val next = und.join(frontier.select(col("node").as("a")), "a")
         .select(col("b").as("node")).distinct()
         .join(settled.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin)
       settled = settled.unionByName(next)
       frontier = next
     }
@@ -158,7 +201,7 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).transform(pin)
     var s = und.select(col("a").as("n")).distinct().localCheckpoint()
     var prev = -1L
     var n = s.count()
@@ -183,6 +226,140 @@ object GraphOps {
     und.join(s.select(col("n").as("a")), "a")
       .join(s.select(col("n").as("b")), "b")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Sampled, hop-bounded betweenness centrality — Brandes (2001)
+    * from a FIXED seed set (Neo4j GDS `betweenness` with
+    * `samplingSize`/`samplingSeed` pins exactly this shape: exact
+    * per-source dependencies, summed over a source sample). Output
+    * bc(v) = Σ_{s ∈ seeds} δ_s(v), where δ_s is the Brandes
+    * dependency of source s, restricted to shortest paths of length
+    * ≤ `maxHops` (the hop-bound discipline of [[bfsDistances]] /
+    * [[ssspBounded]] — bounded frontier loops, never an unbounded
+    * fixpoint). Deterministic: the seed set is explicit, path COUNTS
+    * (σ) are exact integers, and the only doubles are the dependency
+    * sums, replayed identically by the oracle and rounded 6dp.
+    *
+    * Two bounded chained-join phases over the symmetrized relation,
+    * all sources carried in ONE keyed (src, node) plan — k sources
+    * cost one plan, not k plans:
+    *   forward  — BFS layers with path counts: σ_{l+1}(v) =
+    *     Σ_{u ∈ layer_l, u~v} σ_l(u), new nodes only (anti-join the
+    *     per-source settled set). One join + one anti-join + one
+    *     hash-agg per layer, localCheckpoint each (loop state).
+    *   backward — dependency accumulation from the deepest layer:
+    *     δ_l(v) = Σ_{v~w, w ∈ layer_{l+1}} σ(v)/σ(w) · (1 + δ(w)),
+    *     nodes without successors keep δ = 0 via the left join.
+    * Layer tables are per-source DISJOINT (each (src, node) has one
+    * BFS depth), so the final union is overlap-free; rows with
+    * node = src are excluded from centrality (Brandes), and the
+    * output covers every node of the graph (unreached ⇒ 0).
+    *
+    * Scale: layer tables carry ≤ k·|V| rows total; both phases are
+    * equi-join pipelines on node ids (shuffle ∝ touched edges per
+    * layer); nothing is all-pairs and nothing collects. Exactness of
+    * σ as longs holds for any real graph at these hop bounds (path
+    * counts grow ≤ degᵐᵃˣᴴᵒᵖˢ).
+    *
+    * Output: (node, bc) — bc rounded 6dp, every graph node present.
+    */
+  def betweennessSampled(edges: DataFrame, seeds: Seq[Long],
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"betweenness: maxHops must be >= 1, got $maxHops")
+    require(seeds.nonEmpty, "betweenness: seed set must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirected(edges).transform(pin)
+    // symmetric relation ⟹ column a alone covers every node
+    val nodes = und.select(col("a").as("node")).distinct()
+      .transform(pin)
+    var frontier = seeds.toDF("node")
+      .select(col("node").as("src"), col("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var settled = frontier.select("src", "node").localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (_ <- 1 to maxHops) {
+      frontier = und.join(frontier, col("a") === col("node"))
+        .select(col("src"), col("b"), col("sigma"))
+        .join(settled.select(col("src"), col("node").as("b")),
+          Seq("src", "b"), "left_anti")
+        .groupBy(col("src"), col("b").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      layers += frontier
+      settled = settled.union(frontier.select("src", "node")).localCheckpoint()
+    }
+    var dep = layers(maxHops)
+      .select(col("src"), col("node"), col("sigma"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    val deps = scala.collection.mutable.ArrayBuffer[DataFrame](dep)
+    for (l <- maxHops - 1 to 0 by -1) {
+      val contrib = layers(l).as("v")
+        .join(und, col("v.node") === col("a"))
+        .join(dep.as("w"),
+          col("b") === col("w.node") && col("v.src") === col("w.src"))
+        .groupBy(col("v.src").as("src"), col("v.node").as("node"))
+        .agg(sum(col("v.sigma").cast("double") / col("w.sigma")
+          * (lit(1.0) + col("w.delta"))).as("c"))
+      dep = layers(l).join(contrib, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("c"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      deps += dep
+    }
+    val bc = deps.reduce(_ union _)
+      .filter(col("node") =!= col("src"))
+      .groupBy("node").agg(sum(col("delta")).as("s"))
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"), round(coalesce(col("s"), lit(0.0)), 6).as("bc"))
+  }
+
+  /** Modularity Q of a community assignment over the undirected
+    * simple graph of `edges` (Newman–Girvan; the GDS
+    * `modularity`/`modularityOptimization` score) — grades the
+    * partitions [[labelPropagation]] and the WCC loop emit:
+    *
+    *   Q = Σ_c ( e_c/m − (d_c/2m)² )
+    *     = intra/m − Σ_c d_c² / (4m²)
+    *
+    * with e_c = edges inside community c, d_c = Σ degrees in c, m =
+    * total undirected edges. Everything up to the final expression is
+    * INTEGER (edge and degree counts summed exactly — no per-
+    * community double sum whose order could drift); the single
+    * double division happens once, on three integer scalars, so both
+    * engines compute bit-identical Q before the 6dp rounding.
+    *
+    * Shape: two hash-aggs (degrees, per-community rollup) + two
+    * assignment joins on node ids + a 1-row scalar crossJoin for m.
+    * `assign` must cover every graph node (community ops here do);
+    * extra assignment rows for non-graph nodes are ignored via the
+    * inner joins, EXCEPT in n_communities, which counts communities
+    * of assigned graph nodes only.
+    *
+    * Output: ONE row (n_communities, intra_edges, m, q).
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val und = undirected(edges).transform(pin)
+    val canon = und.filter(col("a") < col("b"))
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val a = assign.select(col("node"), col("community"))
+    val dc = deg.join(a, "node")
+      .groupBy("community").agg(sum(col("deg")).as("dc"))
+    val ec = canon
+      .join(a.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(a.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("ec"))
+    val mAgg = canon.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("community"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(coalesce(col("ec"), lit(0L))).as("intra"),
+        sum(col("dc") * col("dc")).as("sumdeg2"))
+      .crossJoin(broadcast(mAgg))
+      .select(col("n_communities"), col("intra").as("intra_edges"), col("m"),
+        round(col("intra").cast("double") / col("m") -
+          col("sumdeg2").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("q"))
   }
 
   /** Triangle count + local clustering coefficient (Neo4j GDS
@@ -240,11 +417,11 @@ object GraphOps {
                      adjCutover: Long = 2000000L,
                      edgeCount: Option[Long] = None): DataFrame = {
     val e0 = canonicalEdges.select(col("a"), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val deg = e0.select(col("a").as("n"))
       .union(e0.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     // (deg, id)-orientation: u = smaller endpoint in that order; dv
     // rides along so the wedge join can order v before w without a
     // second degree lookup
@@ -257,7 +434,7 @@ object GraphOps {
         when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("v"),
         when(lower, col("db")).otherwise(col("da")).as("dv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val m = edgeCount.getOrElse(e0.count()) // materializes the shared cache
     val corners = if (m <= adjCutover) {
       // small-graph path: wedge self-join + closing join — one
@@ -317,7 +494,7 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = undirected(edges).transform(pin)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -358,7 +535,7 @@ object GraphOps {
       .union(wEdges.select(col("b").as("a"), col("a").as("b"), col("w")))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     var settled = seeds.toDF("node").withColumn("cost", lit(0L))
       .localCheckpoint()
     var frontier = settled
@@ -405,17 +582,17 @@ object GraphOps {
                             damping: Double = 0.85): (DataFrame, Long) = {
     require(iters >= 1, s"pageRankDirected: iters must be >= 1, got $iters")
     val e0 = edges.select(col("a"), col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
     // (a, b, out(a)) — loop-invariant join payload, pinned once
-    val withOut = e0.join(outdeg, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    val withOut = e0.join(outdeg, "a").transform(pin)
     // dangling = nodes with no out-edge (pure sinks)
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
@@ -473,10 +650,10 @@ object GraphOps {
   def hitsWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e0 = edges.select(col("a"), col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
     var hub = nodes.withColumn("h", lit(1.0 / n))
     var auth: DataFrame = null
@@ -564,11 +741,11 @@ object GraphOps {
                      postingCutover: Long = 2000000L,
                      cappedEdgeCount: Option[Long] = None): DataFrame = {
     val ef = edges.select(col(entity).as("e"), col(feature).as("f")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(pin)
     val okFeat = ef.groupBy("f").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= featCap)
       .select("f")
-    val capped = ef.join(okFeat, "f").persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = ef.join(okFeat, "f").transform(pin)
     val sizes = capped.groupBy("e").agg(count(lit(1)).as("sz"))
     val nEdges = // materializes the shared cache anyway (see scaladoc)
       cappedEdgeCount.getOrElse(capped.count())

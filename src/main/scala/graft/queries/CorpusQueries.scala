@@ -284,7 +284,43 @@ object CorpusQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
              round(avg(length(col("text"))), 4).as("avg_chars"))
         .orderBy("split")
-    })
+    }),
+
+    // J14 (r10, VERDICT r9 #5): per-domain document caps — the
+    // Gopher/FineWeb curation step that bounds any one source's share
+    // BEFORE mixing (a single crawl domain can otherwise dominate a
+    // training mix). Deterministic bottom-CAP by md5(doc_id) per
+    // source — the J12 bottom-k-by-hash draw, so the cap is
+    // layout-independent, reproducible cross-engine, and MERGEABLE:
+    // capping a union == capping the concatenation of per-shard caps
+    // (CorpusSpec pins it), which is what lets daily shards compose
+    // into a capped corpus without re-reading history. Per-key window
+    // top-n (local per-key sort, never global); at 100 TB the
+    // mergeable property IS the scale plan — per-partition partial
+    // caps feed a final per-domain cap of ≤ shards·CAP rows.
+    "corpus_domain_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("h", "doc_id")
+      Tables.load(s, dir, "documents")
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"), col("h"))
+        .orderBy("source", "rk")
+    }),
+
+    // J14's over-cap drop accounting — what a curation run reports:
+    // per source, how many documents existed, survived the cap, and
+    // were dropped. One hash-agg; the kept count is least(cap, n)
+    // because the draw keeps a deterministic subset, never invents
+    // rows.
+    "corpus_domain_cap_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          least(count(lit(1)), lit(10L)).as("n_kept"),
+          greatest(count(lit(1)) - lit(10L), lit(0L)).as("n_dropped"))
+        .orderBy("source"))
   )
 
   /** corpus_stats_approx runs the exact percentiles AND the bounded
@@ -342,6 +378,18 @@ object CorpusQueries extends QueryPack {
          WHERE ('0x' || substr(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 8))::BIGINT
                  % 1000000 < r.rate_ppm
          ORDER BY d.doc_id""",
+    "corpus_domain_cap" ->
+      """SELECT source, rk, doc_id, h FROM (
+           SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY source, rk""",
+    "corpus_domain_cap_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                least(count(*), 10) AS n_kept,
+                greatest(count(*) - 10, 0) AS n_dropped
+         FROM documents GROUP BY source ORDER BY source""",
     "sample_bottomk" ->
       """SELECT lang, rk, doc_id, h FROM (
            SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

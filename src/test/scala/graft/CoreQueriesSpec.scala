@@ -237,6 +237,40 @@ class CoreQueriesSpec extends SparkSpec {
     assert(direct == merged)
   }
 
+  test("domain cap is mergeable: cap(union) == cap of per-shard caps, " +
+    "and accounting ties out") {
+    // J14 (r10): the per-domain cap is a per-source bottom-k draw, so
+    // shard-then-merge must equal the direct cap — the property that
+    // lets daily shards compose into a capped corpus.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .select("source", "doc_id", "h")
+    def cap(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("h", "doc_id")
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select("source", "doc_id", "h")
+    }
+    val direct = cap(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val merged = cap(cap(docs.filter(col("doc_id") % 3 === 0))
+        .unionByName(cap(docs.filter(col("doc_id") % 3 === 1)))
+        .unionByName(cap(docs.filter(col("doc_id") % 3 === 2))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(direct == merged)
+    // the stats entry's accounting matches the kept rows per source
+    val kept = SparkEntry.queries("corpus_domain_cap")(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("corpus_domain_cap_stats")(spark, sfDir).collect()
+      .foreach { r =>
+        val (src, n, k, d) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(k == kept.getOrElse(src, 0L), s"$src kept $k != ${kept.get(src)}")
+        assert(n - k == d && k <= 10L, s"$src: n=$n k=$k d=$d")
+      }
+  }
+
   test("next_event counts partition the signup count") {
     val ev = Tables.load(spark, sfDir, "events")
     val signups = ev.filter(col("event_type") === "signup").count()

@@ -291,6 +291,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(m2(1L)._1 - 0.5) < 1e-12 && m2(1L)._2 == 0.0)
   }
 
+  test("betweennessSampled: hand arithmetic on path and diamond") {
+    // path 1-2-3-4-5, source {1}, 4 hops: δ(2)=3 (pairs 1→{3,4,5}
+    // route through 2), δ(3)=2, δ(4)=1, endpoints 0
+    val p = GraphOps.betweennessSampled(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      seeds = Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p == Map(1L -> 0.0, 2L -> 3.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0))
+    // diamond 1-2, 1-3, 2-4, 3-4: two equal shortest paths 1→4 split
+    // the dependency — δ₁(2) = δ₁(3) = σ=1/σ=2 · (1+0) = 0.5; with
+    // both endpoints {1, 4} as seeds the middles sum to 1.0
+    val d = edges((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val one = GraphOps.betweennessSampled(d, seeds = Seq(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+    val both = GraphOps.betweennessSampled(d, seeds = Seq(1L, 4L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+  }
+
+  test("betweennessSampled: hop bound truncates, off-graph seed is inert") {
+    // path 1-2-3-4-5 with maxHops = 2: source 1 sees only {2,3} —
+    // pairs through 2 are 1→{3} within bound... δ(2)=1+δ(3)=1? No:
+    // within 2 hops targets are {2,3}; δ(2) = (1+δ(3)) = 1+0? δ(3)=0
+    // (nothing deeper within bound) so δ(2) = 1·(1+0) = 1.
+    val p = GraphOps.betweennessSampled(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      seeds = Seq(1L, 99L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // seed 99 is not in the graph: contributes nothing, absent from
+    // the node-covering output
+    assert(p == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+  }
+
+  test("modularity: two-community fixture and degenerate one-community") {
+    // two K3s {1,2,3} {4,5,6} with bridge 3-4: m=7, intra=6,
+    // degrees (2,2,3,3,2,2) → d_A = d_B = 7,
+    // Q = 6/7 − (49+49)/(4·49) = 0.857143 − 0.5 = 0.357143
+    val s = spark
+    import s.implicits._
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val assign2 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("node", "community")
+    val r = GraphOps.modularity(g, assign2).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 0.357143)
+    // everything in one community: Q = m/m − (2m)²/(4m²) = 0 exactly
+    val assign1 = (1L to 6L).map(n => (n, 0L)).toDF("node", "community")
+    val r1 = GraphOps.modularity(g, assign1).collect()(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 7L
+      && r1.getDouble(3) == 0.0)
+  }
+
   test("nodeSimilarity: posting path and self-join path agree exactly") {
     val s = spark
     import s.implicits._
