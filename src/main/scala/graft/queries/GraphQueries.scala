@@ -307,6 +307,18 @@ object GraphQueries extends QueryPack {
           seeds = Seq(-1L, -2L, -3L, -4L), maxHops = 4)
         .orderBy("node")),
 
+    // B19 (r10): sampled hop-bounded harmonic closeness (GDS
+    // closeness, harmonic variant — well-defined on this DISCONNECTED
+    // slice where classic closeness is not): h(v) = Σ_seeds 1/d(s,v)
+    // within 4 hops, the betweenness forward phase minus the path
+    // counts. Integer-exact: level d contributes lcm(1..4)/d = 12/d
+    // per reaching source, ONE double division at output.
+    "graph_closeness" -> ((s, dir) =>
+      GraphOps.harmonicCloseness(
+          supplyEdges(s, dir, quantityCap = Some(1.0)),
+          seeds = Seq(-1L, -2L, -3L, -4L), maxHops = 4)
+        .orderBy("node")),
+
     // B18 (r10): modularity score (Newman–Girvan Q; GDS modularity —
     // VERDICT r9 #4) of BOTH community partitions the engine emits on
     // the sparse slice: WCC components (B8) and 8-round LPA labels
@@ -461,6 +473,17 @@ object GraphQueries extends QueryPack {
            GROUP BY v2.src, v2.node) c
          ON c.src = v.src AND c.node = v.node)"""
 
+  // One multi-source BFS level (the btwFwd recurrence minus path
+  // counts) for the closeness oracle — g$i = newly reached (src,
+  // node) pairs at distance i, t$i = settled.
+  private def clsFwd(i: Int) =
+    s"""g$i AS MATERIALIZED (SELECT DISTINCT p.src, u.b AS node
+           FROM und u JOIN g${i - 1} p ON u.a = p.node
+           LEFT JOIN t${i - 1} s ON s.src = p.src AND s.node = u.b
+           WHERE s.node IS NULL),
+        t$i AS MATERIALIZED (SELECT src, node FROM t${i - 1}
+           UNION ALL SELECT src, node FROM g$i)"""
+
   // Per-method modularity rollup: per-community intra-edge and degree
   // sums as integers, then the single double expression — the exact
   // GraphOps.modularity shape against an assignment CTE `$a(node,
@@ -485,6 +508,26 @@ object GraphQueries extends QueryPack {
         FROM ${p}agg"""
 
   val oracles: Map[String, String] = Map(
+    "graph_closeness" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
+          g0 AS (SELECT * FROM (VALUES
+               (CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+               (CAST(-2 AS BIGINT), CAST(-2 AS BIGINT)),
+               (CAST(-3 AS BIGINT), CAST(-3 AS BIGINT)),
+               (CAST(-4 AS BIGINT), CAST(-4 AS BIGINT))) t(src, node)),
+          t0 AS (SELECT src, node FROM g0),
+          ${(1 to 4).map(clsFwd).mkString(",\n")},
+          cc AS (SELECT node, sum(w) AS num FROM (
+               SELECT node, count(*) * 12 AS w FROM g1 GROUP BY node
+               UNION ALL SELECT node, count(*) * 6 FROM g2 GROUP BY node
+               UNION ALL SELECT node, count(*) * 4 FROM g3 GROUP BY node
+               UNION ALL SELECT node, count(*) * 3 FROM g4 GROUP BY node)
+             GROUP BY node)
+          SELECT n.node,
+                 round(CAST(coalesce(cc.num, 0) AS DOUBLE) / 12e0, 6)
+                   AS closeness
+          FROM (SELECT DISTINCT a AS node FROM und) n
+          LEFT JOIN cc ON n.node = cc.node ORDER BY n.node""",
     "graph_betweenness" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
           f0 AS (SELECT * FROM (VALUES

@@ -325,6 +325,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(p == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
   }
 
+  test("harmonicCloseness: hand arithmetic on the path, seeds sum") {
+    val p = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // single seed {1}: h(v) = 1/d(1,v), seed itself 0
+    val one = GraphOps.harmonicCloseness(p, seeds = Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.5,
+      4L -> 0.333333, 5L -> 0.25))
+    // both endpoints as seeds: contributions sum; hop bound 2 truncates
+    val both = GraphOps.harmonicCloseness(p, seeds = Seq(1L, 5L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both == Map(1L -> 0.0, 2L -> 1.0, 3L -> 1.0,
+      4L -> 1.0, 5L -> 0.0))
+    // seeds don't score each other beyond the bound; within it they do
+    val ends = GraphOps.harmonicCloseness(p, seeds = Seq(1L, 5L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ends(1L) == 0.25 && ends(5L) == 0.25 && ends(3L) == 1.0)
+  }
+
   test("modularity: two-community fixture and degenerate one-community") {
     // two K3s {1,2,3} {4,5,6} with bridge 3-4: m=7, intra=6,
     // degrees (2,2,3,3,2,2) → d_A = d_B = 7,
