@@ -47,6 +47,13 @@ object PipelineQueries extends QueryPack {
   private val scd2Landed =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // source dir -> landed finalized-session / dedup-survivor paths
+  // (stream_sessionize / stream_dedup_exact, r10 parquet landings)
+  private val sessLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dedupLanded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // source dir -> landed topK state path (stream_topk_state_check)
   private val topkLanded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -270,11 +277,22 @@ object PipelineQueries extends QueryPack {
     // predicate is strictly `> gap` because an exactly-gap follower
     // MERGES (sessions merge while nextStart ≤ prevEnd — pinned by
     // the PipelineSpec boundary test).
+    // r10: lands to a parquet file sink (once per JVM, the scd2/jdbc
+    // landed-store pattern) instead of the memory sink — session
+    // output is ROW-SCALED (one row per session), and the memory
+    // sink's driver-side materialization blew
+    // spark.driver.maxResultSize at the 100× pack. The landed table
+    // is the identical finalized-session set.
     "stream_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      val agg = CdcStream.sessionize(CdcStream.readEvents(s, dir),
-        gap = "30 minutes", delay = "1 day")
-      CdcStream.runToMemory(agg, OutputMode.Append())
+      val landed = sessLanded.computeIfAbsent(dir, d => {
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        val agg = CdcStream.sessionize(CdcStream.readEvents(s, d),
+          gap = "30 minutes", delay = "1 day")
+        val stage = Staging.path("sess_stream", d)
+        CdcStream.runToParquet(agg, stage)
+        stage
+      })
+      s.read.parquet(s"$landed/out")
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("sess_start_us"),
           unix_micros(col("session_window.end")).as("sess_end_us"),
@@ -370,10 +388,18 @@ object PipelineQueries extends QueryPack {
           col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))))
       val deduped = CdcStream.dedupExactStream(raw, "fp", "ts", "3650 days")
+      // r10: parquet landing (not the memory sink) — survivor output
+      // is row-scaled and broke spark.driver.maxResultSize at 100×;
+      // see stream_sessionize.
+      val landed = dedupLanded.computeIfAbsent(dir, d => {
+        val stage = Staging.path("dedup_stream", d)
+        CdcStream.runToParquet(deduped, stage)
+        stage
+      })
       // ts_us in the compared rows makes the oracle time-SIGHTED: a
       // representation mismatch that shifts or collapses event time
       // now hash-mismatches instead of hiding behind ts-free columns
-      CdcStream.runToMemory(deduped, OutputMode.Append())
+      s.read.parquet(s"$landed/out")
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
@@ -705,13 +731,16 @@ object PipelineQueries extends QueryPack {
 
   /** Entries whose timed path starts the streaming engine each run
     * (runToMemory / a fresh query). The landed-store entries
-    * (stream_jdbc_land, stream_land_monthly, storage_stats) stream once
-    * per JVM and then time a batch scan, so they stay operator-bucketed. */
+    * (stream_jdbc_land, stream_land_monthly, storage_stats, stream_scd2,
+    * and since r10 stream_sessionize / stream_dedup_exact — their
+    * row-scaled output moved from the memory sink to parquet landings)
+    * stream once per JVM and then time a batch scan, so they stay
+    * operator-bucketed. */
   override val streams: Set[String] = Set(
     "stream_event_counts", "stream_json_parse", "stream_progress",
-    "stream_counts_watermarked", "stream_dedup_exact",
+    "stream_counts_watermarked",
     "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
-    "stream_funnel", "stream_sessionize")
+    "stream_funnel")
 
   val oracles: Map[String, String] = Map(
     // the stream folds to the batch funnel's histogram — same oracle

@@ -637,6 +637,32 @@ object CdcStream {
       }
   }
 
+  /** Run an APPEND-mode streaming DataFrame to completion
+    * (AvailableNow) into a parquet file sink and read the landed
+    * table back — the production landing shape, with driver memory
+    * bounded at ANY scale. The memory sink below materializes the
+    * whole result table ON THE DRIVER, which is fine for the
+    * small-output Complete-mode aggregates but measured >1 GB of
+    * task-result serialization (over `spark.driver.maxResultSize`)
+    * for the row-scaled Append streams at the 100× pack (r10) —
+    * row-scaled streaming output belongs in a distributed sink.
+    * The Update-mode latest-state entries stay on the memory sink:
+    * their output is ENTITY-scaled (bounded by the keyed state the
+    * stream already holds), and Update mode has no file sink — their
+    * production landing is the foreachBatch upsert that
+    * stream_jdbc_land exercises end-to-end. */
+  def runToParquet(df: DataFrame, stage: String): DataFrame = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", s"$stage/out")
+      .option("checkpointLocation", s"$stage/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(s"$stage/out")
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized table. */
   def runToMemory(df: DataFrame, outputMode: OutputMode): DataFrame = {
