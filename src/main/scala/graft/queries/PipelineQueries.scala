@@ -726,6 +726,51 @@ object PipelineQueries extends QueryPack {
         .na.fill(0, Seq("level"))
         .groupBy("level").agg(count(lit(1)).as("n_users"))
         .orderBy("level")
+    }),
+
+    // H17 (r10): stream-static enrichment — the event stream joined
+    // per micro-batch against the STATIC customer dimension (key
+    // projection c_custkey → user_id, c_mktsegment → segment), rolled
+    // up per (segment, event_type). Complete mode: the aggregate is
+    // global (no watermark — the join itself is stateless), and the
+    // output is (segment × event_type)-scaled, so the memory sink is
+    // the right landing. The final Complete table over a finite
+    // source equals the batch left-join aggregate — the relational
+    // oracle below, coalesce('unknown') keeping dimensionless facts.
+    "stream_enrich_counts" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val agg = CdcStream.enrichCounts(
+        CdcStream.readEvents(s, dir), dim, "user_id", "segment")
+      CdcStream.runToMemory(agg, OutputMode.Complete())
+        .orderBy("segment", "event_type")
+    }),
+
+    // H18 (r10): stream-stream interval join — click→purchase
+    // attribution pairs within a 30-minute window, per user. The
+    // verification run pins delay at the full data span (3650 days)
+    // so NO buffered row is evicted mid-run: the emitted pair set is
+    // then exactly the batch interval join regardless of how
+    // AvailableNow batches the files (an inner join emits on match,
+    // never on watermark). Production uses the operator's bounded
+    // delay — state O(horizon), the scaladoc contract — at the cost
+    // of dropping pairs later than the delay; the eviction behavior
+    // itself is pinned by the PipelineSpec state-rows test.
+    "stream_interval_join" -> ((s, dir) => {
+      val evs = CdcStream.readEvents(s, dir)
+      val clicks = evs.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val joined = CdcStream.intervalJoin(clicks, purchases, "user_id",
+        within = "30 minutes", delay = "3650 days")
+        .select(col("click_id"), col("purchase_id"),
+          col("l.user_id").as("user_id"),
+          unix_micros(col("l.ts")).as("click_us"),
+          unix_micros(col("r.ts")).as("purchase_us"))
+      CdcStream.runToMemory(joined, OutputMode.Append())
+        .orderBy("click_id", "purchase_id")
     })
   )
 
@@ -740,11 +785,26 @@ object PipelineQueries extends QueryPack {
     "stream_event_counts", "stream_json_parse", "stream_progress",
     "stream_counts_watermarked",
     "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
-    "stream_funnel")
+    "stream_funnel", "stream_enrich_counts", "stream_interval_join")
 
   val oracles: Map[String, String] = Map(
     // the stream folds to the batch funnel's histogram — same oracle
     "stream_funnel" -> CdcQueries.oracles("cdc_funnel"),
+    // final Complete table == the batch left-join rollup
+    "stream_enrich_counts" ->
+      """SELECT coalesce(c_mktsegment, 'unknown') AS segment, event_type,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // full-span delay ⇒ the emitted pairs == the batch interval join
+    "stream_interval_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+                l.user_id AS user_id,
+                epoch_us(l.ts) AS click_us, epoch_us(r.ts) AS purchase_us
+         FROM events l JOIN events r ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+         WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+         ORDER BY 1, 2""",
     // the streamed history == the batch SCD2 build's closed rows
     "stream_scd2" ->
       """WITH v AS (SELECT user_id, event_type, value, epoch_us(ts) AS f,

@@ -185,6 +185,52 @@ object CdcStream {
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 4).as("sum_value"))
 
+  /** H17 (r10): stream-static enrichment — the streaming form of the
+    * reference's node ⋈ dimension join (04-optimize-tables.sql:205-218
+    * "complex join") reshaped as an always-on pipeline: each
+    * micro-batch of the event stream joins the STATIC dimension
+    * table, then rolls up per (segment, event_type). The join is
+    * stateless (no watermark needed — only the aggregation holds
+    * state), and the static side re-plans per micro-batch, so a
+    * dimension republished between triggers is picked up without a
+    * restart. At scale the dim side is a key+segment projection —
+    * Spark broadcasts it while it fits (the usual dim-table regime)
+    * and shuffle-joins beyond; when broadcast, the streamed side
+    * never shuffles into the join at all. LEFT join so an event whose
+    * key has no dimension row still lands (segment coalesced to
+    * 'unknown') — enrichment must not silently drop facts (the
+    * reference's errors.tolerance=all stance). */
+  def enrichCounts(events: DataFrame, dim: DataFrame,
+                   keyCol: String, segCol: String): DataFrame =
+    events.join(dim, Seq(keyCol), "left")
+      .groupBy(coalesce(col(segCol), lit("unknown")).as(segCol),
+               col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** H18 (r10): stream-stream INTERVAL join — conversion attribution
+    * as an always-on pipeline: each left event (e.g. click) pairs
+    * with every right event (e.g. purchase) carrying the same key
+    * within `[l.ts, l.ts + within]`. Both sides are watermarked and
+    * the join condition time-bounds BOTH event-time columns, which is
+    * what lets Spark evict join state: a buffered left row can be
+    * dropped once the right watermark passes `l.ts + within`, and a
+    * right row once the left watermark passes `r.ts` — state is
+    * O(events inside the watermark horizon), never O(stream history).
+    * Inner join ⇒ Append emits each matched pair exactly once, as
+    * soon as both sides have arrived (no watermark wait on the emit
+    * path — the delay only bounds how late data may arrive). The
+    * batch twin of this dataflow is `cdc_asof_attribution`'s join
+    * phase; this form never holds the full history at once. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   within: String, delay: String = "1 day"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Run a stream into a batch-writer callback via foreachBatch — the
     * reference's end-to-end topology (Kafka → ClickHouse insert) as
     * Structured Streaming: each micro-batch lands through the same

@@ -661,6 +661,78 @@ class PipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment: dim joined per batch, missing key lands as unknown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcStream.Ev]
+    val events = mem.toDS()
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val dim = Seq((7L, "AUTO"), (8L, "BIKE")).toDF("user_id", "segment")
+    val q = CdcStream.enrichCounts(events, dim, "user_id", "segment")
+      .writeStream.format("memory").queryName("pipelinespec_enrich")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(CdcStream.Ev(1, 0, 7, "click", 1.0),
+                CdcStream.Ev(2, 1, 8, "view", 2.0),
+                CdcStream.Ev(3, 2, 9, "click", 4.0)) // user 9: no dim row
+    q.processAllAvailable()
+    // second batch re-aggregates INTO the running state (user 7 again)
+    mem.addData(CdcStream.Ev(4, 3, 7, "click", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("pipelinespec_enrich")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(("AUTO", "click", 2L, 9.0),
+                      ("BIKE", "view", 1L, 2.0),
+                      ("unknown", "click", 1L, 4.0)), s"enriched: $got")
+    q.stop()
+  }
+
+  test("stream-stream interval join: window bounds both sides, state evicts past watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[CdcStream.Ev]
+    val rMem = MemoryStream[CdcStream.Ev]
+    val clicks = lMem.toDS()
+      .select(col("event_id").as("click_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val purchases = rMem.toDS()
+      .select(col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val joined = CdcStream.intervalJoin(clicks, purchases, "user_id",
+      within = "30 minutes", delay = "1 hour")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("pipelinespec_ivj")
+      .outputMode(OutputMode.Append()).start()
+    // base offset well above the initial watermark (epoch 0): a row
+    // AT the watermark is dropped as late — boundary pinned here
+    val min = 60L * 1000000L
+    val t0 = 1000 * min
+    // in-window match (10m), out-of-window (40m > 30m), wrong user
+    lMem.addData(CdcStream.Ev(1, t0, 7, "click", 0))
+    rMem.addData(CdcStream.Ev(10, t0 + 10 * min, 7, "purchase", 0),
+                 CdcStream.Ev(11, t0 + 40 * min, 7, "purchase", 0),
+                 CdcStream.Ev(12, t0 + 5 * min, 8, "purchase", 0))
+    q.processAllAvailable()
+    // inner join emits on match, BEFORE any watermark movement
+    def pairs() = spark.table("pipelinespec_ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((1L, 10L)), s"pairs: ${pairs()}")
+    // far-future rows on BOTH sides lift the (min-policy) watermark
+    // far past every buffered row's eviction bound …
+    lMem.addData(CdcStream.Ev(2, t0 + 10000 * min, 1, "click", 0))
+    rMem.addData(CdcStream.Ev(13, t0 + 10000 * min, 2, "purchase", 0))
+    q.processAllAvailable()
+    // … and the NEXT batch applies it: the 4 batch-1 rows evict
+    lMem.addData(CdcStream.Ev(3, t0 + 10001 * min, 1, "click", 0))
+    q.processAllAvailable()
+    assert(pairs() == Set((1L, 10L)), s"pairs: ${pairs()}")
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows <= 3, s"interval-join state not evicted: $stateRows")
+    q.stop()
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
