@@ -48,6 +48,36 @@ class TextDedupSpec extends SparkSpec {
     assert(row(4).getAs[String]("scrubbed") == "clean text, no pii at all")
   }
 
+  test("pii: fused native expression == the 8-regex chain, corner-for-corner") {
+    import graft.operators.Pii
+    val corners = Seq(
+      // boundary CREATION: scrubbing the email makes '<EMAIL>4.5.6.7'
+      // where the ip pattern gains the word boundary 'co4' denied it —
+      // the case that forces the replace leg onto the CHAINED text
+      (1L, "reach 1.2.3.a@b.co4.5.6.7 now"),
+      // overlap precedence: phone starts before the email; sequential
+      // scrub (email globally first) must win in the fused path too
+      (2L, "(123)4567890user@x.com"),
+      // every class at once, adjacent
+      (3L, "a@b.co 1.2.3.4 123-45-6789 +14155550199"),
+      // screens: no '@', no digit -> zero regex passes
+      (4L, "plain words only"),
+      // digits but nothing pii-shaped
+      (5L, "room 12 floor 34"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .union(corners.withColumn("doc_id", col("doc_id") + 1000000L))
+    val cols = Seq("doc_id", "n_emails", "n_ips", "n_ids", "n_phones", "scrubbed")
+      .map(col)
+    val fused = Pii.redact(docs, "text").select(cols: _*)
+    val chained = Pii.redactChained(docs, "text").select(cols: _*)
+    assert(fused.exceptAll(chained).isEmpty && chained.exceptAll(fused).isEmpty,
+      "fused PII expression diverges from the chained reference")
+  }
+
   test("span dedup: first occurrence survives, docs reassembled in order") {
     import graft.operators.TextOps
     val docs = Seq(
