@@ -55,10 +55,10 @@ object Dedup {
     * Scale shape: winner election is one hash-agg on the span content
     * (`min(struct)` — map-side combined, so a boilerplate span with
     * 10^8 occurrences costs each map task one buffer entry, not a
-    * reducer hot key); the keep check is an equi-join back on the span
-    * (AQE skew-join splits hot-span partitions); reassembly is a
-    * per-doc hash-agg whose buffer is bounded by document size. No
-    * all-pairs term anywhere.
+    * reducer hot key) whose output rows ARE the kept set — no
+    * join-back (see [[keepFirst]]); reassembly is a per-doc hash-agg
+    * whose buffer is bounded by document size. No all-pairs term
+    * anywhere.
     */
   def spanDedup(docs: DataFrame, idCol: String, spansCol: String,
                 sep: String = " "): DataFrame = {
@@ -92,14 +92,40 @@ object Dedup {
   private def explodeSpans(base: DataFrame): DataFrame =
     base.select(col("doc_id"), posexplode(col("spans")).as(Seq("idx", "span")))
 
-  /** Global first-occurrence filter: winner = min (doc, idx) — a
-    * map-side-combined hash-agg, then a (doc,idx)-exact keep check. */
+  /** Global first-occurrence filter: winner = min (doc, idx) — ONE
+    * map-side-combined hash-agg, whose output rows ARE the kept set
+    * (one row per distinct span, carrying its winning position).
+    *
+    * Two r10 reworks, found chasing the 100× pack:
+    *  - this used to join the exploded spans back against the winners
+    *    to filter to the winning rows — a second full exchange of
+    *    every span occurrence plus an equi-join, all to recover
+    *    exactly the (span, w.doc_id, w.idx) triple the aggregate had
+    *    already produced;
+    *  - the winner was `min(struct(doc_id, idx))`, and struct min is
+    *    not hash-aggregable — Spark planned a SortAggregate pair,
+    *    i.e. TWO full sorts of every span occurrence (pre- and
+    *    post-exchange) just to take a minimum. Packing the pair into
+    *    one long (`doc_id << 20 | idx` — identical ordering for
+    *    non-negative components) turns it into a HashAggregate with
+    *    genuine map-side combine: a boilerplate span with 10^8
+    *    occurrences still costs each map task one long.
+    *
+    * Packing contract: idx < 2^20 (a million spans per document) and
+    * doc_id < 2^43 — violations raise, never mis-order. */
   private def keepFirst(spans: DataFrame): DataFrame = {
-    val winners = spans.groupBy("span")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-    spans.join(winners, "span")
-      .filter(col("w.doc_id") === col("doc_id") && col("w.idx") === col("idx"))
-      .select("doc_id", "idx", "span")
+    val packed = when(
+      col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
+        col("idx") < 0 || col("idx") >= (1L << 20),
+      raise_error(concat(lit("spanDedup: (doc_id, idx) outside the "),
+        lit("packed-winner range (doc_id < 2^43, idx < 2^20): "),
+        col("doc_id"), lit(","), col("idx"))))
+      .otherwise(shiftleft(col("doc_id"), 20) + col("idx"))
+    spans.select(packed.as("packed"), col("span"))
+      .groupBy("span").agg(min(col("packed")).as("w"))
+      .select(shiftright(col("w"), 20).as("doc_id"),
+        col("w").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("idx"),
+        col("span"))
   }
 
   private def rebuildFromKept(base: DataFrame, kept: DataFrame,

@@ -63,6 +63,19 @@ object TextOps {
     */
   def wordChunks(toks: Column, k: Int): Column = {
     require(k > 0, "chunk size must be positive")
+    // r10: routed through the native codegen'd WordChunks kernel —
+    // the HOF chain below is interpreted (lambdas never enter
+    // whole-stage codegen) and dominated dedup_spans at the 100×
+    // pack; [[wordChunksHof]] retains it as the differential-spec
+    // reference and the 1:1 shape of the DuckDB oracle mirror.
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    B.column(graft.functions.WordChunks(B.expression(toks), k))
+  }
+
+  /** The original higher-order-function formulation of
+    * [[wordChunks]] — differential-spec reference. */
+  def wordChunksHof(toks: Column, k: Int): Column = {
+    require(k > 0, "chunk size must be positive")
     when(size(toks) <= 0, array().cast("array<string>"))
       // sequence() with start > stop counts DOWN — the empty-array
       // case above keeps it from fabricating chunk [0, -1]

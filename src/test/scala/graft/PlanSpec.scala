@@ -164,13 +164,18 @@ class PlanSpec extends SparkSpec {
     new java.io.File(path).delete()
   }
 
-  test("span dedup elects winners with a partial (map-side) aggregate") {
+  test("span dedup elects winners with a partial HASH aggregate") {
     val plan = formatted("dedup_spans")
-    // min(struct) must partial-aggregate before its exchange — the
+    // the winner min must partial-aggregate before its exchange — the
     // hot-span safety argument (a 10^8-occurrence boilerplate span
-    // combines map-side instead of landing on one reducer)
-    assert(plan.contains("partial_min(struct(doc_id"),
-      s"no partial min aggregation in:\n$plan")
+    // combines map-side instead of landing on one reducer) — and
+    // since r10 over the PACKED long, so it plans as a HashAggregate:
+    // the struct formulation fell back to a SortAggregate pair (two
+    // full sorts of every span occurrence)
+    assert(plan.contains("partial_min(packed"),
+      s"no partial min over the packed winner in:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"winner election regressed to sort aggregation in:\n$plan")
   }
 
   test("hll distinct state partially aggregates map-side; sketch crosses the shuffle") {
