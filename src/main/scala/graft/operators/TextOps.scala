@@ -107,6 +107,20 @@ object TextOps {
     * the sf0.1 3-gram explode). Bound as an attribute each reference
     * is an O(1) array read. */
   def ngrams(toks: Column, n: Int): Column = {
+    // r10: routed through the native codegen'd NGrams kernel — like
+    // wordChunks, the HOF chain below evaluates interpreted and gets
+    // re-evaluated by a downstream explode's inferred filters;
+    // [[ngramsHof]] retains it as the differential-spec reference.
+    // The materialized-toks caller contract above still applies: the
+    // kernel reads its child once per evaluation, but a non-attribute
+    // child is still re-evaluated per reference SITE by Catalyst.
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    B.column(graft.functions.NGrams(B.expression(toks), n))
+  }
+
+  /** The original higher-order-function formulation of [[ngrams]] —
+    * differential-spec reference. */
+  def ngramsHof(toks: Column, n: Int): Column = {
     // statically unrolled element_at chain (n is a plan-time constant):
     // no per-shingle array slicing, just n O(1) element reads + concat.
     val sh = transform(

@@ -136,6 +136,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("ngrams: native kernel == HOF formulation over corpus + corners") {
+    val corners = Seq((1000001L, ""), (1000002L, "one"),
+      (1000003L, "a b"), (1000004L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .union(corners)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val toks = split(col("text"), " ")
+      val diff = docs.select(col("doc_id"),
+          TextOps.ngrams(toks, n).as("native"),
+          TextOps.ngramsHof(toks, n).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+      assert(diff.isEmpty, s"ngrams n=$n diverges from the HOF chain")
+    }
+  }
+
   test("wordChunks: ragged tail, empty input, chunk arithmetic") {
     import graft.operators.TextOps
     val got = Seq("a b c d e", "a", "")
