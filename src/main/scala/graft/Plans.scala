@@ -51,7 +51,9 @@ object Plans {
       "cdc_history_scd2", "cdc_path_counts", "cdc_value_ema", "cdc_lttb",
       "text_chunks", "sample_temperature",
       "graph_betweenness", "graph_modularity", "graph_closeness",
-      "corpus_domain_cap")
+      "corpus_domain_cap",
+      "graph_pagerank_personalized", "graph_random_walks",
+      "graph_walk_pairs")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -674,6 +674,139 @@ object GraphOps {
     (ranks, n)
   }
 
+  /** B20 (r10): PERSONALIZED PageRank (Neo4j GDS `pageRank` with
+    * `sourceNodes` — topic-sensitive PageRank, the recommendation
+    * workhorse): teleport goes to the SEED distribution p (uniform
+    * over `seeds`, 0 elsewhere) instead of 1/N, and dangling mass
+    * likewise re-enters through p, so total mass stays exactly 1 and
+    * scores read as "probability a seed-restarting surfer is here":
+    *
+    *   r_{t+1}(v) = (1−d)·p(v) + d·( Σ_{u→v} r_t(u)/out(u) + dm·p(v) )
+    *
+    * with r_0 = p and dm = Σ_{dangling u} r_t(u). Nodes unreachable
+    * from the seed set hold rank EXACTLY 0 (never the 1/N floor
+    * global PageRank gives them) — that sparsity is the point of the
+    * personalized variant and what the spec pins.
+    *
+    * Same loop discipline as [[pageRankDirectedWithN]]: invariants
+    * (edge+outdeg payload, dangling set, node relation) pinned once;
+    * the rank state localCheckpoint'ed per round because it is
+    * referenced twice (dangling aggregate + contribution join). The
+    * seed distribution is a |seeds|-row broadcast — never a shuffle
+    * key. Fixed `iters` keeps the recurrence a pure function of
+    * (edges, seeds) for the DuckDB chained-CTE replay; 6dp output
+    * rounding absorbs sum-order ulps (callers).
+    *
+    * Output: (node, rank) for EVERY node of the graph. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "personalizedPageRank: seed set must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("a"), col("b")).distinct()
+      .transform(pin)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+      .transform(pin)
+    val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
+    val withOut = e0.join(outdeg, "a").transform(pin)
+    val dangling = nodes.join(outdeg.select(col("a").as("node")),
+        Seq("node"), "left_anti")
+      .transform(pin)
+    val seedP = seeds.distinct.toDF("node")
+      .withColumn("p", lit(1.0 / seeds.distinct.size))
+    // p(v) joined per round as a broadcast; coalesce(0) off-seed
+    var ranks = nodes.join(broadcast(seedP), Seq("node"), "left")
+      .select(col("node"), coalesce(col("p"), lit(0.0)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(dangling, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val inc = withOut.join(ranks, col("a") === col("node"))
+        .select(col("b"), (col("rank") / col("out")).as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(inc, col("node") === col("b"), "left")
+        .join(broadcast(seedP), Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping) * coalesce(col("p"), lit(0.0)) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) +
+              col("dm") * coalesce(col("p"), lit(0.0))))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** B21 (r10): DETERMINISTIC random walks over the undirected graph
+    * (Neo4j GDS `randomWalk`, and the sampling half of node2vec —
+    * the step that turns a graph into skip-gram training data for
+    * embedding models). Each seed node starts `walksPerSeed` walks of
+    * exactly `steps` hops; the next hop from `node` on walk `w` at
+    * step `i` is chosen from the SORTED neighbor array by a hash that
+    * both engines compute exactly in 64-bit integers:
+    *
+    *   idx = pmod(w·1000003 + i·10007 + node·101, 1000000007) mod deg
+    *
+    * Determinism instead of entropy is deliberate (the [[splitAssign]]
+    * / bottom-k convention): the same graph always yields the same
+    * corpus — reproducible training data, shard-order independence,
+    * and a DuckDB chained-CTE replay as a FULL oracle, where a true
+    * RNG would leave only rows-only checks. The hash mixes walk id,
+    * step, AND current node, so revisiting a node inside one walk
+    * still re-rolls, and parallel walks from one seed diverge.
+    *
+    * Scale shape: the adjacency build is one hash-agg of the |E|
+    * undirected rows (arrays bounded by true degree — the same
+    * relation the triangle/similarity tier materializes); each step
+    * is ONE equi-join of the |walks| frontier against it, state
+    * localCheckpoint'ed per step. Nothing is ever all-pairs, and the
+    * trace volume is |seeds|·walksPerSeed·(steps+1) rows by
+    * construction — the caller prices the corpus up front.
+    *
+    * Contract: seeds not present in the graph are dropped (semi-join)
+    * rather than emitting a dead 1-row walk; |node·walksPerSeed|
+    * must stay inside long range (walk ids pack as
+    * node·walksPerSeed + k).
+    *
+    * Output: (walk_id, step, node) — step 0 is the seed row. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, walksPerSeed: Int,
+                  steps: Int): DataFrame = {
+    require(walksPerSeed >= 1, s"randomWalks: walksPerSeed >= 1, got $walksPerSeed")
+    require(steps >= 1, s"randomWalks: steps >= 1, got $steps")
+    val und = undirected(edges).transform(pin)
+    val adj = und.groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("nb"),
+        count(lit(1)).as("deg"))
+      .transform(pin)
+    var cur = seeds.select(col("node")).distinct()
+      .join(adj.select("node"), Seq("node"), "left_semi")
+      .withColumn("w", explode(sequence(lit(0), lit(walksPerSeed - 1))))
+      .select((col("node") * walksPerSeed + col("w")).as("walk_id"),
+        col("node"))
+      .localCheckpoint()
+    var acc = cur.select(col("walk_id"), lit(0).as("step"), col("node"))
+    for (i <- 1 to steps) {
+      // BROADCAST the frontier, never shuffle the adjacency: the
+      // frontier is |seeds|·walksPerSeed rows by construction (walk
+      // fleets are seed-sampled — that is the operator's point),
+      // while the adjacency side carries every neighbor array. A
+      // stats-blind shuffle join here exchanged the full array
+      // relation per step (measured ~12 s of the 100× entry).
+      cur = adj.join(broadcast(cur), "node")
+        .select(col("walk_id"),
+          element_at(col("nb"),
+            (pmod(col("walk_id") * lit(1000003L) + lit(10007L * i) +
+                col("node") * lit(101L), lit(1000000007L)) % col("deg"))
+              .cast("int") + 1).as("node"))
+        .localCheckpoint()
+      acc = acc.union(cur.select(col("walk_id"), lit(i).as("step"),
+        col("node")))
+    }
+    acc
+  }
+
   /** HITS hubs-and-authorities (Neo4j GDS `alpha.hits`) with a FIXED
     * iteration count and L1 normalization — the directed complement
     * to PageRank: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}

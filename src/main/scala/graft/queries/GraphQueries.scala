@@ -292,6 +292,54 @@ object GraphQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // B20 (r10): personalized PageRank from the supplier seed set
+    // {1–4} (the betweenness seed convention) over the directed
+    // supplier→customer supply graph — "which customers matter to
+    // THESE suppliers", the GDS sourceNodes recommendation shape.
+    // Unreachable nodes stay exactly 0 (left join, no 1/N floor);
+    // ranks sum to 1 every round (dangling mass re-enters through
+    // the seed distribution).
+    "graph_pagerank_personalized" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(supplyEdges(s, dir),
+          seeds = Seq(-1L, -2L, -3L, -4L), iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")),
+
+    // B21 (r10): deterministic random walks over the full undirected
+    // supply graph — GDS randomWalk / the node2vec sampling step that
+    // turns a graph into embedding training data. Seeds = every 7th
+    // supplier, 2 walks each, 5 hops; the hash-driven next-hop choice
+    // is exact integer arithmetic, so DuckDB replays the walks
+    // verbatim (a true RNG would leave only a rows-only check).
+    "graph_random_walks" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      GraphOps.randomWalks(e, seeds, walksPerSeed = 2, steps = 5)
+        .orderBy("walk_id", "step")
+    }),
+
+    // B21b (r10): skip-gram pair extraction from the walk corpus
+    // (window 2, both directions, multiplicity kept) — the exact
+    // (center, context, count) shape a word2vec-style embedding
+    // trainer consumes. Self-join on walk_id: |trace|·(2·window)
+    // rows, never all-pairs.
+    "graph_walk_pairs" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      val trace = GraphOps.randomWalks(e, seeds, walksPerSeed = 2, steps = 5)
+      val l = trace.select(col("walk_id"), col("step").as("ls"),
+        col("node").as("center"))
+      val r = trace.select(col("walk_id"), col("step").as("rs"),
+        col("node").as("context"))
+      l.join(r, "walk_id")
+        .filter(col("ls") =!= col("rs") &&
+          abs(col("ls") - col("rs")) <= 2)
+        .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+        .orderBy("center", "context")
+    }),
+
     // B17 (r10): sampled, hop-bounded betweenness centrality (GDS
     // `betweenness` with samplingSize — VERDICT r9 #2, the last
     // widely-used Neo4j algorithm class with no entry). Exact Brandes
@@ -431,6 +479,55 @@ object GraphQueries extends QueryPack {
              FROM e0 e JOIN r${i - 1} r ON e.a = r.node
                        JOIN od ON e.a = od.a
              GROUP BY e.b) c ON n.node = c.node)"""
+
+  // One deterministic-walk step: next node picked from the sorted
+  // neighbor list by the EXACT integer hash the Spark operator
+  // computes (pmod spelled out — DuckDB % keeps the dividend's
+  // sign); list indexing is 1-based in both engines.
+  private def walkIter(i: Int) =
+    s"""w$i AS MATERIALIZED (SELECT walk_id, $i AS step,
+           adj.nb[((walk_id * 1000003 + ${10007L * i} + w.node * 101)
+                   % 1000000007 + 1000000007) % 1000000007 % adj.deg + 1]
+             AS node
+         FROM w${i - 1} w JOIN adj ON w.node = adj.node)"""
+
+  // The shared walk-trace CTE prefix (adjacency, seed walks, 5 steps)
+  private def walkTraceSql =
+    s"""${edgeSql("")},
+          adj AS MATERIALIZED (
+             SELECT a AS node, list(b ORDER BY b) AS nb, count(*) AS deg
+             FROM und GROUP BY a),
+          seeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
+          w0 AS MATERIALIZED (
+             SELECT node * 2 + k AS walk_id, 0 AS step, node
+             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+             WHERE node IN (SELECT node FROM adj)),
+          ${(1 to 5).map(walkIter).mkString(",\n")},
+          trace AS MATERIALIZED (
+             SELECT * FROM w0 UNION ALL SELECT * FROM w1
+             UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+             UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5)"""
+
+  // One personalized-PageRank round: identical join shape to
+  // prDirIter, but teleport AND dangling mass flow through the seed
+  // distribution p (coalesced to 0 off-seed). Arithmetic structured
+  // EXACTLY as the Spark expression:
+  //   (1−0.85)·p + 0.85·(s + dm·p)
+  private def pprIter(i: Int) =
+    s"""pg$i AS (SELECT coalesce(sum(r.rank), 0e0) AS dm
+           FROM pr${i - 1} r LEFT JOIN od ON r.node = od.a
+           WHERE od.a IS NULL),
+        pr$i AS MATERIALIZED (SELECT n.node,
+           (1 - 0.85e0) * coalesce(sp.p, 0e0) + 0.85e0 *
+             (coalesce(c.s, 0e0) +
+              (SELECT dm FROM pg$i) * coalesce(sp.p, 0e0)) AS rank
+           FROM nodes n
+           LEFT JOIN (
+             SELECT e.b AS node, sum(r.rank / od.outd) AS s
+             FROM e0 e JOIN pr${i - 1} r ON e.a = r.node
+                       JOIN od ON e.a = od.a
+             GROUP BY e.b) c ON n.node = c.node
+           LEFT JOIN s0 sp ON n.node = sp.node)"""
 
   // One HITS round in the RAW (unnormalized) form the r10 operator
   // carries: sparse authority sums from the previous raw hub vector,
@@ -681,6 +778,30 @@ object GraphQueries extends QueryPack {
           ${(1 to 3).map(prDirIter).mkString(",\n")}
           SELECT node, round(rank * (SELECT cnt FROM nn), 6) AS rank_x_n
           FROM r3 ORDER BY node""",
+    "graph_random_walks" ->
+      s"""WITH $walkTraceSql
+          SELECT walk_id, step, node FROM trace
+          ORDER BY walk_id, step""",
+    "graph_walk_pairs" ->
+      s"""WITH $walkTraceSql
+          SELECT l.node AS center, r.node AS context,
+                 count(*) AS cnt
+          FROM trace l JOIN trace r ON l.walk_id = r.walk_id
+          WHERE l.step <> r.step AND abs(l.step - r.step) <= 2
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "graph_pagerank_personalized" ->
+      s"""WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+          od AS MATERIALIZED (SELECT a, count(*) AS outd FROM e0 GROUP BY a),
+          s0 AS (SELECT unnest([-1, -2, -3, -4]) AS node, 0.25e0 AS p),
+          pr0 AS (SELECT n.node, coalesce(sp.p, 0e0) AS rank
+                  FROM nodes n LEFT JOIN s0 sp ON n.node = sp.node),
+          ${(1 to 3).map(pprIter).mkString(",\n")}
+          SELECT node, round(rank, 6) AS rank
+          FROM pr3 ORDER BY node""",
     "graph_degree" ->
       """SELECT o_custkey AS node_id, count(*) AS out_degree, round(sum(o_totalprice), 4) AS weight
          FROM orders GROUP BY o_custkey ORDER BY node_id""",

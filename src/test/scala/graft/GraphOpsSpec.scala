@@ -262,6 +262,69 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r1(3L) - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
   }
 
+  test("personalizedPageRank: hand arithmetic on the path, seed sparsity, mass 1") {
+    val s = spark
+    import s.implicits._
+    // a→b→c with seed {a}: c is a dangling sink whose mass re-enters
+    // through the SEED, not uniformly. Hand-computed (d = 0.85):
+    //   r0 = (1, 0, 0)
+    //   r1 = (0.15, 0.85, 0)          dm = r0(c) = 0
+    //   r2 = (0.15, 0.1275, 0.7225)   dm = r1(c) = 0
+    //   r3 = (0.15 + 0.85·0.7225, 0.85·0.15, 0.85·0.1275)
+    //      = (0.764125, 0.1275, 0.108375)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r3 = GraphOps.personalizedPageRank(e, seeds = Seq(1L), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r3(1L) - 0.764125) < 1e-12, s"r3=$r3")
+    assert(math.abs(r3(2L) - 0.1275) < 1e-12)
+    assert(math.abs(r3(3L) - 0.108375) < 1e-12)
+    assert(math.abs(r3.values.sum - 1.0) < 1e-12, "mass must stay 1")
+    // seed sparsity: a component unreachable from the seeds holds
+    // rank EXACTLY 0 — no global-PageRank 1/N floor
+    val twoComp = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val r = GraphOps.personalizedPageRank(twoComp, seeds = Seq(1L), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) == 0.0 && r(11L) == 0.0,
+      s"unreachable nodes must hold exactly 0: $r")
+    assert(r(1L) > 0 && r(2L) > 0)
+    // multi-seed: teleport splits uniformly over the seed set
+    val rm = GraphOps.personalizedPageRank(twoComp,
+        seeds = Seq(1L, 10L), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(rm(2L) - rm(11L)) < 1e-15,
+      "symmetric seeds must score symmetric neighborhoods equally")
+  }
+
+  test("randomWalks: hand-checked hops, walk shape, determinism, edge validity") {
+    val s = spark
+    import s.implicits._
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val seeds = Seq(1L).toDF("node")
+    def run() = GraphOps.randomWalks(e, seeds, walksPerSeed = 2, steps = 3)
+    val trace = run().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // shape: 2 walks × (steps + 1) rows, both starting at the seed
+    assert(trace.length == 8)
+    assert(trace.filter(_._2 == 0).map(_._3).toSeq == Seq(1L, 1L))
+    // hand-checked first hop from node 1 (nb = [2, 3], deg 2):
+    //   walk 2 = 1·2+0: (2·1000003 + 10007 + 1·101) = 2010114, even → nb[1] = 2
+    //   walk 3 = 1·2+1: (3·1000003 + 10007 + 1·101) = 3010117, odd  → nb[2] = 3
+    val hop1 = trace.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(hop1 == Map(2L -> 2L, 3L -> 3L), s"hop1=$hop1")
+    // every consecutive hop is a real undirected edge
+    val und = GraphOps.undirected(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWalk = trace.groupBy(_._1).values
+    for (w <- byWalk; Array(p, q) <- w.sortBy(_._2).sliding(2).map(_.toArray))
+      assert(und((p._3, q._3)), s"hop ${p._3}->${q._3} is not an edge")
+    // deterministic: a second build yields the identical trace
+    val again = run().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(trace.sorted.toSeq == again.sorted.toSeq)
+    // off-graph seeds start nothing (semi-join contract)
+    assert(GraphOps.randomWalks(e, Seq(99L).toDF("node"), 2, 3).count() == 0)
+  }
+
   test("hits: hand arithmetic on the 2-path, L1 mass, hub/auth split") {
     val s = spark
     import s.implicits._
