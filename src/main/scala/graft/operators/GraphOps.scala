@@ -868,6 +868,46 @@ object GraphOps {
     (out, n)
   }
 
+  /** B22 (r10): eigenvector centrality (Neo4j GDS `eigenvector`) with
+    * a FIXED iteration count on the UNDIRECTED graph — power
+    * iteration x_{t+1} = A·x_t from x_0 = 1/N, completing the
+    * centrality family (degree / PageRank / betweenness / harmonic
+    * closeness / HITS). Carries the RAW (unnormalized) vector and
+    * normalizes ONCE at output to L1 (Σ = 1) — per-round rescaling
+    * cancels by linearity, the same r10 HITS lesson, and halves the
+    * per-round materializations. One join + hash-agg per round over
+    * the symmetrized relation; state localCheckpoint'ed per round
+    * (single reference per round, but truncation keeps the plan
+    * depth constant). Fixed rounds = a pure function of the edge
+    * list, so the DuckDB chained-CTE replay is exact; 6dp output
+    * rounding absorbs sum-order ulps (callers).
+    *
+    * Output: ((node, score), N), L1-normalized; isolated nodes cannot
+    * exist post-symmetrization, so coverage is every graph node. N is
+    * returned for the callers' ·N display scaling (the B7/B15
+    * convention — raw L1 scores are ~1/N and would vanish under the
+    * 6dp output rounding at large N). */
+  def eigenvectorCentralityWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
+    require(iters >= 1, s"eigenvector: iters must be >= 1, got $iters")
+    val und = undirected(edges).transform(pin)
+    val nodes = und.select(col("a").as("node")).distinct()
+      .transform(pin)
+    val n = nodes.count() // scalar collect — model-fit class
+    var x = nodes.withColumn("x", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      x = und.join(x, col("b") === col("node"))
+        .groupBy(col("a").as("node")).agg(sum(col("x")).as("x"))
+        .localCheckpoint()
+    }
+    val xs = x.agg(sum(col("x")).as("xs"))
+    val out = nodes
+      .join(x.select(col("node"), col("x").as("xr")), Seq("node"), "left")
+      .crossJoin(broadcast(xs))
+      .select(col("node"),
+        (coalesce(col("xr"), lit(0.0)) / col("xs")).as("score"))
+    (out, n)
+  }
+
   /** Node similarity (Neo4j GDS `nodeSimilarity` analog): top-k entity
     * pairs by Jaccard similarity of their feature/neighbor sets, from
     * a bipartite (entity, feature) edge list, with the two-pass degree

@@ -277,6 +277,18 @@ object GraphQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // B22 (r10): eigenvector centrality — 3 power-iteration rounds on
+    // the undirected supply graph, raw vector carried, ONE L1
+    // normalization at output (the r10 HITS linearity lesson);
+    // score·N display scaling like B7/B15.
+    "graph_eigenvector" -> ((s, dir) => {
+      val (ev, n) = GraphOps.eigenvectorCentralityWithN(
+        supplyEdges(s, dir), iters = 3)
+      ev.select(col("node"),
+          round(col("score") * lit(n), 6).as("score_x_n"))
+        .orderBy("node")
+    }),
+
     // B15 (r9): PageRank in the DIRECTED (GDS NATURAL) orientation
     // with dangling-mass redistribution (VERDICT r8 #8). The supply
     // graph directed supplier→customer makes every customer a pure
@@ -480,6 +492,13 @@ object GraphQueries extends QueryPack {
                        JOIN od ON e.a = od.a
              GROUP BY e.b) c ON n.node = c.node)"""
 
+  // One power-iteration round: x_{t+1}(a) = Σ_{(a,b)} x_t(b) over the
+  // symmetrized relation — RAW (unnormalized), the single L1 division
+  // happens in the final projection (linearity, the HITS convention).
+  private def evIter(i: Int) =
+    s"""x$i AS MATERIALIZED (SELECT u.a AS node, sum(x.x) AS x
+           FROM und u JOIN x${i - 1} x ON u.b = x.node GROUP BY u.a)"""
+
   // One deterministic-walk step: next node picked from the sorted
   // neighbor list by the EXACT integer hash the Spark operator
   // computes (pmod spelled out — DuckDB % keeps the dividend's
@@ -679,6 +698,18 @@ object GraphQueries extends QueryPack {
                        * (SELECT cnt FROM nn), 6) AS auth_x_n
           FROM nodes n LEFT JOIN h3 h ON n.node = h.node
                        LEFT JOIN a3 a ON n.node = a.node
+          ORDER BY n.node""",
+    "graph_eigenvector" ->
+      s"""WITH ${edgeSql("")},
+          evnodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),
+          nn AS (SELECT count(*) AS cnt FROM evnodes),
+          x0 AS (SELECT node, 1.0e0 / cnt AS x FROM evnodes, nn),
+          ${(1 to 3).map(evIter).mkString(",\n")},
+          xs AS (SELECT sum(x) AS xs FROM x3)
+          SELECT n.node,
+                 round(coalesce(x.x, 0e0) / (SELECT xs FROM xs)
+                       * (SELECT cnt FROM nn), 6) AS score_x_n
+          FROM evnodes n LEFT JOIN x3 x ON n.node = x.node
           ORDER BY n.node""",
     "graph_pagerank" ->
       s"""WITH ${edgeSql("")},

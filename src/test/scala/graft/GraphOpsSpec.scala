@@ -295,6 +295,27 @@ class GraphOpsSpec extends SparkSpec {
       "symmetric seeds must score symmetric neighborhoods equally")
   }
 
+  test("eigenvectorCentrality: hand arithmetic on triangle+pendant, L1 mass") {
+    // triangle {1,2,3} + pendant 4 on 3. Raw power iteration from
+    // x0 = 1/4 (L1 div ONCE at output):
+    //   x1 = (1/2, 1/2, 3/4, 1/4)
+    //   x2 = (5/4, 5/4, 5/4, 3/4), L1 = 4.5
+    //   → scores (5/18, 5/18, 5/18, 1/6)
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val (ev, n) = GraphOps.eigenvectorCentralityWithN(e, iters = 2)
+    assert(n == 4L)
+    val s = ev.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(s(1L) - 5.0 / 18) < 1e-12, s"scores=$s")
+    assert(math.abs(s(2L) - 5.0 / 18) < 1e-12)
+    assert(math.abs(s(3L) - 5.0 / 18) < 1e-12)
+    assert(math.abs(s(4L) - 1.0 / 6) < 1e-12)
+    assert(math.abs(s.values.sum - 1.0) < 1e-12, "L1 mass must be 1")
+    // more rounds separate the well-connected core from the pendant
+    val (ev5, _) = GraphOps.eigenvectorCentralityWithN(e, iters = 5)
+    val s5 = ev5.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s5(3L) > s5(4L), "hub must outrank the pendant")
+  }
+
   test("randomWalks: hand-checked hops, walk shape, determinism, edge validity") {
     val s = spark
     import s.implicits._
