@@ -84,6 +84,46 @@ object TextOps {
         i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
   }
 
+  /** F12 (r10): BM25 relevance of every document against the corpus's
+    * own top-`nTerms` tokens (count desc, token asc — deterministic).
+    * Okapi BM25 with k1 = 1.2, b = 0.75:
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)),
+    *   idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    * Dataflow: one token hash-agg for term stats, tf restricted to
+    * the term broadcast BEFORE its per-(doc,term) agg, doc lengths
+    * one hash-agg, corpus scalars a 1-row crossJoin; avglen is an
+    * EXPLICIT exact-long-sum / count division (engine avg()
+    * implementations differ). Output (doc_id, n_terms, bm25) for
+    * docs holding ≥ 1 query term, bm25 rounded 4dp (the ln/sum-order
+    * ulp stance). */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, nTerms: Int = 5): org.apache.spark.sql.DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val terms = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(nTerms).select("tok")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val tf = toks.join(broadcast(terms), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("sc")), 4).as("bm25"))
+  }
+
   /** Distinct word n-gram shingles of the token array. Shingling (vs
     * unigram word sets) is what makes Jaccard discriminative on a
     * small vocabulary: contiguous n-grams capture ordering, so only

@@ -248,6 +248,26 @@ object TextQueries extends QueryPack {
     // model while it fits, shuffle-joins beyond — vocab grows
     // sublinearly in corpus size). 4-dp rounding absorbs ln/avg
     // ulp-order differences (the repo-wide float-oracle stance).
+    // F12 (r10): BM25 relevance scoring — the retrieval scorer that
+    // complements the ANN tier (lexical search next to vector
+    // search) and the standard quality-weighting signal in corpus
+    // curation. Query = the corpus's own top-5 tokens (count desc,
+    // token asc — deterministic, no hardcoded vocabulary), scored
+    // over every document containing at least one:
+    //   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)),
+    //   idf = ln((N − df + 0.5)/(df + 0.5) + 1), k1 = 1.2, b = 0.75.
+    // Dataflow: one token hash-agg for the term stats, tf restricted
+    // to the 5-term broadcast BEFORE its per-(doc,term) agg (the
+    // token stream never shuffles unfiltered), doc lengths one more
+    // hash-agg, corpus scalars a 1-row crossJoin. avglen is an
+    // EXPLICIT exact-long-sum / count division (engine avg()
+    // implementations differ); every literal is double on both
+    // sides; 4dp rounding absorbs ln/sum-order ulps (the
+    // unigram-ppl stance).
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "text_unigram_ppl" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
@@ -314,6 +334,29 @@ object TextQueries extends QueryPack {
   private[graft] val piiPhone = graft.operators.Pii.Phone
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents WHERE text IS NOT NULL),
+           tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+           terms AS (SELECT tok FROM (
+               SELECT tok, count(*) AS c FROM tk GROUP BY tok
+               ORDER BY c DESC, tok LIMIT 5)),
+           dl AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+           stats AS (SELECT count(*) AS nd,
+                            CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+                     FROM dl),
+           tf AS (SELECT doc_id, tok, count(*) AS tf
+                  FROM tk JOIN terms USING (tok) GROUP BY doc_id, tok),
+           dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         SELECT tf.doc_id, count(*) AS n_terms,
+                round(sum(
+                  ln((nd - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
+                  * (tf * 2.2e0) /
+                  (tf + 1.2e0 * (0.25e0 + 0.75e0 * len / avglen))), 4)
+                  AS bm25
+         FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+         GROUP BY tf.doc_id ORDER BY tf.doc_id""",
     "text_unigram_ppl" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents WHERE text IS NOT NULL),

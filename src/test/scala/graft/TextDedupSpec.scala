@@ -136,6 +136,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("bm25: hand arithmetic, term selection, doc coverage") {
+    // corpus: d1 "a a b", d2 "a c", d3 "b b b c" — term counts
+    // b=4, a=3, c=2 (all inside top-5); N=3, lens (3,2,4), avglen=3,
+    // df(a)=df(b)=df(c)=2 ⇒ idf = ln((3−2+0.5)/2.5 + 1) = ln(1.6).
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val idf = math.log(1.6)
+    def term(tf: Long, len: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / 3.0))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // d1: a(tf2) + b(tf1), len 3 → 1.2*(0.25+0.75)=1.2 denominator add
+    assert(got(1L)._1 == 2L)
+    assert(got(1L)._2 == r4(term(2, 3) + term(1, 3)), s"d1=${got(1L)}")
+    // d2: a(1) + c(1), len 2
+    assert(got(2L)._2 == r4(term(1, 2) + term(1, 2)), s"d2=${got(2L)}")
+    // d3: b(3) + c(1), len 4
+    assert(got(3L)._1 == 2L)
+    assert(got(3L)._2 == r4(term(3, 4) + term(1, 4)), s"d3=${got(3L)}")
+    // a doc with NO query term drops out; rarer term outscores common
+    // at equal tf (idf monotone in 1/df)
+    val docs2 = docs.union(Seq((4L, "zz")).toDF("doc_id", "text"))
+    val g2 = TextOps.bm25(docs2, "doc_id", "text", nTerms = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(!g2.contains(4L), "termless doc must not be scored")
+  }
+
   test("ngrams: native kernel == HOF formulation over corpus + corners") {
     val corners = Seq((1000001L, ""), (1000002L, "one"),
       (1000003L, "a b"), (1000004L, "a b c d e")).toDF("doc_id", "text")
