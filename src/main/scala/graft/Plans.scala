@@ -53,7 +53,8 @@ object Plans {
       "graph_betweenness", "graph_modularity", "graph_closeness",
       "corpus_domain_cap",
       "graph_pagerank_personalized", "graph_random_walks",
-      "graph_walk_pairs", "graph_eigenvector", "text_bm25")
+      "graph_walk_pairs", "graph_eigenvector", "text_bm25",
+      "graph_sample_neighborhood")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -868,6 +868,56 @@ object GraphOps {
     (out, n)
   }
 
+  /** B23 (r10): DETERMINISTIC fanout neighborhood sampling — the
+    * GraphSAGE-style mini-batch loader step (sample ≤ f_h neighbors
+    * per frontier node at hop h), layer-wise: the hop-h frontier is
+    * the DISTINCT sampled endpoints of hop h−1, deduplicated across
+    * seeds (the FastGCN/LADIES-shape variant — per-seed trees would
+    * re-expand shared hubs once per seed). Like [[randomWalks]], the
+    * choice is a hash rank, not an RNG:
+    *
+    *   rank = row_number over (src) ordered by
+    *          pmod(src·31 + dst·1000003 + hop·10007, 1000000007), dst
+    *
+    * so the sampled subgraph is a pure function of (edges, seeds,
+    * fanouts) — reproducible mini-batches and a FULL DuckDB replay
+    * (QUALIFY row_number twin). The dst tie-break makes the rank
+    * total even under hash collisions.
+    *
+    * Scale shape: each hop BROADCASTS the frontier into the edge
+    * relation (frontier = Π f_h bounded by construction), then one
+    * window rank over the candidate rows — volume Σ deg(frontier),
+    * never |E|; a hub lands its candidates in one partition (the
+    * same per-node bound as the adjacency-array tier). Sampled
+    * output per hop is ≤ |frontier|·f_h rows, localCheckpoint'ed.
+    *
+    * Output: (hop, src, dst) — the sampled edge list, hop 1-based. */
+  def sampleNeighborhood(edges: DataFrame, seeds: DataFrame,
+                         fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"sampleNeighborhood: fanouts must be >= 1, got $fanouts")
+    import org.apache.spark.sql.expressions.Window
+    val und = undirected(edges).transform(pin)
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint()
+    var acc: DataFrame = null
+    for ((f, idx) <- fanouts.zipWithIndex) {
+      val hop = idx + 1
+      val cand = und.join(broadcast(frontier), col("a") === col("node"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val rk = row_number().over(Window.partitionBy("src").orderBy(
+        pmod(col("src") * lit(31L) + col("dst") * lit(1000003L) +
+          lit(10007L * hop), lit(1000000007L)),
+        col("dst")))
+      val sampled = cand.withColumn("rk", rk).filter(col("rk") <= f)
+        .select(lit(hop).as("hop"), col("src"), col("dst"))
+        .localCheckpoint()
+      acc = if (acc == null) sampled else acc.union(sampled)
+      frontier = sampled.select(col("dst").as("node")).distinct()
+        .localCheckpoint()
+    }
+    acc
+  }
+
   /** B22 (r10): eigenvector centrality (Neo4j GDS `eigenvector`) with
     * a FIXED iteration count on the UNDIRECTED graph — power
     * iteration x_{t+1} = A·x_t from x_0 = 1/N, completing the

@@ -352,6 +352,19 @@ object GraphQueries extends QueryPack {
         .orderBy("center", "context")
     }),
 
+    // B23 (r10): GraphSAGE-style fanout neighborhood sampling —
+    // fanouts (3, 2) from the supplier seed stratum over the
+    // undirected supply graph, layer-wise (frontier deduplicated
+    // across seeds). Deterministic hash rank ⇒ FULL oracle replay
+    // (QUALIFY row_number twin).
+    "graph_sample_neighborhood" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      GraphOps.sampleNeighborhood(e, seeds, fanouts = Seq(3, 2))
+        .orderBy("hop", "src", "dst")
+    }),
+
     // B17 (r10): sampled, hop-bounded betweenness centrality (GDS
     // `betweenness` with samplingSize — VERDICT r9 #2, the last
     // widely-used Neo4j algorithm class with no entry). Exact Brandes
@@ -813,6 +826,31 @@ object GraphQueries extends QueryPack {
       s"""WITH $walkTraceSql
           SELECT walk_id, step, node FROM trace
           ORDER BY walk_id, step""",
+    "graph_sample_neighborhood" ->
+      s"""WITH ${edgeSql("")},
+          sgseeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
+          c1 AS (SELECT u.a AS src, u.b AS dst
+                 FROM und u JOIN sgseeds s ON u.a = s.node),
+          s1 AS MATERIALIZED (
+             SELECT 1 AS hop, src, dst FROM (
+               SELECT src, dst, row_number() OVER (PARTITION BY src
+                 ORDER BY ((src * 31 + dst * 1000003 + 10007)
+                           % 1000000007 + 1000000007) % 1000000007, dst)
+                 AS rk FROM c1)
+             WHERE rk <= 3),
+          f1 AS (SELECT DISTINCT dst AS node FROM s1),
+          c2 AS (SELECT u.a AS src, u.b AS dst
+                 FROM und u JOIN f1 s ON u.a = s.node),
+          s2 AS MATERIALIZED (
+             SELECT 2 AS hop, src, dst FROM (
+               SELECT src, dst, row_number() OVER (PARTITION BY src
+                 ORDER BY ((src * 31 + dst * 1000003 + 20014)
+                           % 1000000007 + 1000000007) % 1000000007, dst)
+                 AS rk FROM c2)
+             WHERE rk <= 2)
+          SELECT hop, src, dst FROM
+            (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+          ORDER BY hop, src, dst""",
     "graph_walk_pairs" ->
       s"""WITH $walkTraceSql
           SELECT l.node AS center, r.node AS context,

@@ -316,6 +316,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(s5(3L) > s5(4L), "hub must outrank the pendant")
   }
 
+  test("sampleNeighborhood: hash-rank selection, fanout caps, layer frontier") {
+    val s = spark
+    import s.implicits._
+    // hub 1 with neighbors {2, 3, 1000} — 1000's hash WRAPS past the
+    // modulus (1000·1000003 ≡ 13 027 small), so hash order ≠ id order
+    // and the rank is genuinely exercised; plus a 2nd-hop tail 3–7.
+    val e = edges((1L, 2L), (1L, 3L), (1L, 1000L), (3L, 7L))
+    def rank(src: Long, dst: Long, hop: Int): Long = {
+      val h = (src * 31 + dst * 1000003 + 10007L * hop) % 1000000007L
+      if (h < 0) h + 1000000007L else h
+    }
+    // independent reimplementation of the pick: top-2 of 1's
+    // neighbors by (hash, dst)
+    val expect1 = Seq(2L, 3L, 1000L)
+      .sortBy(d => (rank(1L, d, 1), d)).take(2).toSet
+    assert(expect1.contains(1000L), "fixture must exercise hash wrap")
+    val got = GraphOps.sampleNeighborhood(e, Seq(1L).toDF("node"),
+        fanouts = Seq(2, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val hop1 = got.filter(_._1 == 1)
+    assert(hop1.forall(_._2 == 1L) && hop1.map(_._3).toSet == expect1,
+      s"hop1=${hop1.toSeq} expect=$expect1")
+    // fanout cap per src, and every sample is a real undirected edge
+    val und = GraphOps.undirected(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.groupBy(t => (t._1, t._2)).values.forall(_.length <= 2))
+    assert(got.forall(t => und((t._2, t._3))))
+    // hop-2 sources are exactly hop-1 endpoints (layer-wise frontier)
+    val hop2src = got.filter(_._1 == 2).map(_._2).toSet
+    assert(hop2src.subsetOf(hop1.map(_._3).toSet), s"hop2src=$hop2src")
+    // deterministic across rebuilds
+    val again = GraphOps.sampleNeighborhood(e, Seq(1L).toDF("node"),
+        fanouts = Seq(2, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("randomWalks: hand-checked hops, walk shape, determinism, edge validity") {
     val s = spark
     import s.implicits._
