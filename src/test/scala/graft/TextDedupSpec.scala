@@ -136,6 +136,29 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("pii: fused == chain on 2000 seeded adversarial random strings") {
+    import graft.operators.Pii
+    // strings drawn from a PII-PRONE alphabet (digits, '@', dots,
+    // dashes, parens, '+') with a fixed seed: short fragments
+    // concatenate into accidental half-emails, wrapped ips, nested
+    // phone runs — the overlap/boundary space no hand fixture
+    // enumerates. Deterministic, so a failure is replayable.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab1 23.9@-()+x.7 @5."
+    val rows = (1 to 2000).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_emails", "n_ips", "n_ids", "n_phones", "scrubbed")
+      .map(col)
+    val fused = Pii.redact(docs, "text").select(cols: _*)
+    val chained = Pii.redactChained(docs, "text").select(cols: _*)
+    val diff = fused.exceptAll(chained).union(chained.exceptAll(fused))
+    assert(diff.isEmpty,
+      s"fused PII diverges on random input: ${diff.take(3).toSeq}")
+  }
+
   test("bm25: hand arithmetic, term selection, doc coverage") {
     // corpus: d1 "a a b", d2 "a c", d3 "b b b c" — term counts
     // b=4, a=3, c=2 (all inside top-5); N=3, lens (3,2,4), avglen=3,
