@@ -868,6 +868,64 @@ object GraphOps {
     (out, n)
   }
 
+  /** B24 (r10): k-truss decomposition (GDS/`apoc`-adjacent cohesive
+    * subgraphs — the edge-level complement of [[kCore]]): the maximal
+    * subgraph where every EDGE closes ≥ k−2 triangles. Iterative
+    * support peeling to the fixpoint: each round enumerates the
+    * surviving triangles (canonical-vertex 2-path join — u<v<w, each
+    * triangle found once), rolls the count onto each of its 3 edges
+    * (one union + hash-agg), and drops edges under k−2. Peeling is
+    * MONOTONE, so extra rounds past the fixpoint are no-ops — which
+    * is what lets the DuckDB oracle replay a FIXED over-provisioned
+    * round count and still agree exactly (the [[kCore]] precedent).
+    * Loud past `maxIters` (the returned set is then a SUPERSET).
+    *
+    * Intended for THINNED projections (the caller strata): the plain
+    * 2-path wedge join has hub fan-out C(deg, 2) without the
+    * degree-ordered bound [[triangleCounts]] uses — on a dense graph
+    * run that operator's adjacency-intersect path instead; per-round
+    * re-orientation would cost more than it saves on the thinned
+    * shape this serves.
+    *
+    * Output: the truss's canonical edges (a < b) with their final
+    * support — every `sup` ≥ k−2 by construction. */
+  def trussEdges(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 3, s"trussEdges: k must be >= 3, got $k")
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("x").join(e.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.a").as("u"), col("x.b").as("v"), col("y.b").as("w"))
+        .join(e.as("z"), col("v") === col("z.a") && col("w") === col("z.b"))
+        .select("u", "v", "w")
+      tri.select(col("u").as("a"), col("v").as("b"))
+        .union(tri.select(col("u").as("a"), col("w").as("b")))
+        .union(tri.select(col("v").as("a"), col("w").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var prev = -1L
+    var n = e.count()
+    var iter = 0
+    while (n != prev && iter < maxIters) {
+      prev = n
+      e = e.join(support(e), Seq("a", "b"))
+        .filter(col("sup") >= k - 2).select("a", "b")
+        .localCheckpoint()
+      n = e.count()
+      iter += 1
+    }
+    if (n != prev)
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"trussEdges stopped at maxIters=$maxIters before the peel " +
+          "fixpoint — the returned set is a SUPERSET of the true " +
+          s"$k-truss. Raise maxIters (rounds needed = peel depth).")
+    e.join(support(e), Seq("a", "b")).select("a", "b", "sup")
+  }
+
   /** B23 (r10): DETERMINISTIC fanout neighborhood sampling — the
     * GraphSAGE-style mini-batch loader step (sample ≤ f_h neighbors
     * per frontier node at hop h), layer-wise: the hop-h frontier is

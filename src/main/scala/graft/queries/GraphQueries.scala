@@ -365,6 +365,21 @@ object GraphQueries extends QueryPack {
         .orderBy("hop", "src", "dst")
     }),
 
+    // B24 (r10): k-truss (k=4) of the stratum-thinned part
+    // co-purchase projection — the edge-level cohesive-subgraph
+    // complement of k-core. Support peeling to fixpoint; the oracle
+    // replays 10 over-provisioned rounds (peeling is monotone, so
+    // post-fixpoint rounds are no-ops — the k-core precedent).
+    "graph_ktruss" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 25 && col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      GraphOps.trussEdges(edges, k = 4).orderBy("a", "b")
+    }),
+
     // B17 (r10): sampled, hop-bounded betweenness centrality (GDS
     // `betweenness` with samplingSize — VERDICT r9 #2, the last
     // widely-used Neo4j algorithm class with no entry). Exact Brandes
@@ -504,6 +519,23 @@ object GraphQueries extends QueryPack {
              FROM e0 e JOIN r${i - 1} r ON e.a = r.node
                        JOIN od ON e.a = od.a
              GROUP BY e.b) c ON n.node = c.node)"""
+
+  // One k-truss peel round (k=4 ⇒ sup ≥ 2): triangles of the current
+  // canonical edge set via the u<v<w 2-path join, support rolled onto
+  // each triangle's 3 edges, under-supported edges dropped. Monotone,
+  // so over-provisioned rounds past the fixpoint are no-ops.
+  private def ktIter(i: Int) =
+    s"""kt$i AS (SELECT x.a AS u, x.b AS v, y.b AS w
+           FROM ke${i - 1} x JOIN ke${i - 1} y
+             ON x.a = y.a AND x.b < y.b
+           JOIN ke${i - 1} z ON z.a = x.b AND z.b = y.b),
+        kp$i AS (SELECT a, b, count(*) AS sup FROM (
+           SELECT u AS a, v AS b FROM kt$i UNION ALL
+           SELECT u, w FROM kt$i UNION ALL
+           SELECT v, w FROM kt$i) GROUP BY a, b),
+        ke$i AS MATERIALIZED (
+           SELECT e.a, e.b FROM ke${i - 1} e JOIN kp$i p USING (a, b)
+           WHERE p.sup >= 2)"""
 
   // One power-iteration round: x_{t+1}(a) = Σ_{(a,b)} x_t(b) over the
   // symmetrized relation — RAW (unnormalized), the single L1 division
@@ -712,6 +744,24 @@ object GraphQueries extends QueryPack {
           FROM nodes n LEFT JOIN h3 h ON n.node = h.node
                        LEFT JOIN a3 a ON n.node = a.node
           ORDER BY n.node""",
+    "graph_ktruss" ->
+      s"""WITH ke0 AS MATERIALIZED (
+             SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             FROM lineitem x JOIN lineitem y
+               ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             WHERE x.l_quantity <= 25 AND y.l_quantity <= 25
+               AND x.l_partkey % 3 = 0 AND y.l_partkey % 3 = 0),
+          ${(1 to 10).map(ktIter).mkString(",\n")},
+          ktf AS (SELECT x.a AS u, x.b AS v, y.b AS w
+             FROM ke10 x JOIN ke10 y ON x.a = y.a AND x.b < y.b
+             JOIN ke10 z ON z.a = x.b AND z.b = y.b),
+          kpf AS (SELECT a, b, count(*) AS sup FROM (
+             SELECT u AS a, v AS b FROM ktf UNION ALL
+             SELECT u, w FROM ktf UNION ALL
+             SELECT v, w FROM ktf) GROUP BY a, b)
+          SELECT e.a, e.b, p.sup
+          FROM ke10 e JOIN kpf p USING (a, b)
+          ORDER BY e.a, e.b""",
     "graph_eigenvector" ->
       s"""WITH ${edgeSql("")},
           evnodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und),

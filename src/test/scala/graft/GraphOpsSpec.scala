@@ -316,6 +316,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(s5(3L) > s5(4L), "hub must outrank the pendant")
   }
 
+  test("trussEdges: K4 survives, weak triangles peel, cascade reaches empty") {
+    // K4 on {1..4}: every edge closes 2 triangles → the 4-truss is
+    // exactly K4 (6 edges, sup 2); a side triangle {5,6,7} (sup 1
+    // everywhere) peels in round 1
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val e = edges(k4 ++ Seq((5L,6L),(6L,7L),(5L,7L)): _*)
+    val got = GraphOps.trussEdges(e, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == k4.toSet && got.values.forall(_ == 2L), s"$got")
+    // k=3 keeps both components (every edge closes >= 1 triangle)
+    assert(GraphOps.trussEdges(e, k = 3).count() == 9)
+    // CASCADE: two triangles sharing edge (1,2) — round 1 peels the
+    // four sup-1 edges, which drops (1,2)'s support from 2 to 0, and
+    // round 2 empties the truss. Pins the multi-round fixpoint.
+    val shared = edges((1L,2L),(1L,3L),(2L,3L),(1L,4L),(2L,4L))
+    assert(GraphOps.trussEdges(shared, k = 4).count() == 0)
+    // input orientation is irrelevant (canonicalized internally)
+    val rev = edges(k4.map(p => (p._2, p._1)): _*)
+    assert(GraphOps.trussEdges(rev, k = 4).count() == 6)
+  }
+
   test("sampleNeighborhood: hash-rank selection, fanout caps, layer frontier") {
     val s = spark
     import s.implicits._
