@@ -112,7 +112,12 @@ object Dedup {
     *    occurrences still costs each map task one long.
     *
     * Packing contract: idx < 2^20 (a million spans per document) and
-    * doc_id < 2^43 — violations raise, never mis-order. */
+    * doc_id < 2^43 — violations raise, never mis-order. The shift is
+    * forced 64-bit (`cast("long")` before `shiftleft`): Spark's
+    * shiftleft preserves the input's integral type, so an IntegerType
+    * caller-supplied id column would otherwise wrap in 32-bit
+    * arithmetic for doc_id >= 2^11 while the (long-compared) range
+    * guard still passed. */
   private def keepFirst(spans: DataFrame): DataFrame = {
     val packed = when(
       col("doc_id") < 0 || col("doc_id") >= (1L << 43) ||
@@ -120,7 +125,8 @@ object Dedup {
       raise_error(concat(lit("spanDedup: (doc_id, idx) outside the "),
         lit("packed-winner range (doc_id < 2^43, idx < 2^20): "),
         col("doc_id"), lit(","), col("idx"))))
-      .otherwise(shiftleft(col("doc_id"), 20) + col("idx"))
+      .otherwise(shiftleft(col("doc_id").cast("long"), 20) +
+        col("idx").cast("long"))
     spans.select(packed.as("packed"), col("span"))
       .groupBy("span").agg(min(col("packed")).as("w"))
       .select(shiftright(col("w"), 20).as("doc_id"),

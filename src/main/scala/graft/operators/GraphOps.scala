@@ -67,7 +67,15 @@ object GraphOps {
     * unlike `spark.catalog.clearCache()` which drops unrelated
     * session cache too. NOT safe while another thread is inside a
     * GraphOps iterative build (its loop-invariants would vanish
-    * mid-loop and silently recompute); single-tenant callers only. */
+    * mid-loop and silently recompute); single-tenant callers only.
+    *
+    * NOTE for `spark.catalog.clearCache()` users: clearCache drops the
+    * cached data but NOT this registry — the stale DataFrame
+    * references (and their logical plans) stay on the driver until
+    * releasePinned() runs. A long-lived session reclaiming via
+    * clearCache must ALSO call releasePinned() (idempotent —
+    * unpersisting an already-evicted relation is a no-op) or the
+    * registry grows without bound. */
   def releasePinned(): Unit = pinnedRelations.synchronized {
     pinnedRelations.forEach(_.unpersist(false))
     pinnedRelations.clear()
@@ -273,7 +281,9 @@ object GraphOps {
     // symmetric relation ⟹ column a alone covers every node
     val nodes = und.select(col("a").as("node")).distinct()
       .transform(pin)
-    var frontier = seeds.toDF("node")
+    // dedupe driver-side: a duplicated seed would double its sigma at
+    // layer 0 and silently double-count its dependency contributions
+    var frontier = seeds.distinct.toDF("node")
       .select(col("node").as("src"), col("node"), lit(1L).as("sigma"))
       .localCheckpoint()
     var settled = frontier.select("src", "node").localCheckpoint()
@@ -348,7 +358,9 @@ object GraphOps {
     val und = undirected(edges).transform(pin)
     val nodes = und.select(col("a").as("node")).distinct()
       .transform(pin)
-    var frontier = seeds.toDF("node")
+    // dedupe driver-side: a duplicated seed would double-count every
+    // one of its 1/d closeness contributions
+    var frontier = seeds.distinct.toDF("node")
       .select(col("node").as("src"), col("node"))
       .localCheckpoint()
     var settled = frontier.localCheckpoint()
@@ -714,8 +726,19 @@ object GraphOps {
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
       .transform(pin)
-    val seedP = seeds.distinct.toDF("node")
-      .withColumn("p", lit(1.0 / seeds.distinct.size))
+    // Seeds absent from the edge relation would silently drop their
+    // teleport + dangling share (the left join onto `nodes` loses
+    // them), leaving total mass < 1 and contradicting the mass
+    // contract above — so restrict to seeds that exist in the graph
+    // and normalize p over the SURVIVORS (randomWalks' semi-join-drop
+    // convention). Bounded collect: ≤ |seeds| rows of one long.
+    val live = nodes.join(broadcast(seeds.distinct.toDF("node")),
+        Seq("node"), "left_semi")
+      .collect().map(_.getLong(0)).toSeq
+    require(live.nonEmpty,
+      "personalizedPageRank: no seed exists in the graph")
+    val seedP = live.toDF("node")
+      .withColumn("p", lit(1.0 / live.size))
     // p(v) joined per round as a broadcast; coalesce(0) off-seed
     var ranks = nodes.join(broadcast(seedP), Seq("node"), "left")
       .select(col("node"), coalesce(col("p"), lit(0.0)).as("rank"))
@@ -768,7 +791,15 @@ object GraphOps {
     * Contract: seeds not present in the graph are dropped (semi-join)
     * rather than emitting a dead 1-row walk; |node·walksPerSeed|
     * must stay inside long range (walk ids pack as
-    * node·walksPerSeed + k).
+    * node·walksPerSeed + k). Additionally the hash terms
+    * (walk_id·1000003, node·101 — and sampleNeighborhood's
+    * src·31 + dst·1000003) must not overflow 64-bit BEFORE the pmod:
+    * Spark would wrap silently where DuckDB raises on BIGINT
+    * overflow, quietly narrowing the cross-engine replay. Bound:
+    * node ids (and packed walk ids) below ~9.2e18/1000003 ≈ 9.2e12.
+    * Ids beyond that need the terms pre-reduced mod 1000000007
+    * before multiplying (not done here — it costs a pmod per term
+    * on the hot path for an id range 6 orders past the testbeds).
     *
     * Output: (walk_id, step, node) — step 0 is the seed row. */
   def randomWalks(edges: DataFrame, seeds: DataFrame, walksPerSeed: Int,

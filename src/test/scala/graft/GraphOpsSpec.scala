@@ -295,6 +295,40 @@ class GraphOpsSpec extends SparkSpec {
       "symmetric seeds must score symmetric neighborhoods equally")
   }
 
+  test("personalizedPageRank: off-graph seed dropped, p renormalized, mass 1") {
+    val s = spark
+    import s.implicits._
+    // Pre-r11 a seed absent from the edge list silently dropped its
+    // teleport + dangling share (mass < 1). Now absent seeds are
+    // semi-joined away and p renormalizes over the survivors: seeds
+    // {1, 99} on a graph without 99 ≡ seeds {1} exactly.
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val withGhost = GraphOps.personalizedPageRank(e, Seq(1L, 99L), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val clean = GraphOps.personalizedPageRank(e, Seq(1L), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(withGhost == clean, s"ghost seed must be inert: $withGhost vs $clean")
+    assert(math.abs(withGhost.values.sum - 1.0) < 1e-12, "mass must stay 1")
+    // every seed off-graph is a caller error, not a silent empty frame
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(e, Seq(98L, 99L), iters = 1)
+    }
+  }
+
+  test("betweenness/closeness: duplicated seeds count once") {
+    val s = spark
+    import s.implicits._
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    // pre-r11 a repeated seed doubled its sigma at layer 0 and its
+    // dependency/closeness contributions silently
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(GraphOps.betweennessSampled(p, Seq(1L, 1L, 4L), maxHops = 3)) ==
+      m(GraphOps.betweennessSampled(p, Seq(1L, 4L), maxHops = 3)))
+    assert(m(GraphOps.harmonicCloseness(p, Seq(1L, 1L), maxHops = 3)) ==
+      m(GraphOps.harmonicCloseness(p, Seq(1L), maxHops = 3)))
+  }
+
   test("eigenvectorCentrality: hand arithmetic on triangle+pendant, L1 mass") {
     // triangle {1,2,3} + pendant 4 on 3. Raw power iteration from
     // x0 = 1/4 (L1 div ONCE at output):

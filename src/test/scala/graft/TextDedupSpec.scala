@@ -99,6 +99,24 @@ class TextDedupSpec extends SparkSpec {
       (4L, 3L, 2L, "x y z")))
   }
 
+  test("span dedup: IntegerType id column packs in 64-bit (no 32-bit wrap)") {
+    import graft.operators.TextOps
+    // With an int id >= 2^11 the pre-r11 packing (shiftleft preserves
+    // the input's integral type) wrapped in 32-bit arithmetic while
+    // the long-compared range guard still passed — electing a WRONG
+    // winner. 4096 << 20 overflows Int; the cast-to-long fix keeps
+    // first-occurrence order regardless of the caller's id type.
+    val docs = Seq((4096, "a b c d"), (9000000, "c d e f"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.wordChunks(split(col("text"), " "), 2).as("spans"))
+    val got = Dedup.spanDedup(docs, "doc_id", "spans")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    assert(got.toSeq == Seq((4096L, 2L, "a b c d"), (9000000L, 1L, "e f")))
+  }
+
   test("spanDedupAgainst: history spans cut, batch first-occurrence kept") {
     import graft.operators.{Sketches, TextOps}
     val path = java.nio.file.Files.createTempDirectory("graft_spanbloom")
