@@ -44,19 +44,32 @@ object TextQueries extends QueryPack {
     // F1: per-document quality metrics — length, token count, stopword
     // ratio, composite score. One narrow projection, zero shuffles
     // (the ORDER BY is the oracle-determinism tail only).
+    // r11 (VERDICT r10 #2): the token array is MATERIALIZED once in a
+    // lower projection — the raw tokens(text) expression was
+    // re-evaluated per reference site (five output columns → five
+    // split(regexp_replace(...)) runs per row) — and the stopword
+    // count runs the native CountIn kernel instead of the
+    // interpreted filter() lambda. 13.9 s → kernel-class at the 100×
+    // pack for byte-identical output.
     "text_quality" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val stopCnt = TextOps.occurrences(toks, TextOps.Stopwords)
-      val nToks = size(toks)
-      val stopRatio = stopCnt.cast("double") / nToks
-      Tables.load(s, dir, "documents")
+      val nToks = size(col("t"))
+      val stopRatio =
+        TextOps.occurrences(col("t"), TextOps.Stopwords).cast("double") / nToks
+      TextOps.withTokens(
+          Tables.load(s, dir, "documents"), "text",
+          Seq(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            // chars-sans-spaces rides the same lower projection so the
+            // norm chain runs once, next to the tokenization
+            length(regexp_replace(TextOps.norm(col("text")), " ", ""))
+              .as("nsp")),
+          as = "t")
         .select(
           col("doc_id"),
-          length(col("text")).cast("long").as("n_chars_calc"),
+          col("n_chars_calc"),
           nToks.cast("long").as("n_tokens"),
           round(stopRatio, 4).as("stop_ratio"),
-          round(length(regexp_replace(TextOps.norm(col("text")), " ", ""))
-            .cast("double") / nToks, 4).as("avg_tok_len"),
+          round(col("nsp").cast("double") / nToks, 4).as("avg_tok_len"),
           round(least(nToks.cast("double") / lit(100.0), lit(1.0)) *
             (lit(1.0) - stopRatio), 4).as("quality"))
         .orderBy("doc_id")
@@ -99,10 +112,14 @@ object TextQueries extends QueryPack {
     // lang column. Scores are per-row expressions; the only shuffle is
     // the tiny (lang × pred) aggregation.
     "text_langid" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val scored = markers.foldLeft(Tables.load(s, dir, "documents")) {
+      // r11: tokens materialized once (five marker sets each re-ran
+      // the split chain on the raw expression), scores via the native
+      // CountIn kernel — the text_quality treatment
+      val scored = markers.foldLeft(
+        TextOps.withTokens(Tables.load(s, dir, "documents"),
+          "text", Seq(col("lang")), as = "t")) {
         case (df, (lang, words)) =>
-          df.withColumn(s"s_$lang", TextOps.occurrences(toks, words))
+          df.withColumn(s"s_$lang", TextOps.occurrences(col("t"), words))
       }
       val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
       // ties break toward the alphabetically greatest language —
@@ -120,32 +137,31 @@ object TextQueries extends QueryPack {
 
     // F5: repetition quality signals (the Gopher-style "repetitious
     // document" filters): type-token ratio, most-common-token
-    // fraction, most-common-2-gram fraction. Shaped as explode → two
-    // bounded hash-aggs per n-gram order (partial-agg friendly,
-    // constant per-key state) rather than per-row nested lambdas —
-    // an O(tokens·distinct) per-row loop would blow up on long
-    // documents, and collect-based forms would buffer whole docs.
-    "text_repetition" -> ((s, dir) => {
-      val tokd = tokenized(s, dir)
-      def stats(grams: org.apache.spark.sql.Column) = tokd
-        .select(col("doc_id"), explode(grams).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("tp"))
-      val us = stats(col("t"))
-      val bs = stats(TextOps.ngrams(col("t"), 2))
-        .select(col("doc_id"), col("n").as("bn"), col("tp").as("btp"))
-      // left join: a one-token doc has no 2-grams at all (its doc_id
-      // is absent from bs) — it still gets a row, with frac 0
-      us.join(bs, Seq("doc_id"), "left")
+    // fraction, most-common-2-gram fraction.
+    // r11 (VERDICT r10 #2): per-row native RepStats kernel — the stats
+    // are per-document facts, and the previous explode → two stacked
+    // hash-aggs per n-gram order shuffled every distinct (doc, gram)
+    // pair of the corpus (~40M rows at 100×) through two exchanges
+    // just to fold each document back together. Now a ZERO-shuffle
+    // projection: ONE fused pass per row computes unigram AND bigram
+    // profiles (interned-id pair counting — the 2-gram strings are
+    // never even built); the exploded form remains the differential-
+    // spec reference chain and the oracle shape.
+    "text_repetition" -> ((s, dir) =>
+      tokenized(s, dir)
+        // explode-drop parity: a null token array emitted no rows in
+        // the exploded form (and no rows in the oracle's unnest)
+        .filter(col("t").isNotNull)
+        .select(col("doc_id"), TextOps.repStats(col("t")).as("r"))
         .select(col("doc_id"),
-          col("n").cast("long").as("n_tokens"),
-          round(col("d").cast("double") / col("n"), 4).as("ttr"),
-          round(col("tp").cast("double") / col("n"), 4).as("top_tok_frac"),
-          coalesce(round(col("btp").cast("double") / col("bn"), 4), lit(0.0))
-            .as("top_2gram_frac"))
-        .orderBy("doc_id")
-    }),
+          col("r.n").as("n_tokens"),
+          round(col("r.d").cast("double") / col("r.n"), 4).as("ttr"),
+          round(col("r.tp").cast("double") / col("r.n"), 4).as("top_tok_frac"),
+          // one-token docs have zero 2-grams: 0/0 → null → 0.0, the
+          // exploded form's absent-row left join
+          coalesce(round(col("r.btp").cast("double") / col("r.bn"), 4),
+            lit(0.0)).as("top_2gram_frac"))
+        .orderBy("doc_id")),
 
     // F6: corpus-wide top-k n-grams — the boilerplate detector a
     // curation run uses to find template headers/footers worth

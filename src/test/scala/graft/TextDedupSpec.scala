@@ -154,6 +154,89 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("occurrences: native CountIn kernel == filter-HOF over corpus + corners") {
+    val corners = Seq((1000001L, ""), (1000002L, "the"),
+      (1000003L, "the the a the"), (1000004L, "b the a c a a"),
+      (1000005L, "thea athe THE")).toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .union(corners)
+    for (words <- Seq(Seq("the", "a"), Seq("zzz"), Seq("table", "row"))) {
+      val diff = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          TextOps.occurrences(col("t"), words).as("native"),
+          TextOps.occurrencesHof(col("t"), words).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+      assert(diff.isEmpty, s"occurrences($words) diverges from the HOF form")
+    }
+    // null array → null count on both sides (size(filter(null)) = null)
+    val nulls = Seq(Tuple1[String](null)).toDF("text")
+      .select(TextOps.tokens(col("text")).as("t"))
+      .select(TextOps.occurrences(col("t"), Seq("x")).as("n"),
+        TextOps.occurrencesHof(col("t"), Seq("x")).as("h"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("tokenStats: native TopFreq kernel == exploded groupBy over corpus") {
+    // the exploded double hash-agg IS the differential reference (and
+    // the oracle shape) for the zero-shuffle kernel projection
+    val corners = Seq((1000001L, ""), (1000002L, "x"),
+      (1000003L, "x x x"), (1000004L, "a b a b a")).toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .union(corners)
+    for (order <- Seq(1, 2)) {
+      val tokd = docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("t"))
+      val grams = if (order == 1) col("t") else TextOps.ngrams(col("t"), order)
+      val native = tokd
+        .select(col("doc_id"), TextOps.tokenStats(grams).as("s"))
+        .select(col("doc_id"), col("s.n"), col("s.d"), col("s.tp"))
+        .filter(col("n") > 0) // exploded form has no row for empty arrays
+      val exploded = tokd
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("tp"))
+      val diff = native.exceptAll(exploded).union(exploded.exceptAll(native))
+      assert(diff.isEmpty, s"tokenStats(order=$order) diverges from explode form")
+    }
+    // empty array → (0, 0, 0), the coalesce-to-zero contract
+    val e = Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(TextOps.tokenStats(col("t")).as("s")).select("s.n", "s.d", "s.tp")
+      .collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
+  test("repStats: fused kernel == TopFreq pair over corpus + null corners") {
+    // the chain TopFreq(t) / TopFreq(ngrams(t,2)) is itself pinned to
+    // the exploded groupBy form above, so this transitively pins the
+    // fused kernel to the oracle shape
+    val corners = Seq((1000001L, ""), (1000002L, "x"),
+      (1000003L, "x x x"), (1000004L, "a b a b a"),
+      (1000005L, "q w q w q w e")).toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text")
+      .union(corners)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // null-member arrays: concat_ws degradation must merge
+      // (null,"x") with ("x",null); (null,null) → "" key
+      .union(Seq(
+        (2000001L, Seq[String](null, "x", null, "x")),
+        (2000002L, Seq[String](null, null)),
+        (2000003L, Seq[String]("x", null, "x"))).toDF("doc_id", "t"))
+    val diff = docs
+      .select(col("doc_id"), TextOps.repStats(col("t")).as("r"),
+        TextOps.tokenStats(col("t")).as("u"),
+        TextOps.tokenStats(TextOps.ngrams(col("t"), 2)).as("b"))
+      .filter(not(col("r.n") <=> col("u.n") && col("r.d") <=> col("u.d") &&
+        col("r.tp") <=> col("u.tp") && col("r.bn") <=> col("b.n") &&
+        col("r.bd") <=> col("b.d") && col("r.btp") <=> col("b.tp")))
+    assert(diff.isEmpty, "fused repStats diverges from the TopFreq pair")
+  }
+
   test("pii: fused == chain on 2000 seeded adversarial random strings") {
     import graft.operators.Pii
     // strings drawn from a PII-PRONE alphabet (digits, '@', dots,
