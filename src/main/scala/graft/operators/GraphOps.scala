@@ -105,6 +105,24 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .distinct()
 
+  /** Per-node neighbor arrays of an edge relation — THE shared
+    * adjacency hash-agg of the array-consuming operators (r11,
+    * VERDICT r10 #5: triangles' oriented intersect sets, randomWalks'
+    * next-hop arrays each grew their own copy of this groupBy).
+    * One hash-agg of the |E| input rows into
+    * `(node, nbrs array, deg)`; arrays bounded by true (or oriented)
+    * degree. `sorted` = true for consumers that INDEX into the array
+    * by a replayable position (the walk hash — order is part of the
+    * cross-engine contract); intersection consumers skip the sort.
+    * Callers pin the result themselves iff it is loop-invariant. */
+  def neighborArrays(rel: DataFrame, src: String, dst: String,
+                     sorted: Boolean): DataFrame = {
+    val lst = collect_list(col(dst))
+    rel.groupBy(col(src).as("node"))
+      .agg((if (sorted) sort_array(lst) else lst).as("nbrs"),
+        count(lit(1)).as("deg"))
+  }
+
   /** PageRank with a FIXED iteration count on the undirected graph of
     * `edges` (cols `a`, `b`; symmetrized internally, so every node has
     * degree ≥ 1 and the damping leak term needs no dangling-mass
@@ -522,10 +540,10 @@ object GraphOps {
       // intersection (scaladoc above). Inner joins are exact: an
       // endpoint missing from `adj` has no out-neighbors, so its
       // intersection is empty and the edge closes nothing.
-      val adj = orient.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      val adj = neighborArrays(orient, "u", "v", sorted = false)
       orient.select(col("u"), col("v"))
-        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("node").as("v"), col("nbrs").as("nv")), Seq("v"))
         .select(col("u"), col("v"),
           array_intersect(col("nu"), col("nv")).as("common"))
         .filter(size(col("common")) >= 1)
@@ -807,9 +825,8 @@ object GraphOps {
     require(walksPerSeed >= 1, s"randomWalks: walksPerSeed >= 1, got $walksPerSeed")
     require(steps >= 1, s"randomWalks: steps >= 1, got $steps")
     val und = undirected(edges).transform(pin)
-    val adj = und.groupBy(col("a").as("node"))
-      .agg(sort_array(collect_list(col("b"))).as("nb"),
-        count(lit(1)).as("deg"))
+    val adj = neighborArrays(und, "a", "b", sorted = true)
+      .select(col("node"), col("nbrs").as("nb"), col("deg"))
       .transform(pin)
     var cur = seeds.select(col("node")).distinct()
       .join(adj.select("node"), Seq("node"), "left_semi")
