@@ -769,10 +769,40 @@ object PipelineQueries extends QueryPack {
           col("l.user_id").as("user_id"),
           unix_micros(col("l.ts")).as("click_us"),
           unix_micros(col("r.ts")).as("purchase_us"))
-      CdcStream.runToMemory(joined, OutputMode.Append())
-        .orderBy("click_id", "purchase_id")
+      // r11 (VERDICT r10 #7): the profiled cost was state-store
+      // bookkeeping, not join work — a stream-stream join commits 4
+      // state stores per shuffle partition per trigger, so 32
+      // partitions meant 128 store commits per batch (an EMPTY
+      // watermark-advance batch alone cost 2.9 s), for a stream
+      // carrying ~40k rows/side. Scoped to this run: right-size the
+      // stateful-shuffle width (fixed at query start) and skip the
+      // no-data batch — an INNER interval join emits on match, and
+      // the full-span delay means no eviction depends on the final
+      // watermark advance, so the emitted set is identical (the
+      // oracle pins it). Production keeps session defaults; the
+      // bounded-delay eviction behavior stays spec'd in PipelineSpec.
+      withSqlConf(s,
+          "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        CdcStream.runToMemory(joined, OutputMode.Append())
+      }.orderBy("click_id", "purchase_id")
     })
   )
+
+  /** Set session SQL confs for the duration of `f` (restore-on-exit) —
+    * for stream runs whose correct configuration differs from the
+    * session default (stateful-shuffle width is captured at query
+    * start and cannot be hinted per-plan). Drivers here run entries
+    * sequentially; this is not safe under concurrent entry execution
+    * on one session. */
+  private def withSqlConf[T](s: org.apache.spark.sql.SparkSession,
+                             kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try f
+    finally old.foreach { case (k, ov) =>
+      ov.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
 
   /** Entries whose timed path starts the streaming engine each run
     * (runToMemory / a fresh query). The landed-store entries
