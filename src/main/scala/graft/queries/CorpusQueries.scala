@@ -105,20 +105,72 @@ object CorpusQueries extends QueryPack {
       // staged-ground-truth discipline): this entry's operator is the
       // SURVIVOR anti-join, and re-running the whole pair+closure
       // pipeline here double-counted J3's cost in J11's number
-      val clusters = s.read.parquet(
-        clusterDirs.computeIfAbsent(dir, d => {
-          val p = Staging.path("clusters", d)
-          PipelineOps.dedupClusters(
-              Dedup.jaccardPairs(Tables.load(s, d, "documents"),
-                "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
-            .write.mode("overwrite").parquet(p)
-          p
-        }))
-      val drop = clusters
+      val drop = stagedClusters(s, dir)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       docs.join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    }),
+
+    // J3/J11/decontaminate contracts at 100×-scale packs (r11,
+    // VERDICT r10 #1 — the planted-pair methodology; truth from
+    // Planted.* is LINEAR where these operators' exact oracles are
+    // quadratic at 500k docs). Unplanted corpora → empty truth,
+    // trivial regime shown honestly.
+    // Every planted pair above the cluster threshold must be
+    // CO-CLUSTERED — its edge is in the pair graph, so connectivity
+    // guarantees one component; a split pair means the label loop or
+    // the pair generation dropped it.
+    "dedup_clusters_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val truth = Planted.ngramTruth(docs, n = 3, tau = 0.5, dfCap = 1000L)
+      val cl = stagedClusters(s, dir)
+      val co = truth
+        .join(cl.select(col("doc_id").as("i"), col("cluster_id").as("ci")), "i")
+        .join(cl.select(col("doc_id").as("j"), col("cluster_id").as("cj")), "j")
+        .filter(col("ci") === col("cj"))
+      truth.agg(count(lit(1)).as("planted_pairs"))
+        .crossJoin(co.agg(count(lit(1)).as("co")))
+        .select(col("planted_pairs"),
+          (col("co") === col("planted_pairs")).as("all_co_clustered"))
+    }),
+
+    // ... and of each planted pair AT MOST ONE doc survives
+    // canonicalization (both co-clustered ⇒ one root): both-survive
+    // count must be exactly 0.
+    "dedup_survivors_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val truth = Planted.ngramTruth(docs, n = 3, tau = 0.5, dfCap = 1000L)
+      val drop = stagedClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val surv = docs.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+      val both = truth
+        .join(surv.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+        .join(surv.select(col("doc_id").as("j")), Seq("j"), "left_semi")
+      truth.agg(count(lit(1)).as("planted_pairs"))
+        .crossJoin(both.agg(count(lit(1)).as("both_survive")))
+        .select(col("planted_pairs"), col("both_survive"),
+          (col("both_survive") === 0).as("dedup_ok"))
+    }),
+
+    // Every PLANTED near-copy of an eval (src0) doc that shares ≥ 3
+    // kept 5-gram shingles with its original must be flagged by the
+    // leakage scan — shared-with-the-original lower-bounds
+    // shared-with-the-eval-slice, so recall is 1.0 for the exact
+    // operator, with a LINEAR id-mapped truth.
+    "decontaminate_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val truth = Planted.contaminationTruth(docs,
+        isEval = col("source") === "src0", n = 5, minShared = 3L,
+        dfCap = 1000L)
+      val flagged = PipelineOps.decontaminate(docs, "doc_id", "text",
+        isEval = col("source") === "src0", n = 5, minShared = 3L)
+      val missed = truth.join(flagged.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      truth.agg(count(lit(1)).as("planted_contam"))
+        .crossJoin(missed.agg(count(lit(1)).as("missed")))
+        .select(col("planted_contam"),
+          (col("missed") === 0).as("all_flagged"))
     }),
 
     // mixture-weighted corpus build: deterministic hash-sampled
@@ -342,8 +394,43 @@ object CorpusQueries extends QueryPack {
   private val clusterDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** J3's cluster map (doc_id, cluster_id), staged once per JVM —
+    * shared by dedup_survivors and the planted cluster/survivor
+    * checks. */
+  private def stagedClusters(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(clusterDirs.computeIfAbsent(dir, d => {
+      val p = Staging.path("clusters", d)
+      PipelineOps.dedupClusters(
+          Dedup.jaccardPairs(Tables.load(s, d, "documents"),
+            "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L))
+        .write.mode("overwrite").parquet(p)
+      p
+    }))
+
   private val normSql =
     """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  // the planted-pair capped Jaccard as a reusable CTE body (`pj(i,
+  // jj, jac)`) — the SketchQueries.plantedJaccardCte twin, kept local
+  // because each pack's oracle strings must stay self-contained
+  private val plantedPairCte =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+       sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+              FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+              WHERE len(arr) >= 3),
+       idx AS (SELECT doc_id, tok FROM sh
+               QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS i, count(*) AS inter
+                 FROM idx a JOIN idx b
+                   ON b.doc_id = a.doc_id + 500000000 AND a.tok = b.tok
+                 GROUP BY 1),
+       pj AS (SELECT i, i + 500000000 AS jj,
+                     inter * 1.0 / (sa.sz + sb.sz - inter) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = i
+              JOIN sizes sb ON sb.doc_id = i + 500000000)"""
 
   // shared candidate-pair SQL (identical to dedup_ngram_jaccard's)
   private val pairSql =
@@ -514,6 +601,39 @@ object CorpusQueries extends QueryPack {
                    GROUP BY n HAVING n <> min(m))
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM drop)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    // LINEAR planted recomputes (id-mapped join at +5e8 — the
+    // 100×-feasible form; the co-cluster / single-survivor verdicts
+    // are literal expectations that only hash-match when they hold)
+    "dedup_clusters_planted_check" ->
+      s"""$plantedPairCte
+          SELECT count(*) AS planted_pairs, true AS all_co_clustered
+          FROM pj WHERE jac >= 0.5e0""",
+    "dedup_survivors_planted_check" ->
+      s"""$plantedPairCte
+          SELECT count(*) AS planted_pairs,
+                 CAST(0 AS BIGINT) AS both_survive, true AS dedup_ok
+          FROM pj WHERE jac >= 0.5e0""",
+    "decontaminate_planted_check" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_eval,
+                            string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, is_eval,
+                        arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS tok
+                 FROM t, unnest(range(1, len(arr) - 3)) AS r(i)
+                 WHERE len(arr) >= 5),
+          toks AS (SELECT tok,
+                          count(CASE WHEN is_eval THEN 1 END) AS n_eval,
+                          count(CASE WHEN NOT is_eval THEN 1 END) AS n_train
+                   FROM sh GROUP BY tok),
+          kept AS (SELECT tok FROM toks
+                   WHERE n_eval > 0 AND n_train > 0 AND n_eval + n_train <= 1000),
+          ks AS (SELECT doc_id, is_eval, tok FROM sh JOIN kept USING (tok)),
+          truth AS (SELECT b.doc_id FROM ks a
+                    JOIN ks b ON b.doc_id = a.doc_id + 500000000
+                            AND b.tok = a.tok
+                    WHERE a.is_eval AND NOT b.is_eval
+                    GROUP BY b.doc_id HAVING count(*) >= 3)
+          SELECT count(*) AS planted_contam, true AS all_flagged FROM truth"""
   )
+
 }

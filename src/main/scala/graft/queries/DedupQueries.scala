@@ -29,7 +29,26 @@ object DedupQueries extends QueryPack {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", tau = 0.4)
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // D2 contract at 100×-scale packs (r11, VERDICT r10 #1 — the
+    // planted-pair methodology of dedup_embedding_lsh_planted_check
+    // brought to the TEXT pair family): recall of the inverted-index
+    // Jaccard operator over PLANTED near-dup pairs
+    // (scale_up.py --plant-text-dups, id-mapped j = i + 5e8), whose
+    // exact capped Jaccard both engines recompute LINEARLY — the flat
+    // pack's exact pair oracle is a quadratic explode at 500k docs.
+    // The operator is EXACT, so the floor is recall 1.0 (every
+    // planted pair at τ, not a sketch fraction). Unplanted corpora →
+    // empty truth, trivial regime shown honestly.
+    "dedup_ngram_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Planted.recallRow(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5, dfCap = 1000L),
+        Planted.ngramTruth(docs, n = 3, tau = 0.5, dfCap = 1000L),
+        minRecall = 1.0)
+    })
   )
 
   private val normSql =
@@ -57,6 +76,27 @@ object DedupQueries extends QueryPack {
           JOIN sizes sb ON pairs.j = sb.doc_id
           WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
           ORDER BY i, j""",
+    // LINEAR planted-pair recompute (id-mapped join at +5e8 replaces
+    // the quadratic idx-self-join of the dedup_ngram_jaccard oracle);
+    // recall_ok is the literal expectation — it only hash-matches
+    // when the Spark verdict is true
+    "dedup_ngram_planted_check" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+                 FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+                 WHERE len(arr) >= 3),
+          idx AS (SELECT doc_id, tok FROM sh
+                  QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS i, count(*) AS inter
+                    FROM idx a JOIN idx b
+                      ON b.doc_id = a.doc_id + 500000000 AND a.tok = b.tok
+                    GROUP BY 1),
+          p AS (SELECT i FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb ON sb.doc_id = i + 500000000
+                WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5e0)
+          SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)

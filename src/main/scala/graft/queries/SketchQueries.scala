@@ -209,6 +209,37 @@ object SketchQueries extends QueryPack {
       recallRow(sh, exactJaccard(s, dir), minRecall = 0.4)
     }),
 
+    // D3 contract at 100×-scale packs (r11, VERDICT r10 #1): MinHash-
+    // LSH recall over PLANTED near-dup pairs whose exact capped
+    // Jaccard ≥ 0.7 — the same estimator regime and 0.7 floor as
+    // dedup_minhash_lsh_check, with a LINEAR id-mapped ground truth
+    // instead of the quadratic exact pair set (infeasible for the
+    // DuckDB oracle at 500k docs). Unplanted corpora → empty truth,
+    // trivial regime shown honestly.
+    "dedup_minhash_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      recallRow(Sketches.minhashLsh(docs, "doc_id", "text"),
+        Planted.ngramTruth(docs, n = 3, tau = 0.7, dfCap = 1000L),
+        minRecall = 0.7)
+    }),
+
+    // D4 contract at 100×-scale packs: SimHash recall over the LIGHT
+    // plant tier (id % 50 = 23 — at most ONE token mutated, the pack
+    // contract) — single-token edits are exactly the hamming ≤ 3
+    // detection class the 16-bit banding is lossless for. The heavy
+    // tier (J ~0.8, ~15% of shingles changed) sits OUTSIDE SimHash's
+    // radius by design — that regime belongs to MinHash — so the
+    // truth is tier-selected, not Jaccard-selected. Floor 0.7: a
+    // 1-token edit flips ~2 of 64 bits in expectation, but a short
+    // doc's single edit can move more (measured ≥ 0.9 at every
+    // planted scale point).
+    "dedup_simhash_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      recallRow(Sketches.simhashPairs(docs, "doc_id", "text"),
+        Planted.tierPairs(docs, sel = 23),
+        minRecall = 0.7)
+    }),
+
     // E3 contract check: IVF ANN recall@10 vs the same baseline, at a
     // PINNED operating point (16 centroids, nprobe 6 ⇒ 37% probed).
     // The √n default trades probe fraction for corpus growth, and on
@@ -606,14 +637,10 @@ object SketchQueries extends QueryPack {
 
   /** One-row recall verdict for sketches whose ground truth IS
     * SQL-expressible: (exact_pairs, recall_ok) on (i, j) pair ids. */
+  // one-row recall verdict — shared with the planted text checks
   private def recallRow(got: DataFrame, exact: DataFrame,
                         minRecall: Double): DataFrame =
-    got.select("i", "j").join(exact.select("i", "j"), Seq("i", "j"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .crossJoin(exact.agg(count(lit(1)).as("exact_pairs")))
-      .select(col("exact_pairs"),
-        (col("hits").cast("double") >= col("exact_pairs") * lit(minRecall))
-          .as("recall_ok"))
+    Planted.recallRow(got, exact, minRecall)
 
   /** One-row contract verdict: (bad_pairs, recall_ok, <exactCount>).
     * All three aggregates are tiny; the cross joins are 1×1×1. */
@@ -673,6 +700,28 @@ object SketchQueries extends QueryPack {
               JOIN sizes sa ON pairs.i = sa.doc_id
               JOIN sizes sb ON pairs.j = sb.doc_id
               WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5)"""
+
+  // the PLANTED-pair capped Jaccard as a reusable CTE body: the
+  // id-mapped join at +5e8 replaces exactJaccardCte's quadratic
+  // idx-self-join — LINEAR, the 100×-feasible form (`pj(i, j, j)` =
+  // pair ids + exact capped Jaccard; filter per check)
+  private val plantedJaccardCte =
+    """WITH t AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS arr FROM documents),
+       sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+              FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+              WHERE len(arr) >= 3),
+       idx AS (SELECT doc_id, tok FROM sh
+               QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS i, count(*) AS inter
+                 FROM idx a JOIN idx b
+                   ON b.doc_id = a.doc_id + 500000000 AND a.tok = b.tok
+                 GROUP BY 1),
+       pj AS (SELECT i, i + 500000000 AS jj,
+                     inter * 1.0 / (sa.sz + sb.sz - inter) AS j
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = i
+              JOIN sizes sb ON sb.doc_id = i + 500000000)"""
 
   val oracles: Map[String, String] = Map(
     "cdc_uniq_upto" ->
@@ -738,6 +787,18 @@ object SketchQueries extends QueryPack {
     "dedup_simhash_check" ->
       s"""$exactJaccardCte
          SELECT count(*) AS exact_pairs, true AS recall_ok FROM ex""",
+    // LINEAR planted recomputes (id-mapped join at +5e8 — no
+    // quadratic explode; see DedupQueries.dedup_ngram_planted_check)
+    "dedup_minhash_planted_check" ->
+      s"""$plantedJaccardCte
+          SELECT count(*) AS exact_pairs, true AS recall_ok
+          FROM pj WHERE j >= 0.7e0""",
+    "dedup_simhash_planted_check" ->
+      """SELECT count(*) AS exact_pairs, true AS recall_ok
+         FROM documents a JOIN documents b
+           ON b.doc_id = a.doc_id + 500000000
+         WHERE a.doc_id % 50 = 23
+           AND a.doc_id % 1000000000 < 500000000""",
     "dedup_semantic_check" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

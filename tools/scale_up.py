@@ -52,7 +52,25 @@ volume without a driver regeneration:
     ~zero noise floor. Keep planted packs separate from the main pack
     (they perturb centroid/occupancy statistics).
 
-Usage: python3 tools/scale_up.py <src_sf_dir> <out_dir> <factor> [--zipf-users] [--plant-dups]
+  - --plant-text-dups (documents only): append a seeded 2% of the
+    scaled documents (doc_id % 50 = 17 — uniform across replicas) as
+    TOKEN-MUTATED near-copies, dup doc_id = orig + STRIDE/2 (the
+    embedding DUP_OFF convention), source = 'planted'. Mutation:
+    append '~d' to every token at (1-based index + doc_id) % 29 == 0
+    — a doc-dependent deterministic grid, so 3-gram shingle Jaccard
+    lands ~0.8 for median-length docs, spans [~0.45, 1.0] across the
+    10–100-token length range (short docs get 0 mutations → exact
+    copies), and both engines can recompute the EXACT pair Jaccard
+    LINEARLY via the id-mapped join. Ground truth for the 100x
+    n-gram pair-dedup contracts (dedup_ngram/minhash/simhash/
+    clusters/survivors/decontaminate planted checks): the flat pack's
+    exact pair oracle is a quadratic explode at 500k docs; planted
+    pairs give a linear oracle with per-pair exact Jaccard. 'planted'
+    source rows are TRAIN docs for decontaminate (eval = src0), so
+    plants of src0 docs are known contamination. Keep planted packs
+    separate from the main pack (they perturb corpus stats).
+
+Usage: python3 tools/scale_up.py <src_sf_dir> <out_dir> <factor> [--zipf-users] [--plant-dups] [--plant-text-dups]
 """
 import sys, os, shutil
 import numpy as np
@@ -66,6 +84,7 @@ flags = {a for a in sys.argv[1:] if a.startswith("--")}
 src, out, factor = args[0], args[1], int(args[2])
 zipf_users = "--zipf-users" in flags
 plant_dups = "--plant-dups" in flags
+plant_text = "--plant-text-dups" in flags
 STRIDE = 1_000_000_000  # far above any base key; multiple of 1000
 os.makedirs(out, exist_ok=True)
 
@@ -111,25 +130,63 @@ con = duckdb.connect()
 reps = ", ".join(str(i) for i in range(factor))
 
 # documents: word-tag text per replica (replica 0 untouched);
-# n_chars recomputed to stay consistent with the tagged text
+# n_chars recomputed to stay consistent with the tagged text.
+# --plant-text-dups additionally appends mutated near-copies (header
+# comment) — built FROM the scaled rows so each plant inherits its
+# replica's word tags and stays Jaccard-disjoint from other replicas.
+# two tiers: HEAVY (~every 29th token mutated, J ~0.8 — the
+# jaccard/minhash/cluster regime) and LIGHT (at most ONE token
+# mutated, J ~0.9+ — the simhash hamming<=3 regime; docs shorter than
+# the chosen position become exact copies, J = 1)
+plants_sql = f"""
+    SELECT doc_id + {STRIDE // 2} AS doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '),
+               (w, i) -> CASE WHEN (i + doc_id) % 29 = 0
+                              THEN w || '~d' ELSE w END), ' ') AS text,
+           lang, 'planted' AS source
+    FROM scaled WHERE doc_id % 50 = 17 AND text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + {STRIDE // 2} AS doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '),
+               (w, i) -> CASE WHEN i = 1 + (doc_id % 37)
+                              THEN w || '~d' ELSE w END), ' ') AS text,
+           lang, 'planted' AS source
+    FROM scaled WHERE doc_id % 50 = 23 AND text IS NOT NULL
+    UNION ALL
+    -- CONTAMINATION tier: heavy-mutated copies of ~1/3 of the EVAL
+    -- (src0) docs — known train/eval leakage for the decontaminate
+    -- contract (the %50 selectors never hit src0: its ids are =0 mod
+    -- 10). source='planted' makes the copy a TRAIN doc.
+    SELECT doc_id + {STRIDE // 2} AS doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '),
+               (w, i) -> CASE WHEN (i + doc_id) % 29 = 0
+                              THEN w || '~d' ELSE w END), ' ') AS text,
+           lang, 'planted' AS source
+    FROM scaled WHERE source = 'src0' AND doc_id % 3 = 0
+                  AND text IS NOT NULL
+""" if plant_text else "SELECT * FROM scaled WHERE false"
 con.execute(f"""
   COPY (
-    SELECT doc_id + CAST(r AS BIGINT) * {STRIDE} AS doc_id,
-           CASE WHEN r = 0 THEN text
-                ELSE array_to_string(
-                       list_transform(string_split(text, ' '),
-                                      w -> w || '~' || r), ' ')
-           END AS text,
-           lang, source,
-           CAST(length(CASE WHEN r = 0 THEN text
-                ELSE array_to_string(
-                       list_transform(string_split(text, ' '),
-                                      w -> w || '~' || r), ' ')
-           END) AS BIGINT) AS n_chars
-    FROM '{src}/documents.parquet', unnest([{reps}]) AS t(r)
+    WITH scaled AS (
+      SELECT doc_id + CAST(r AS BIGINT) * {STRIDE} AS doc_id,
+             CASE WHEN r = 0 THEN text
+                  ELSE array_to_string(
+                         list_transform(string_split(text, ' '),
+                                        w -> w || '~' || r), ' ')
+             END AS text,
+             lang, source
+      FROM '{src}/documents.parquet', unnest([{reps}]) AS t(r)),
+    allrows AS (SELECT * FROM scaled UNION ALL {plants_sql})
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM allrows
   ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
-print("documents: scaled with per-replica word tags")
+print("documents: scaled with per-replica word tags"
+      + (" + planted near-dup copies" if plant_text else ""))
 
 # embeddings: per-replica exact isometry = rotation (7*r mod d) then a
 # seeded +-1 sign-flip pattern. Each product term is IEEE-exact under
