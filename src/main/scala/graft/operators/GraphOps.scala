@@ -159,8 +159,11 @@ object GraphOps {
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
       .transform(pin)
     // (a, b, deg(a)) — the join payload each round; deg is scale-free
-    // per node so this adds one long to each cached edge row
+    // per node so this adds one long to each cached edge row.
+    // Pre-partitioned + pre-sorted on the per-round join key (the
+    // eigenvector r11 shape): only the rank vector exchanges per round
     val withDeg = und.join(deg, "a")
+      .repartition(col("a")).sortWithinPartitions("a")
       .transform(pin)
     val n = deg.count() // scalar collect
     var ranks = deg.select(col("a").as("node"))
@@ -675,8 +678,14 @@ object GraphOps {
       .union(e0.select(col("b").as("node"))).distinct()
       .transform(pin)
     val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
-    // (a, b, out(a)) — loop-invariant join payload, pinned once
-    val withOut = e0.join(outdeg, "a").transform(pin)
+    // (a, b, out(a)) — loop-invariant join payload, pinned once,
+    // PRE-PARTITIONED + PRE-SORTED on the per-round join key so the
+    // cached scan satisfies the sort-merge join's requirements and
+    // only the |V| rank vector exchanges per round (the
+    // eigenvectorCentralityWithN r11 shape)
+    val withOut = e0.join(outdeg, "a")
+      .repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
     // dangling = nodes with no out-edge (pure sinks)
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
@@ -740,7 +749,11 @@ object GraphOps {
       .union(e0.select(col("b").as("node"))).distinct()
       .transform(pin)
     val outdeg = e0.groupBy("a").agg(count(lit(1)).as("out"))
-    val withOut = e0.join(outdeg, "a").transform(pin)
+    // pre-partitioned + pre-sorted on the per-round join key (the
+    // eigenvector r11 shape): only the rank vector exchanges per round
+    val withOut = e0.join(outdeg, "a")
+      .repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
     val dangling = nodes.join(outdeg.select(col("a").as("node")),
         Seq("node"), "left_anti")
       .transform(pin)
@@ -893,14 +906,23 @@ object GraphOps {
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
       .transform(pin)
+    // the half-steps alternate join keys, so TWO pre-partitioned +
+    // pre-sorted pins (the eigenvector r11 shape, one per key): each
+    // half-step's sort-merge join then exchanges/sorts only the |V|
+    // vector, never the |E| relation. 2× the cached edge payload —
+    // two longs per row — for zero heavy-side exchanges per round.
+    val ea = e0.repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
+    val eb = e0.repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
     var hub = nodes.withColumn("h", lit(1.0 / n))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      auth = e0.join(hub, col("a") === col("node"))
+      auth = ea.join(hub, col("a") === col("node"))
         .groupBy(col("b").as("node")).agg(sum(col("h")).as("x"))
         .localCheckpoint()
-      hub = e0.join(auth, col("b") === col("node"))
+      hub = eb.join(auth, col("b") === col("node"))
         .groupBy(col("a").as("node")).agg(sum(col("x")).as("h"))
         .localCheckpoint()
     }
@@ -1045,7 +1067,18 @@ object GraphOps {
     * 6dp output rounding at large N). */
   def eigenvectorCentralityWithN(edges: DataFrame, iters: Int): (DataFrame, Long) = {
     require(iters >= 1, s"eigenvector: iters must be >= 1, got $iters")
-    val und = undirected(edges).transform(pin)
+    // r11 (VERDICT r10 #4): the |E| relation is pinned PRE-PARTITIONED
+    // and PRE-SORTED on the join key — the cached scan then reports
+    // that partitioning/ordering and every round's sort-merge join
+    // needs NO exchange and NO sort on the heavy side (the x vector is
+    // |V| rows — too big to broadcast honestly at scale, cheap to
+    // shuffle per round). Unpartitioned, each round re-exchanged and
+    // re-sorted all |E| rows: the dominant, variance-prone cost the
+    // r10 100× spread flags adjudicated to (not eviction — storage
+    // telemetry showed the cache fully resident).
+    val und = undirected(edges)
+      .repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
     val nodes = und.select(col("a").as("node")).distinct()
       .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
