@@ -594,8 +594,15 @@ object CdcQueries extends QueryPack {
         .groupBy(
           (floor(col("us") / 86400000000L) % 7).cast("long").as("dow_idx"),
           (floor(col("us") / 3600000000L) % 24).cast("long").as("hour"))
+        // exact-scaled-integer mean (the q1_agg cents discipline): a
+        // double avg() over ~60k values/cell landed EXACTLY on a 4dp
+        // rounding boundary at 100× and flipped with summation order
+        // (green r10, red r11, same code) — the long sum is
+        // order-independent and the single double division identical
+        // cross-engine
         .agg(count(lit(1)).as("cnt"),
-          round(avg(col("value")), 4).as("avg_value"))
+          round(sum(round(col("value") * 10000).cast("long")).cast("double")
+            / count(lit(1)) / lit(10000.0), 4).as("avg_value"))
         .orderBy("dow_idx", "hour")),
 
     // SCD Type-2 history build (r8) — the CDC-warehouse staple the
@@ -1213,7 +1220,9 @@ object CdcQueries extends QueryPack {
     "cdc_activity_heatmap" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000) % 7 AS BIGINT) AS dow_idx,
                 CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour,
-                count(*) AS cnt, round(avg(value), 4) AS avg_value
+                count(*) AS cnt,
+                round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                      / count(*) / 10000.0e0, 4) AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "cdc_history_scd2" ->
       """WITH v AS (SELECT user_id, event_type, value, epoch_us(ts) AS f,
