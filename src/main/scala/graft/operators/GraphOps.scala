@@ -1206,4 +1206,82 @@ object GraphOps {
       .orderBy(col("sim_key").desc, col("e1"), col("e2"))
       .limit(topK)
   }
+
+  /** Link-prediction scores for NON-adjacent node pairs — the Neo4j
+    * GDS `linkprediction` function family (commonNeighbors /
+    * preferentialAttachment / resourceAllocation) as one batch
+    * operator: score every candidate pair with ≥ 1 common neighbor,
+    * return the top `topK` by evidence. Candidate generation is the
+    * wedge enumeration of [[triangleCounts]]' adjacency path — pairs
+    * of neighbors of a shared center — so the operator needs no
+    * pair² scan: cost is bounded by Σ_w deg(w)² over wedge CENTERS.
+    *
+    * `hubCap` bounds that sum: nodes with deg > hubCap do not act as
+    * wedge centers (a celebrity hub certifies deg² pairs with near-
+    * zero evidence each — which is exactly why RA/AA down-weight a
+    * common neighbor by 1/deg; capping drops only the lowest-weight
+    * evidence and keeps wedge volume ≤ hubCap·|E|). cn therefore
+    * counts common neighbors OF DEGREE ≤ hubCap — part of the
+    * operator contract, replayed identically by the oracle.
+    *
+    * Scores per surviving pair (u < v structurally):
+    *   cn = #{w : u~w~v, deg(w) ≤ hubCap}           (exact long)
+    *   pa = deg(u)·deg(v)   — full degrees, uncapped  (exact long)
+    *   ra = Σ_w 1/deg(w)    — resource allocation (Zhou/Lü/Zhang
+    *        2009; AA's 1/ln d with the transcendental swapped for an
+    *        exact division so the score is cross-engine reproducible)
+    *
+    * ra is accumulated DETERMINISTICALLY for the exact-hash oracle
+    * compare: wedges first collapse to (pair, degw) COUNT cells (the
+    * map-side combine — the exchange carries ≤ hubCap rows per pair,
+    * never the wedge multiset), then one left fold over the cells in
+    * ascending-degw order: acc + cnt/degw. Both engines fold the
+    * identical sequence of IEEE-exact divisions/additions, so the
+    * doubles are bit-identical with NO rounding (the modularity
+    * integer-rollup stance, extended to a bounded fold).
+    *
+    * Plan shape: one shared-adjacency hash-agg ([[neighborArrays]]),
+    * two codegen'd generators (the posexplode + slice pair explode of
+    * [[nodeSimilarity]]'s posting path), one (pair, degw) hash-agg,
+    * one (pair) hash-agg, an anti-join against the edge set, two
+    * degree joins, TakeOrdered(topK). The fold HOF runs on topK rows
+    * only — never on the pair stream (the interpreted-lambda tax is
+    * confined to the 50-row tail).
+    */
+  def linkPrediction(edges: DataFrame, hubCap: Int, topK: Int): DataFrame = {
+    require(hubCap >= 2, s"linkPrediction: hubCap must be >= 2, got $hubCap")
+    require(topK >= 1, s"linkPrediction: topK must be >= 1, got $topK")
+    val und = undirected(edges).transform(pin)
+    val adj = neighborArrays(und, "a", "b", sorted = true).transform(pin)
+    val deg = adj.select(col("node"), col("deg"))
+    // wedge centers: degree-capped nodes emit their C(deg, 2) ordered
+    // neighbor pairs (ascending arrays make u < v structural)
+    val wedges = adj.filter(col("deg") <= hubCap)
+      .select(col("deg").as("degw"), col("nbrs"))
+      .select(col("degw"), col("nbrs"),
+        posexplode(col("nbrs")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("nbrs"), col("i") + lit(2),
+          size(col("nbrs")) - col("i") - lit(1))).as("v"),
+        col("degw"))
+    // (pair, center-degree) cells: same-degree centers die map-side
+    val cells = wedges.groupBy("u", "v", "degw")
+      .agg(count(lit(1)).as("cnt"))
+    val cand = cells.groupBy("u", "v")
+      .agg(sum(col("cnt")).as("cn"),
+        sort_array(collect_list(struct(col("degw"), col("cnt"))))
+          .as("cells"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+      .orderBy(col("cn").desc, col("u"), col("v")).limit(topK)
+      .select(col("u"), col("v"), col("cn"),
+        (col("deg_u") * col("deg_v")).as("pa"),
+        aggregate(col("cells"), lit(0d), (acc, s) =>
+          acc + s.getField("cnt").cast("double") / s.getField("degw"))
+          .as("ra"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+  }
 }

@@ -432,6 +432,26 @@ object GraphQueries extends QueryPack {
         .select(col("method"), col("n_communities"), col("intra_edges"),
           col("m"), col("q"))
         .orderBy("method")
+    }),
+
+    // B25 (r11): link prediction — the GDS linkprediction function
+    // family (commonNeighbors / preferentialAttachment /
+    // resourceAllocation) as one batch operator over the part
+    // co-purchase projection (quantity ≤ 10 keeps the wedge volume a
+    // fraction of the triangles graph: candidate generation is the
+    // same wedge enumeration, and the q≤10 slice is the "related
+    // parts people actually bundle" signal, not the bulk-order
+    // noise). Top-50 non-adjacent pairs by common-neighbor count;
+    // ra is the deterministic ascending-degree fold (bit-identical
+    // doubles, no rounding — see GraphOps.linkPrediction).
+    "graph_link_prediction" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 10)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      GraphOps.linkPrediction(edges, hubCap = 64, topK = 50)
     })
   )
 
@@ -874,6 +894,33 @@ object GraphQueries extends QueryPack {
                    round(2e0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 6)
                  ELSE 0e0 END AS lcc
           FROM deg LEFT JOIN tc ON deg.n = tc.n ORDER BY node""",
+    "graph_link_prediction" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem WHERE l_quantity <= 10),
+          e0 AS MATERIALIZED (
+             SELECT DISTINCT x.pk AS a, y.pk AS b FROM li x JOIN li y
+               ON x.ok = y.ok AND x.pk < y.pk),
+          und AS MATERIALIZED (
+             SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+          deg AS MATERIALIZED (SELECT a AS n, count(*) AS d
+             FROM und GROUP BY a),
+          ctr AS (SELECT u.a AS w, u.b AS nb, deg.d AS degw
+             FROM und u JOIN deg ON deg.n = u.a WHERE deg.d <= 64),
+          wedge AS (SELECT x.nb AS u, y.nb AS v, x.degw
+             FROM ctr x JOIN ctr y ON x.w = y.w AND x.nb < y.nb),
+          cells AS (SELECT u, v, degw, count(*) AS cnt
+             FROM wedge GROUP BY 1, 2, 3),
+          agg AS (SELECT u, v, CAST(sum(cnt) AS BIGINT) AS cn,
+                list(cnt / degw ORDER BY degw) AS terms
+             FROM cells GROUP BY u, v),
+          cand AS (SELECT g.* FROM agg g
+             ANTI JOIN e0 ON e0.a = g.u AND e0.b = g.v),
+          top AS (SELECT u, v, cn, terms FROM cand
+             ORDER BY cn DESC, u, v LIMIT 50)
+          SELECT t.u, t.v, t.cn, du.d * dv.d AS pa,
+                 list_reduce(t.terms, (x, y) -> x + y) AS ra
+          FROM top t JOIN deg du ON du.n = t.u JOIN deg dv ON dv.n = t.v
+          ORDER BY cn DESC, u, v""",
     "graph_lpa" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
           lp0 AS (SELECT DISTINCT a AS node, a AS label FROM und),

@@ -569,4 +569,51 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L), (3L, 4L)))
   }
+
+  test("linkPrediction scores match hand arithmetic on the 5-node fixture") {
+    // 1—2, 2—3, 3—4, 1—5, 2—5: degrees 1:2, 2:3, 3:2, 4:1, 5:2.
+    // Non-adjacent pairs with a common neighbor:
+    //   (1,3) via 2 (deg 3): cn=1, pa=2·2=4, ra=1/3
+    //   (2,4) via 3 (deg 2): cn=1, pa=3·1=3, ra=1/2
+    //   (3,5) via 2 (deg 3): cn=1, pa=2·2=4, ra=1/3
+    // Adjacent pairs sharing a center — (2,5) via 1, (1,2) via 5 —
+    // must be anti-joined out.
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (2L, 5L))
+    val got = GraphOps.linkPrediction(g, hubCap = 64, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 4L, 1.0 / 3),
+      (2L, 4L, 1L, 3L, 0.5),
+      (3L, 5L, 1L, 4L, 1.0 / 3)))
+  }
+
+  test("linkPrediction hubCap drops high-degree wedge centers only") {
+    // same fixture, hubCap = 2: node 2 (deg 3) stops certifying —
+    // (1,3) and (3,5) vanish; (2,4) survives via center 3 (deg 2).
+    // pa still uses the FULL degree of the endpoints (3·1), per the
+    // documented contract.
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (2L, 5L))
+    val got = GraphOps.linkPrediction(g, hubCap = 2, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((2L, 4L, 1L, 3L, 0.5)))
+  }
+
+  test("linkPrediction ra fold is the ascending-degree left fold") {
+    // K1,3 star (center 0, leaves 1..3) plus a pendant 4—1 makes the
+    // leaf pairs share ONE center of degree 3; adding edge 2—5 and
+    // 3—5 gives pair (2,3) two centers of degrees 3 and 2 — the ra
+    // fold must sum 1/2 then... ascending degw order: deg(5)=2 first,
+    // deg(0)=3 second: ra = (0 + 1/2) + 1/3. The value is compared
+    // EXACTLY — the cross-engine contract is bit-identical doubles.
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L),
+      (2L, 5L), (3L, 5L))
+    val got = GraphOps.linkPrediction(g, hubCap = 64, topK = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(got((2L, 3L)) == (0d + 1d / 2) + 1d / 3)
+  }
 }
