@@ -164,6 +164,48 @@ object TextOps {
         round(sum(col("sc")), 4).as("bm25"))
   }
 
+  /** Per-document top-`k` keywords by smoothed TF-IDF — the keyword-
+    * extraction complement of [[bm25]] (bm25 scores DOCUMENTS against
+    * one corpus-derived query; this ranks TERMS within each document,
+    * the classic tagging / feature-selection signal in corpus
+    * curation):
+    *   score(d, t) = tf(d,t) · (ln((N+1)/(df(t)+1)) + 1)
+    * (sklearn's smooth_idf form — the +1s keep corpus-universal terms
+    * at a positive score instead of exactly 0, so ranking stays total).
+    * Rounded 4dp BEFORE ranking: the rank key must be the same value
+    * both engines compare, and 4dp is the repo-wide stance for
+    * absorbing ln ulp differences; ties break by term ascending, so
+    * the per-doc top-k is a deterministic cross-engine contract.
+    *
+    * Dataflow: one (doc, term) hash-agg (map-side combined), one
+    * vocab hash-agg for df, N from the doc-length rollup as a 1-row
+    * broadcast (the bm25 corpus-scalar pattern), tf ⋈ df on term
+    * (AQE broadcasts while the vocab fits), then ONE per-doc
+    * row_number window bounded by the per-doc distinct-term count.
+    * Output: (doc_id, term, tf, df, score), k rows per doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nd = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .agg(count(lit(1)).as("nd"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * (log((col("nd") + lit(1.0)) /
+          (col("df") + lit(1.0))) + lit(1.0)), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("tok").as("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
   /** Distinct word n-gram shingles of the token array. Shingling (vs
     * unigram word sets) is what makes Jaccard discriminative on a
     * small vocabulary: contiguous n-grams capture ordering, so only

@@ -284,6 +284,16 @@ object TextQueries extends QueryPack {
       TextOps.bm25(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // F13 (r11): per-doc top-3 keywords by smoothed TF-IDF — keyword
+    // extraction / document tagging, the term-side complement of
+    // BM25's doc-side relevance. Score rounded 4dp BEFORE the per-doc
+    // rank so the top-3 selection is the same deterministic contract
+    // on both engines (ties by term asc).
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))),
+
     "text_unigram_ppl" -> ((s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
@@ -373,6 +383,22 @@ object TextQueries extends QueryPack {
          FROM tf JOIN dfreq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
               CROSS JOIN stats
          GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents WHERE text IS NOT NULL),
+           tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+           tf AS (SELECT doc_id, tok, count(*) AS tf
+                  FROM tk GROUP BY doc_id, tok),
+           nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tk),
+           dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           scored AS (SELECT f.doc_id, f.tok AS term, f.tf, d.df,
+                  round(f.tf * (ln((nd.nd + 1.0e0) / (d.df + 1.0e0))
+                    + 1.0e0), 4) AS score
+                  FROM tf f JOIN dfreq d ON d.tok = f.tok CROSS JOIN nd),
+           ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS rn FROM scored)
+         SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, score DESC, term""",
     "text_unigram_ppl" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents WHERE text IS NOT NULL),

@@ -288,6 +288,38 @@ class TextDedupSpec extends SparkSpec {
     assert(!g2.contains(4L), "termless doc must not be scored")
   }
 
+  test("tfidf: hand arithmetic, per-doc top-k cut, tie order") {
+    // corpus: d1 "a a b", d2 "a c", d3 "b b b c" — N=3,
+    // df(a)=df(b)=df(c)=2, so idf is ONE shared value ln(4/3)+1 and
+    // ranking within a doc is by tf desc then term asc.
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val idf = math.log(4.0 / 3) + 1
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 2L, 2L, r4(2 * idf)),  // tf 2 beats tf 1
+      (1L, "b", 1L, 2L, r4(idf)),
+      (2L, "a", 1L, 2L, r4(idf)),      // equal scores: term asc
+      (2L, "c", 1L, 2L, r4(idf)),
+      (3L, "b", 3L, 2L, r4(3 * idf)),
+      (3L, "c", 1L, 2L, r4(idf))))
+    // k cuts strictly: d3 has 2 distinct terms, k=1 keeps only b
+    val top1 = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 3L).collect()
+    assert(top1.length == 1 && top1(0).getString(1) == "b")
+    // a rarer term outranks a common one at equal tf: add a doc so
+    // df(c)=3 > df(a): in d2 (tf 1 each) a must now rank above c
+    val docs2 = docs.union(Seq((4L, "c")).toDF("doc_id", "text"))
+    val d2 = TextOps.tfidfTopTerms(docs2, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 2L).collect()
+    assert(d2(0).getString(1) == "a", s"smooth idf must favor rare: ${d2.toSeq}")
+  }
+
   test("ngrams: native kernel == HOF formulation over corpus + corners") {
     val corners = Seq((1000001L, ""), (1000002L, "one"),
       (1000003L, "a b"), (1000004L, "a b c d e")).toDF("doc_id", "text")
