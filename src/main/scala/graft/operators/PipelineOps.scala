@@ -42,6 +42,48 @@ object PipelineOps {
       .otherwise("test")
   }
 
+  /** Stratified train/val/test split with EXACT per-stratum
+    * allocation — the eval-set construction contract [[splitAssign]]
+    * cannot give: hash bucketing hits the 80/10/10 proportions only
+    * in expectation (a 200-doc stratum can land 72/14/14), while
+    * benchmark/eval curation needs |train_s| = ⌊0.8·n_s⌋ EXACTLY per
+    * stratum. Rows are ranked within their stratum by
+    * (md5(id), id) — a content-blind, layout-independent total
+    * order both engines replay — and cut at the exact floor
+    * boundaries, so the assignment is deterministic row-for-row, not
+    * just in distribution.
+    *
+    * Cost note (the honest trade): exact allocation needs a
+    * per-stratum rank = one shuffle on the stratum key + per-stratum
+    * sort, and parallelism is bounded by the stratum count. For a
+    * handful of giant strata at the 100-TB point, use [[splitAssign]]
+    * (pure projection, proportions in expectation) for train and
+    * reserve this operator for the val/test tail where exactness is
+    * the point; for high-cardinality strata (per-domain, per-shard)
+    * it parallelizes naturally.
+    *
+    * Returns the input plus (`rn`, `n_s`, `split`).
+    */
+  def stratifiedSplit(df: org.apache.spark.sql.DataFrame,
+                      stratumCol: String, idCol: String,
+                      pctTrain: Int = 80, pctVal: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"stratifiedSplit: bad percentages $pctTrain/$pctVal")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_s", count(lit(1)).over(cw))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n_s") * lit(pctTrain) / lit(100.0)),
+          "train")
+        .when(col("rn") <= floor(col("n_s") * lit(pctTrain + pctVal)
+          / lit(100.0)), "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic hash sampling: keep a row iff its content hash
     * bucket falls under `pct` (0–100). The sampling decision is a pure
     * per-row projection — reproducible across runs, machines, and

@@ -20,6 +20,19 @@ object CorpusQueries extends QueryPack {
         .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")),
 
+    // J15 (r11): stratified split with EXACT per-source allocation —
+    // |train_s| = ⌊0.8·n_s⌋ per stratum by construction, not in
+    // expectation (the eval-curation contract; split_assign above is
+    // the in-expectation scale path). Rollup output: per (source,
+    // split) counts plus the stratum size, so the oracle compare
+    // certifies the exact-floor arithmetic for every stratum.
+    "corpus_stratified_split" -> ((s, dir) =>
+      PipelineOps.stratifiedSplit(
+          Tables.load(s, dir, "documents"), "source", "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), max(col("n_s")).as("n_stratum"))
+        .orderBy("source", "split")),
+
     // eval-leakage scan: train docs sharing >= 3 distinct 5-gram
     // shingles with the eval slice (source = 'src0').
     "decontaminate" -> ((s, dir) =>
@@ -510,6 +523,19 @@ object CorpusQueries extends QueryPack {
       """SELECT least(20, count(*)) AS n_rows,
                 CAST(0 AS BIGINT) AS not_in_source
          FROM documents""",
+    "corpus_stratified_split" ->
+      """WITH r AS (SELECT source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                count(*) OVER (PARTITION BY source) AS n_s
+             FROM documents),
+           a AS (SELECT source, n_s,
+                CASE WHEN rn <= floor(n_s * 80 / 100.0) THEN 'train'
+                     WHEN rn <= floor(n_s * 90 / 100.0) THEN 'val'
+                     ELSE 'test' END AS split FROM r)
+         SELECT source, split, count(*) AS n_docs,
+                CAST(max(n_s) AS BIGINT) AS n_stratum
+         FROM a GROUP BY source, split ORDER BY source, split""",
     "split_assign" ->
       """SELECT CASE WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 80 THEN 'train'
                      WHEN ('0x' || substr(md5(coalesce(text, '')), 1, 8))::BIGINT % 100 < 90 THEN 'val'

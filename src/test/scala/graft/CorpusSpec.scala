@@ -187,4 +187,34 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ppm.values.forall(p => p > 0 && p <= 1000000))
   }
+
+  test("stratifiedSplit allocation is exact-floor per stratum") {
+    // stratum A: 7 docs → train ⌊5.6⌋=5, val ⌊6.3⌋−5=1, test 1;
+    // stratum B: 3 docs → train ⌊2.4⌋=2, val ⌊2.7⌋−2=0, test 1.
+    // splitAssign (hash buckets) cannot promise these counts; this
+    // operator must hit them exactly, whatever the hash order.
+    val df = ((1L to 7L).map(i => (i, "A")) ++ (8L to 10L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val got = PipelineOps.stratifiedSplit(df, "source", "doc_id")
+      .groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("A", "train") -> 5L, ("A", "val") -> 1L, ("A", "test") -> 1L,
+      ("B", "train") -> 2L, ("B", "test") -> 1L), s"got $got")
+  }
+
+  test("stratifiedSplit is layout-independent and rank-deterministic") {
+    val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val base = PipelineOps.stratifiedSplit(df, "source", "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shuffled = PipelineOps.stratifiedSplit(
+        df.repartition(13, col("doc_id")), "source", "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base == shuffled, "assignment must not depend on layout")
+    // every doc assigned exactly once, all three splits present
+    assert(base.size == 50 && base.values.toSet == Set("train", "val", "test"))
+  }
 }
