@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftExpressionBridge, SparkSession, SparkSessionEx
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, If, IsNull, Literal, XxHash64}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
-import graft.functions.{DotProduct, SimHash64, TopKWeighted, UniqUpTo}
+import graft.functions.{CountMinAgg, CountMinEstimate, CountMinMerge, DotProduct, SimHash64, TopKWeighted, UniqUpTo}
 
 /** SQL registration of graft's native expressions, so pure-SQL users
   * (spark.sql, thriftserver, SQL files) get the same codegen'd kernels
@@ -70,6 +70,26 @@ object GraftExtensions {
         require(args.length == 3, "topk_weighted(item, weight, capacity)")
         TopKWeighted(Cast(args.head, StringType), Cast(args(1), LongType),
           intLiteral(args(2), "topk_weighted: capacity"))
+      }),
+    ("cms_agg",
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_agg(value, depth, width)")
+        CountMinAgg(hashedOrNull(args.head),
+          intLiteral(args(1), "cms_agg: depth"),
+          intLiteral(args(2), "cms_agg: width"))
+      }),
+    ("cms_merge",
+      new ExpressionInfo(classOf[CountMinMerge].getName, "cms_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "cms_merge(state)")
+        CountMinMerge(args.head)
+      }),
+    ("cms_query",
+      new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_query"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_query(state, value)")
+        CountMinEstimate(args.head, hashedOrNull(args(1)))
       }))
 
   /** Pre-hash a value column for [[UniqUpTo]], keeping nulls null. */

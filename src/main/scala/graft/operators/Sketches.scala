@@ -657,4 +657,49 @@ object Sketches {
                    as: String = "topk_w"): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(topkWeightedCol(col(itemCol), col(weightCol), capacity).as(as))
+
+  // -------------------------------------------------------------------
+  // Count-min sketch (graft.functions.CountMin) — mergeable point-
+  // frequency estimation: "how often does THIS item occur", answered
+  // from a fixed depth×width counter state with the overestimate-only
+  // guarantee (est ≥ exact ALWAYS — deterministic, the invariant the
+  // check entry certifies). Completes the sketch-state family: HLL =
+  // distinct, theta = set algebra, KLL = quantiles, approx_top_k =
+  // heavy-hitter list, CMS = arbitrary-item frequency. Same landed-
+  // state lifecycle as distinctState/mergeDistinctStates.
+
+  private def hashedOrNull(value: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
+    val v = exprOf(value)
+    If(IsNull(v), Literal(null,
+      org.apache.spark.sql.types.LongType), XxHash64(Seq(v), 42L))
+  }
+
+  /** Aggregate Column: count-min state bytes of `value` (nulls are
+    * not items). `width` a power of two; error ≤ ~e·N/width with
+    * prob 1−exp(−depth) per query, overestimate-only always. */
+  def cmsStateCol(value: org.apache.spark.sql.Column, depth: Int = 4,
+                  width: Int = 8192): org.apache.spark.sql.Column =
+    colOf(graft.functions.CountMinAgg(hashedOrNull(value), depth, width)
+      .toAggregateExpression())
+
+  /** Per-key count-min states — the land-able daily shape. */
+  def cmsState(df: DataFrame, keyCols: Seq[String], valueCol: String,
+               depth: Int = 4, width: Int = 8192): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(cmsStateCol(col(valueCol), depth, width).as("cms_state"))
+
+  /** Merge landed states per key: element-wise counter addition, so
+    * merge(states) is BIT-IDENTICAL to the state of the concatenated
+    * input under any partitioning/merge tree (spec-pinned). The
+    * shuffle carries N·|keys| state rows, never values. */
+  def mergeCmsStates(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(col): _*)
+      .agg(colOf(graft.functions.CountMinMerge(
+        exprOf(col("cms_state"))).toAggregateExpression()).as("cms_state"))
+
+  /** Point estimate of `item`'s frequency from a state column. */
+  def cmsEstimate(state: org.apache.spark.sql.Column,
+                  item: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(graft.functions.CountMinEstimate(exprOf(state), hashedOrNull(item)))
 }

@@ -316,6 +316,46 @@ object SketchQueries extends QueryPack {
     // FULL-oracle shape: DuckDB recomputes total + exact distinct;
     // the est_ok verdict pins the sketch estimate to ±max(2, 5%) of
     // exact, so a drifting estimator hash-mismatches.
+    // D18 (r11): count-min sketch lifecycle check — build per-half
+    // states, MERGE them (element-wise addition: merge(states) ==
+    // state(union) bit-identically, CountMinSpec pins it), then
+    // point-query the per-type top user. The verdict pins BOTH sides
+    // of the CMS contract: est ≥ exact (the deterministic
+    // overestimate-only invariant) and est ≤ exact + 4·⌈N/width⌉
+    // (the probabilistic overshoot at depth 4 — deterministic per
+    // dataset under the fixed seed, so once green at a scale it
+    // stays green). DuckDB recomputes the exact top user and count;
+    // the estimate itself is sketch-internal (the uniq-state
+    // precedent).
+    "cdc_cms_check" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+      val halves = Seq(0, 1).map(d => graft.operators.Sketches.cmsState(
+        events.filter(col("event_id") % 2 === d),
+        Seq("event_type"), "user_id"))
+      val merged = graft.operators.Sketches.mergeCmsStates(
+        halves.reduce(_ unionAll _), Seq("event_type"))
+      val exact = events.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+      val top = exact.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("user_id").as("top_user"),
+          col("cnt").as("exact_cnt"))
+      val totals = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n_type"))
+      top.join(merged, "event_type").join(totals, "event_type")
+        .withColumn("est", graft.operators.Sketches.cmsEstimate(
+          col("cms_state"), col("top_user")))
+        .select(col("event_type"), col("top_user"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt") &&
+            col("est") <= col("exact_cnt") +
+              lit(4L) * ceil(col("n_type") / lit(8192.0)))
+            .as("est_ok"))
+        .orderBy("event_type")
+    }),
+
     "cdc_uniq_state_check" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
       val days = Seq(0, 1).map(d => graft.operators.Sketches.distinctState(
@@ -747,6 +787,15 @@ object SketchQueries extends QueryPack {
     "dedup_bloom_check" ->
       """SELECT count(*) AS n_batch, true AS no_false_neg, true AS fp_ok
          FROM documents WHERE doc_id % 3 = 0""",
+    "cdc_cms_check" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+             FROM events WHERE user_id IS NOT NULL
+             GROUP BY event_type, user_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY cnt DESC, user_id) AS rk FROM c)
+         SELECT event_type, user_id AS top_user, cnt AS exact_cnt,
+                true AS est_ok
+         FROM r WHERE rk = 1 ORDER BY event_type""",
     "cdc_uniq_state_check" ->
       """SELECT event_type, count(*) AS total,
                 count(DISTINCT user_id) AS uniq_exact, true AS est_ok
