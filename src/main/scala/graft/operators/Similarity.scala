@@ -393,7 +393,8 @@ object Similarity {
               k: Int = 10, queryMod: Int = 100,
               nCentroids: Option[Int] = None, iters: Int = 2,
               nprobe: Option[Int] = None,
-              fitSamplePct: Option[Int] = None): DataFrame =
+              fitSamplePct: Option[Int] = None,
+              filterCol: Option[String] = None): DataFrame =
     probeDim(vecs, vecCol) match {
       case None => // empty / all-null input: empty result, same schema
         vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
@@ -402,7 +403,16 @@ object Similarity {
         lazy val n = vecs.count()
         val kc = nCentroids.getOrElse(autoCentroids(n))
         val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
-        val np = nprobe.getOrElse(autoNprobe(kc))
+        val npBase = nprobe.getOrElse(autoNprobe(kc))
+        // FILTERED search (the vector-store "search within a
+        // category" shape): a predicate applied AFTER probing thins
+        // every probed partition by the filter's selectivity, so at
+        // the base probe width the candidate pool can starve below k
+        // — the standard fix is to co-scale probes with 1/selectivity
+        // (bounded: the filter classes here are label-like, a handful
+        // of values; ×4 recovers a ¼-selective filter and the cap
+        // keeps the worst case at 4× the unfiltered probe cost).
+        val np = if (filterCol.isDefined) math.min(kc, npBase * 4) else npBase
         // loudness symmetry with the LSH clamp: IVF recall at a small
         // probed fraction is a property of the corpus (clusterable
         // embeddings keep it high; uniform vectors track the fraction)
@@ -412,15 +422,21 @@ object Similarity {
           log.info(f"IVF auto layout: n=$n centroids=$kc nprobe=$np " +
             f"(probed fraction ${np.toDouble / kc}%.4f, fit sample $pct%%)")
         val centroids = fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
+        val fCols = filterCol.toSeq
         val v = Par.widen(vecs).select(
-            col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+            col(idCol).as("id") +: VectorFunctions.asDouble(col(vecCol)).as("v")
+              +: fCols.map(col): _*)
           .withColumn("nrm", VectorFunctions.l2(col("v")))
         val data = v.withColumn("cid", nearestCentroid(col("v"), centroids, 1)(0))
         val queries = v.filter(col("id") % queryMod === 0)
-          .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-            explode(nearestCentroid(col("v"), centroids, math.min(np, kc))).as("cid"))
+          .select(col("id").as("q_id") +: col("v").as("qv")
+              +: col("nrm").as("qn")
+              +: explode(nearestCentroid(col("v"), centroids,
+                math.min(np, kc))).as("cid")
+              +: fCols.map(c => col(c).as(s"q_$c")): _*)
         val cand = queries.join(data, "cid")
-          .where(col("q_id") =!= col("id"))
+          .where(filterCol.map(c => col(s"q_$c") === col(c))
+            .foldLeft(col("q_id") =!= col("id"))(_ && _))
           .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
                   col("v"), col("nrm"))
         topK(cand, k)
@@ -435,15 +451,21 @@ object Similarity {
   def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
                      k: Int = 10, queryMod: Int = 100,
                      maxRows: Long = 100000L,
-                     allowAllPairs: Boolean = false): DataFrame = {
+                     allowAllPairs: Boolean = false,
+                     filterCol: Option[String] = None): DataFrame = {
     val guarded = Guard.allPairsBaseline(vecs, maxRows, allowAllPairs,
       "Similarity.bruteForceTopK", "Similarity.lshTopK/ivfTopK")
+    val fCols = filterCol.toSeq
     val v = Par.widen(guarded).select(
-        col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+        col(idCol).as("id") +: VectorFunctions.asDouble(col(vecCol)).as("v")
+          +: fCols.map(col): _*)
       .withColumn("nrm", VectorFunctions.l2(col("v")))
     val q = v.filter(col("id") % queryMod === 0)
-      .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cand = v.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("id").as("q_id") +: col("v").as("qv")
+        +: col("nrm").as("qn") +: fCols.map(c => col(c).as(s"q_$c")): _*)
+    val cand = v.join(broadcast(q),
+        filterCol.map(c => col(s"q_$c") === col(c))
+          .foldLeft(col("q_id") =!= col("id"))(_ && _))
       .select(col("q_id"), col("id").as("vec_id"), col("qv"), col("qn"),
               col("v"), col("nrm"))
     topK(cand, k)

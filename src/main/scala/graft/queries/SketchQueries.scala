@@ -73,6 +73,31 @@ object SketchQueries extends QueryPack {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("q_id", "rk")),
 
+    // E9 (r11): FILTERED ANN — IVF search restricted to the query's
+    // own label ("top-k within a category", the metadata-predicate
+    // vector search every store needs; post-filter starvation is
+    // countered by the operator's 4× probe widening —
+    // Similarity.ivfTopK filterCol scaladoc). Rows-only (the centroid
+    // model is not SQL-expressible); the _check twin is the oracle
+    // surface.
+    "sim_filtered_ann" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", filterCol = Some("label"))
+        .orderBy("q_id", "rk")),
+
+    // E9 contract check: recall vs the exact SAME-LABEL brute-force
+    // baseline plus the every-hit-exactly-scored invariant. The
+    // no-cross-label guarantee itself is structural (the candidate
+    // join carries q_label === label) and spec-pinned in
+    // SketchSpec's filtered-ANN fixture; here a cross-label row
+    // could only depress recall, never inflate it.
+    "sim_filtered_ann_check" -> ((s, dir) => annCheck(s, dir,
+      emb => Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCentroids = Some(16), fitSamplePct = Some(10),
+        filterCol = Some("label")),
+      minRecall = 0.5,
+      exactBaseline = Some(exactFilteredTopk(s, dir)))),
+
     // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
     // cosine verify — the scalable twin of dedup_embedding (every
     // returned pair is exactly-scored; SketchSpec pins precision 1.0
@@ -646,6 +671,26 @@ object SketchQueries extends QueryPack {
     s.read.parquet(p)
   }
 
+  /** Exact FILTERED top-k baseline (same-label brute force) — staged
+    * per JVM like [[exactTopk]]; the filtered-ANN check's ground
+    * truth. Same Guard env posture at scale sweeps. */
+  private val exactFilteredDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def exactFilteredTopk(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val p = exactFilteredDirs.computeIfAbsent(dir, d => {
+      val path = Staging.path("exact_filtered_topk", d)
+      Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding",
+          maxRows = graft.operators.Guard.envMaxRows(),
+          allowAllPairs = graft.operators.Guard.envAllow,
+          filterCol = Some("label"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   private def exactJaccard(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     val p = exactJaccardDirs.computeIfAbsent(dir, d => {
@@ -700,9 +745,11 @@ object SketchQueries extends QueryPack {
     * DIFFERENT cosine — exact-scoring means there are none. */
   private def annCheck(s: org.apache.spark.sql.SparkSession, dir: String,
                        approx: DataFrame => DataFrame,
-                       minRecall: Double): DataFrame = {
+                       minRecall: Double,
+                       exactBaseline: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val exact = exactTopk(s, dir) // staged once per JVM, bit-exact
+    // staged once per JVM, bit-exact
+    val exact = exactBaseline.getOrElse(exactTopk(s, dir))
     val got = approx(emb)
     val hits = got.join(exact, Seq("q_id", "vec_id", "cosine"), "left_semi")
     val mismatched = got.join(exact.select("q_id", "vec_id"),
@@ -878,6 +925,16 @@ object SketchQueries extends QueryPack {
     "sim_ivf_ann_check" ->
       """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
                 count(*) AS n_queries
-         FROM embeddings WHERE vec_id % 100 = 0"""
+         FROM embeddings WHERE vec_id % 100 = 0""",
+    // n_queries counts query vectors with >= 1 same-label partner
+    // (a query alone in its label has an EMPTY exact top-k — no
+    // baseline rows, so it can't appear in the distinct-q_id count)
+    "sim_filtered_ann_check" ->
+      """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
+                count(*) AS n_queries
+         FROM embeddings q
+         WHERE vec_id % 100 = 0 AND EXISTS (
+           SELECT 1 FROM embeddings c
+           WHERE c.label = q.label AND c.vec_id <> q.vec_id)"""
   )
 }

@@ -135,6 +135,38 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf recall $recall")
   }
 
+  test("filtered ANN: label filter is structural, full probe is exhaustive") {
+    // every result must share the query's label (the join carries
+    // q_label === label — a cross-label row is impossible by
+    // construction, pinned here); at nprobe = nCentroids the probed
+    // set is the whole corpus, so filtered IVF == filtered brute
+    // force exactly; a query whose label has no other member
+    // returns nothing.
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      nCentroids = Some(8), nprobe = Some(8), fitSamplePct = Some(100),
+      filterCol = Some("label"))
+    val labels = vecs.select(col("vec_id"), col("label"))
+    val cross = got
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(labels, "vec_id")
+      .filter(col("ql") =!= col("label")).count()
+    assert(cross == 0, s"cross-label results: $cross")
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      filterCol = Some("label"))
+    val diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
+    assert(diff == 0, s"full-probe filtered IVF must equal filtered brute force, diff=$diff")
+    // unique-label query drops out on both sides
+    val s2 = spark
+    import s2.implicits._
+    val lonely = vecs.select(col("vec_id"), col("embedding"),
+        when(col("vec_id") === 0, lit(999)).otherwise(lit(1)).as("label"))
+    val g2 = Similarity.ivfTopK(lonely, "vec_id", "embedding",
+      nCentroids = Some(8), nprobe = Some(8), fitSamplePct = Some(100),
+      filterCol = Some("label"))
+    assert(g2.filter(col("q_id") === 0).count() == 0,
+      "a query alone in its label must return no rows")
+  }
+
   test("int8 quantization: bounded reconstruction error, high cosine fidelity") {
     val v = vecs.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
       .withColumn("qv", VectorFunctions.quantizeInt8(col("v")))
