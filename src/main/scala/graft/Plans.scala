@@ -54,7 +54,9 @@ object Plans {
       "corpus_domain_cap",
       "graph_pagerank_personalized", "graph_random_walks",
       "graph_walk_pairs", "graph_eigenvector", "text_bm25",
-      "graph_sample_neighborhood", "graph_ktruss")
+      "graph_sample_neighborhood", "graph_ktruss",
+      "graph_link_prediction", "text_tfidf", "corpus_stratified_split",
+      "cdc_cms_check", "sim_filtered_ann")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to
