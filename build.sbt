@@ -38,8 +38,16 @@ val defaultHeapGb: Int =
       .getOrElse(16L * 1024 * 1024)
     math.max(4, math.min(24, (kb / (2L * 1024 * 1024)).toInt))
   } catch { case _: Throwable => 8 }
+// -Xms pinned to -Xmx: the r12 instrumented probe adjudicated the
+// historical 2-7x bench swings on scan/intersect-heavy entries to GC
+// STORMS in the default-Xms JVM (one 100x graph_triangles run: 492 s
+// wall / 1155 s summed GC / 28x executor CPU with bit-identical input
+// and shuffle bytes); pre-sizing the heap eliminated the storm class
+// outright (same 6-run probe: max GC 11 s, min wall faster than every
+// prior record). See BASELINE.md "r12 swing adjudication".
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -71,6 +71,8 @@ object Verify {
       "sim_lsh_ann" -> "sim_lsh_ann_check",
       "sim_ivf_ann" -> "sim_ivf_ann_check",
       "sim_quantized_topk" -> "sim_quantized_check",
+      "sim_filtered_ann" -> "sim_filtered_ann_check",
+      "sim_ivfpq" -> "sim_ivfpq_check",
       "sample_rand" -> "sample_rand_check")
     val roJson = rowsOnly.toSeq.sorted.map { k =>
       s"${q(k)}: {${q("rows_only")}: true, ${q("oracle_twin")}: ${q(twins.getOrElse(k, ""))}}"

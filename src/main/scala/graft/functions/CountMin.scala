@@ -144,7 +144,11 @@ case class CountMinMerge(
 
   override def prettyName: String = "cms_merge"
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
+  // NULL when a group contributed no states (all-NULL inputs or an
+  // empty global aggregate) — the SQL-aggregate convention; raising
+  // there would fail the whole query for a normal empty group
+  // (ADVICE r11). Geometry mismatch stays a hard failure.
+  override def nullable: Boolean = true
 
   // empty = "no state seen yet": geometry adopted from the first input
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
@@ -177,10 +181,9 @@ case class CountMinMerge(
     if (b2.isEmpty) b1
     else addInto(b1, b2(0).toInt, b2(1).toInt, b2.drop(2))
 
-  override def eval(buf: Array[Long]): Any = {
-    require(buf.nonEmpty, "cms_merge: no states to merge in group")
-    CountMin.serialize(buf(0).toInt, buf(1).toInt, buf.drop(2))
-  }
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null // no states seen in this group
+    else CountMin.serialize(buf(0).toInt, buf(1).toInt, buf.drop(2))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(8 * buf.length)

@@ -601,6 +601,174 @@ object GraphOps {
     labels
   }
 
+  /** One level of Louvain community detection (Neo4j GDS `louvain`,
+    * Blondel et al. 2008 — the most-used GDS community algorithm;
+    * VERDICT r11 #2) as DETERMINISTIC SYNCHRONOUS local moving with a
+    * fixed round count: every round, every node simultaneously joins
+    * the neighbor community with the best modularity gain. The
+    * sequential GDS scan order is engine-internal and not replayable,
+    * so — the [[labelPropagation]] trick — the recurrence is pinned
+    * to a pure function of the edge list: synchronous moves, argmax
+    * by gain with ties to the SMALLEST community id, fixed `rounds`.
+    *
+    * The gain is computed in INTEGERS. Moving node i (degree k_i)
+    * into community c whose degree mass is Σtot_c changes Q by
+    * (k_{i,c} − k_i·Σtot'_c/(2m)) / m up to i-constant terms, where
+    * Σtot'_c excludes i itself when c is i's current community — so
+    * the argmax over candidates is the argmax of the integer
+    *
+    *   gain(i, c) = 2m·k_{i,c} − k_i·Σtot'_c
+    *
+    * (counts and degree sums are exact longs; no float enters the
+    * decision, so both engines replay the identical move sequence —
+    * the [[modularity]] integer-score discipline applied to the
+    * optimizer itself). Candidates are the communities of i's
+    * neighbors — a node with no neighbor in its own community may
+    * always move, and "stay" is the natural argmax winner when its
+    * own community carries the best gain.
+    *
+    * FULLY synchronous moving oscillates: two adjacent nodes that
+    * each compute "join the other's community" swap forever (the
+    * barbell fixture 2-cycles and lands NEGATIVE Q — worse than LPA).
+    * The standard deterministic damping from the parallel-Louvain
+    * literature is ALTERNATING PARITY: in round t only nodes with
+    * (node + t) % 2 == 0 may move, the rest hold — adjacent
+    * opposite-parity nodes can never swap in the same round, so the
+    * pair-swap cycle class dies while every node still moves every
+    * other round. Both `%`s are C-style remainders (Spark/JVM and
+    * DuckDB agree on negatives; only evenness is consulted), keeping
+    * the mask replayable.
+    *
+    * Shape per round: the heavy k_{i,c} join streams the PINNED
+    * pre-partitioned + pre-sorted |E| relation against the |V|
+    * assignment (only the assignment exchanges — the r11 loop
+    * invariant discipline), then two |V|-scale hash-aggs (Σtot,
+    * per-node argmax) and |V| equi-joins. One level only: the GDS
+    * coarsening phase re-runs this on the community supergraph —
+    * composable later, but the local-moving level is where the
+    * communities (and the cost) live.
+    *
+    * Output: (node, community) after `rounds` rounds.
+    */
+  def louvainLevel(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"louvainLevel: rounds must be >= 1, got $rounds")
+    val und = undirected(edges).transform(pin)
+    // per-round join key is u.b (neighbor communities gathered at b):
+    // pin pre-partitioned + pre-sorted so the per-round SMJ exchanges
+    // only the |V|-sized assignment, never the |E| relation
+    val undB = und.repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .transform(pin)
+    val m = und.count() / 2 // scalar: undirected edge count
+    var assign = deg.select(col("node"))
+      .withColumn("community", col("node")).localCheckpoint()
+    for (t <- 1 to rounds) {
+      val tot = assign.join(deg, "node")
+        .groupBy("community").agg(sum(col("deg")).as("tot"))
+      // this round's movers only: gathering + argmax cost halves, and
+      // the parity mask is the swap-cycle damping (scaladoc above)
+      val kic = undB.join(assign, col("b") === col("node"))
+        .filter((col("a") + lit(t.toLong)) % 2 === 0)
+        .groupBy(col("a"), col("community"))
+        .agg(count(lit(1)).as("kic"))
+      val best = kic
+        .join(deg.select(col("node").as("a"), col("deg")), "a")
+        .join(assign.select(col("node").as("a"), col("community").as("cur")),
+          "a")
+        .join(tot, "community")
+        .select(col("a").as("node"), col("community"),
+          (lit(2L * m) * col("kic") - col("deg") *
+            (col("tot") - when(col("community") === col("cur"), col("deg"))
+              .otherwise(lit(0L)))).as("gain"))
+        .groupBy("node")
+        .agg(min(struct((-col("gain")).as("ng"), col("community").as("c")))
+          .as("best"))
+        .select(col("node"), col("best.c").as("next"))
+      // movers adopt their argmax (every mover has ≥1 neighbor, so
+      // `next` exists for all of them); holders ride the left join
+      assign = assign.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("next"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
+  /** B27 (r12): FastRP node embeddings (Neo4j GDS `fastRP`; Chen et
+    * al., "Fast and Accurate Network Embeddings via Very Sparse
+    * Random Projection", 2019 — GDS's flagship embedding; VERDICT r11
+    * #3): very-sparse deterministic random projections iteratively
+    * averaged over neighborhoods, the graph→training-data bridge's
+    * embedding producer (B21 walks feed skip-gram training; FastRP
+    * IS the embedding, no training needed).
+    *
+    * Determinism stance (what makes a FULL cross-engine oracle
+    * possible where a sampled method would be rows-only): the initial
+    * projection is a HASH, not a RNG — entry (node, dim) draws from
+    * the Achlioptas s=3 distribution {+1 w.p. 1/6, −1 w.p. 1/6, 0
+    * else} via the same integer mix both engines replay
+    * ((node·31 + dim·1000003 + 777) mod 1000000007 mod 6; the
+    * `sampleNeighborhood` constant family). The √s scale and GDS's
+    * per-iteration L2 normalization are dropped: both are global
+    * scale factors per round (linearity — the HITS/eigenvector
+    * rescaling lesson), invisible to the cosine-consuming downstream
+    * (ANN, SemDeDup) and a float-compounding hazard for the oracle.
+    *
+    * Iteration: x_k(i,·) = Σ_{j∈N(i)} x_{k-1}(j,·) / deg(i) — mean
+    * neighbor aggregation over the undirected graph; the final
+    * embedding is the iteration-weighted sum Σ_k w_k·x_k (GDS
+    * `iterationWeights`, default here (0, 1, 1): pure first-hop
+    * structure is skipped, 2- and 3-hop mixes carry the signal).
+    * Doubles enter only at the division and the per-neighbor sums
+    * (the PageRank oracle precedent: 6dp output rounding absorbs
+    * sum-order ulps); callers round at output.
+    *
+    * Shape: state is |V|·d rows (long format — (node, dim, val);
+    * d is small and fixed). Per round one SMJ against the PINNED
+    * pre-partitioned + pre-sorted edge relation (only the state
+    * exchanges — the r11 loop-invariant discipline) + one hash-agg
+    * on (node, dim). Output: (node, dim, val) — pivot to array form
+    * with [[PipelineOps]]/`array_agg` when feeding ANN operators.
+    */
+  def fastRP(edges: DataFrame, dims: Int = 8,
+             iterWeights: Seq[Double] = Seq(0.0, 1.0, 1.0)): DataFrame = {
+    require(dims >= 1, s"fastRP: dims must be >= 1, got $dims")
+    require(iterWeights.nonEmpty, "fastRP: iterWeights must be non-empty")
+    // deg(a) rides each edge row so the per-round mean divides
+    // without a second |V| join; pinned on the round's join key b
+    val und = undirected(edges)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .transform(pin)
+    val undDeg = und
+      .join(deg.select(col("node").as("a"), col("deg")), "a")
+      .repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
+    var x = deg.select(col("node"),
+        explode(sequence(lit(0L), lit(dims - 1L))).as("dim"))
+      .withColumn("h",
+        pmod(col("node") * lit(31L) + col("dim") * lit(1000003L) + lit(777L),
+          lit(1000000007L)) % 6)
+      .select(col("node"), col("dim"),
+        when(col("h") === 0, lit(1.0)).when(col("h") === 1, lit(-1.0))
+          .otherwise(lit(0.0)).as("val"))
+      .localCheckpoint()
+    var acc: DataFrame = null
+    for (w <- iterWeights) {
+      x = undDeg.join(x, col("b") === col("node"))
+        .groupBy(col("a").as("node"), col("dim"))
+        .agg((sum(col("val")) / max(col("deg"))).as("val"))
+        .localCheckpoint()
+      if (w != 0.0) {
+        val term = x.select(col("node"), col("dim"),
+          (col("val") * lit(w)).as("val"))
+        acc = if (acc == null) term else acc.union(term)
+      }
+    }
+    require(acc != null, "fastRP: all iteration weights are zero")
+    acc.groupBy("node", "dim").agg(sum(col("val")).as("val"))
+  }
+
   /** Hop-bounded single-source shortest path WITH EDGE COSTS (Neo4j
     * GDS Dijkstra/`shortestPath` with a cost property; VERDICT r8
     * #4): minimal path cost from the seed set over ≤ `maxHops` edges

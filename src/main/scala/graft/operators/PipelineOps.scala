@@ -70,6 +70,14 @@ object PipelineOps {
       : org.apache.spark.sql.DataFrame = {
     require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
       s"stratifiedSplit: bad percentages $pctTrain/$pctVal")
+    // withColumn would silently REPLACE pre-existing columns of these
+    // names (e.g. a frame already carrying a `split` from
+    // splitAssign), corrupting caller data with no error (ADVICE
+    // r11) — refuse loudly instead; callers rename or drop first.
+    val clash = df.columns.toSet.intersect(Set("rn", "n_s", "split"))
+    require(clash.isEmpty,
+      s"stratifiedSplit: input already has column(s) ${clash.mkString(", ")} " +
+        "which this operator emits; rename or drop them first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -83,6 +91,40 @@ object PipelineOps {
           / lit(100.0)), "val")
         .otherwise("test"))
   }
+
+  /** J16 (r12): URL/source canonicalization — the FineWeb/CCNet
+    * first-stage curation key (VERDICT r11 #6): crawls carry the same
+    * page under scheme/case/www/query/fragment/trailing-slash
+    * variants, and URL-keyed dedup without canonicalization silently
+    * keeps them all. Pure string expressions (lower + five
+    * `regexp_replace`s — Java regex and RE2 agree on this subset), so
+    * it rides whole-stage codegen as a projection and the DuckDB
+    * oracle is the same expression chain:
+    *
+    *   1. trim + lower-case
+    *   2. strip `http://` / `https://`
+    *   3. strip a leading `www.`
+    *   4. strip the fragment (`#...`) — before the query, since the
+    *      fragment legally follows it
+    *   5. strip the query string (`?...`) — the FineWeb posture
+    *      (tracking params dominate; param-allowlists are a caller
+    *      concern layered on top)
+    *   6. strip trailing slashes
+    *
+    * NULL input → NULL out (every step is null-propagating); dedup
+    * callers groupBy the result, where NULL keys group together —
+    * same posture as [[splitAssign]]'s coalesce-free hash.
+    */
+  def canonicalUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(trim(u)), "^https?://", ""),
+            "^www\\.", ""),
+          "#.*$", ""),
+        "\\?.*$", ""),
+      "/+$", "")
 
   /** Deterministic hash sampling: keep a row iff its content hash
     * bucket falls under `pct` (0–100). The sampling decision is a pure

@@ -388,7 +388,14 @@ object Similarity {
     * co-scale with the centroid count or probed mass collapses), all
     * derived from one metadata-cheap count job — the search join is
     * unchanged; only the model size, probe width, and model-fitting
-    * scans are tuned to the corpus. */
+    * scans are tuned to the corpus.
+    *
+    * `filterCol` NULL posture: a query row whose filter-column value
+    * is NULL matches no corpus row (`q_label === label` is never true
+    * under NULL) and returns no neighbors — consistent with the
+    * brute-force baseline and the `sim_filtered_ann_check` oracle;
+    * pre-filter NULLs out (or coalesce to a sentinel label) if they
+    * should participate. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, queryMod: Int = 100,
               nCentroids: Option[Int] = None, iters: Int = 2,
@@ -403,7 +410,6 @@ object Similarity {
         lazy val n = vecs.count()
         val kc = nCentroids.getOrElse(autoCentroids(n))
         val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
-        val npBase = nprobe.getOrElse(autoNprobe(kc))
         // FILTERED search (the vector-store "search within a
         // category" shape): a predicate applied AFTER probing thins
         // every probed partition by the filter's selectivity, so at
@@ -412,7 +418,13 @@ object Similarity {
         // (bounded: the filter classes here are label-like, a handful
         // of values; ×4 recovers a ¼-selective filter and the cap
         // keeps the worst case at 4× the unfiltered probe cost).
-        val np = if (filterCol.isDefined) math.min(kc, npBase * 4) else npBase
+        // The widening applies to the AUTO value only — an explicit
+        // nprobe is the caller's setting and is honored verbatim
+        // (ADVICE r11: ×4-ing it silently overrode the caller).
+        val np = nprobe.getOrElse {
+          val base = autoNprobe(kc)
+          if (filterCol.isDefined) math.min(kc, base * 4) else base
+        }
         // loudness symmetry with the LSH clamp: IVF recall at a small
         // probed fraction is a property of the corpus (clusterable
         // embeddings keep it high; uniform vectors track the fraction)
@@ -442,12 +454,149 @@ object Similarity {
         topK(cand, k)
     }
 
+  /** Deterministic driver-side Lloyd fit of the PQ sub-codebooks
+    * (E10): a bounded sample (TakeOrderedAndProject by id — no full
+    * collect; ≤ `sampleCap` rows of `dim` doubles) is sliced into
+    * `nSub` contiguous subspaces and each fitted with `codebookSize`
+    * EUCLIDEAN codewords — squared-L2 is the PQ training objective
+    * (reconstruction MSE), distinct from the coarse quantizer's
+    * cosine. Seeds are the first `codebookSize` DISTINCT subvectors
+    * in id order; empty clusters keep their previous codeword. Model
+    * size nSub·codebookSize·dsub doubles — the model-fit class (the
+    * [[fitCentroids]] collect posture), independent of corpus size.
+    */
+  private[graft] def fitSubCodebooks(vecs: DataFrame, idCol: String,
+      vecCol: String, nSub: Int, codebookSize: Int, iters: Int = 8,
+      sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
+    val sample = vecs
+      .select(col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy("id").limit(sampleCap)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitSubCodebooks: empty vector corpus")
+    val dim = sample.map(_.length).max
+    require(dim % nSub == 0,
+      s"fitSubCodebooks: dim $dim not divisible into $nSub subspaces")
+    val w = dim / nSub
+    Array.tabulate(nSub) { s =>
+      val sub = sample.map { v =>
+        Array.tabulate(w)(j => if (s * w + j < v.length) v(s * w + j) else 0.0)
+      }
+      val distinctSeeds = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+      sub.iterator.takeWhile(_ => distinctSeeds.size < codebookSize)
+        .foreach(v => distinctSeeds += v.toSeq)
+      var cb = distinctSeeds.map(_.toArray).toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cb.length)(new Array[Double](w))
+        val cnts = new Array[Long](cb.length)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cb.length) {
+            var d = 0.0; var j = 0
+            while (j < w) { val x = v(j) - cb(c)(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < w) { sums(best)(j) += v(j); j += 1 }
+          cnts(best) += 1
+        }
+        cb = cb.indices.map { c =>
+          if (cnts(c) == 0) cb(c)
+          else Array.tabulate(w)(j => sums(c)(j) / cnts(c))
+        }.toArray
+      }
+      cb
+    }
+  }
+
+  private[graft] def pqEncode(v: Column,
+      cbs: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    B.column(graft.functions.PqEncode(B.expression(v), cbs))
+  }
+
+  private[graft] def pqDecode(codes: Column,
+      cbs: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.{GraftExpressionBridge => B}
+    B.column(graft.functions.PqDecode(B.expression(codes), cbs))
+  }
+
+  /** E10: IVF-PQ approximate top-k (Jégou et al. 2011) — the
+    * published 100-TB ANN memory posture (VERDICT r11 #4). Same
+    * coarse quantizer + probing as [[ivfTopK]], but the SCORED
+    * candidate side carries only (id, cid, codes): nSub small ints
+    * (~8 B at nSub=8) instead of 64 floats (256 B raw / 64 B int8 —
+    * the E4 posture) — the candidate shuffle and the resident search
+    * set shrink ~32×, which is what makes a 10¹¹-vector index fit a
+    * cluster's memory (SCALE.md §IVF-PQ for the accounting).
+    *
+    * Scoring is ADC: `dot(q, PqDecode(codes))` ≡ Σ_s dot(q_s,
+    * cb_s[code_s]) — the query side stays exact, the corpus side is
+    * its reconstruction ([[graft.functions.PqDecode]] scaladoc). PQ
+    * scores rank a SHORTLIST of `refineFactor`·k per query; the
+    * shortlist alone joins back to the full vectors for exact cosine
+    * re-ranking (the standard refine stage — bounded: |queries|·
+    * refineFactor·k vector fetches, not |candidates|), so every
+    * RETURNED hit is exactly scored under the E1 protocol (the
+    * `sim_ivfpq_check` recall join binds on the cosine value too).
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, queryMod: Int = 100,
+                nCoarse: Option[Int] = None, nprobe: Option[Int] = None,
+                nSub: Int = 8, codebookSize: Int = 256,
+                refineFactor: Int = 4, iters: Int = 2,
+                fitSamplePct: Option[Int] = None): DataFrame =
+    probeDim(vecs, vecCol) match {
+      case None => // empty / all-null input: empty result, same schema
+        vecs.limit(0).select(col(idCol).as("q_id"), col(idCol).as("vec_id"),
+          lit(0.0).as("cosine"), lit(0L).as("rk"))
+      case Some(_) =>
+        lazy val n = vecs.count()
+        val kc = nCoarse.getOrElse(autoCentroids(n))
+        val pct = fitSamplePct.getOrElse(autoFitPct(n, kc))
+        val np = nprobe.getOrElse(autoNprobe(kc))
+        val coarse = fitCentroids(vecs, idCol, vecCol, kc, iters, pct)
+        val cbs = fitSubCodebooks(vecs, idCol, vecCol, nSub, codebookSize)
+        val v = Par.widen(vecs).select(col(idCol).as("id"),
+            VectorFunctions.asDouble(col(vecCol)).as("v"))
+          .withColumn("nrm", VectorFunctions.l2(col("v")))
+        // the PQ-encoded search set: codes replace the vector payload
+        val enc = v.select(col("id"),
+          nearestCentroid(col("v"), coarse, 1)(0).as("cid"),
+          pqEncode(col("v"), cbs).as("codes"))
+        val queries = v.filter(col("id") % queryMod === 0)
+          .select(col("id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"),
+            explode(nearestCentroid(col("v"), coarse,
+              math.min(np, kc))).as("cid"))
+        val cand = queries.join(enc, "cid")
+          .where(col("q_id") =!= col("id"))
+          .withColumn("recon", pqDecode(col("codes"), cbs))
+          .withColumn("approx", VectorFunctions.cosinePre(
+            VectorFunctions.dot(col("qv"), col("recon")),
+            col("qn"), VectorFunctions.l2(col("recon"))))
+        val short = cand
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("q_id")
+              .orderBy(col("approx").desc, col("id"))))
+          .filter(col("ark") <= refineFactor * k)
+          .select(col("q_id"), col("id").as("vec_id"),
+            col("qv"), col("qn"))
+        val refined = short.join(
+          v.select(col("id").as("vec_id"), col("v"), col("nrm")), "vec_id")
+        topK(refined.select(col("q_id"), col("vec_id"), col("qv"),
+          col("qn"), col("v"), col("nrm")), k)
+    }
+
   /** E1 as an operator: exact brute-force top-k — every query vector
     * (`idCol % queryMod == 0`) scored against the whole corpus, the
     * correctness baseline the approximate paths are measured against
     * (the *_check driver entries compute recall against it). Same
     * [[Guard]] stance as the exact pair baseline: O(|queries|·n)
-    * scoring is opt-in above `maxRows`. */
+    * scoring is opt-in above `maxRows`. Same `filterCol` NULL posture
+    * as [[ivfTopK]]: a NULL-labeled query returns no neighbors. */
   def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
                      k: Int = 10, queryMod: Int = 100,
                      maxRows: Long = 100000L,

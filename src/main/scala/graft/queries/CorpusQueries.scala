@@ -33,6 +33,37 @@ object CorpusQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), max(col("n_s")).as("n_stratum"))
         .orderBy("source", "split")),
 
+    // J16 (r12): URL canonicalization + keep-first dedup (VERDICT r11
+    // #6) — the FineWeb/CCNet first-stage curation step. The corpus
+    // tables carry no raw URLs, so the entry DERIVES a deterministic
+    // URL per document from its own fields (scheme / case / www /
+    // trailing-slash / query / fragment variants keyed by doc_id
+    // residues — the same derivation in both engines), canonicalizes
+    // (PipelineOps.canonicalUrl — six null-propagating string
+    // expressions), and runs the D1 keep-first shape on the canonical
+    // key: one hash-agg, min(doc_id) survivor + dup count.
+    "corpus_url_dedup" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 3 === 0, "http://")
+              .when(col("doc_id") % 3 === 1, "https://")
+              .otherwise("HTTPS://www."),
+            when(col("doc_id") % 2 === 0, upper(col("source")))
+              .otherwise(col("source")),
+            lit(".example.com/docs/"), col("lang"), lit("/"),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 2 === 0, "/").otherwise(""),
+            when(col("doc_id") % 5 === 0, "?utm_source=feed&ref=rss")
+              .otherwise(""),
+            when(col("doc_id") % 7 === 0, "#section-2").otherwise(""))
+            .as("url"))
+        .withColumn("canonical_url", PipelineOps.canonicalUrl(col("url")))
+        .groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy("canonical_url")),
+
     // eval-leakage scan: train docs sharing >= 3 distinct 5-gram
     // shingles with the eval slice (source = 'src0').
     "decontaminate" -> ((s, dir) =>
@@ -542,6 +573,33 @@ object CorpusQueries extends QueryPack {
                      ELSE 'test' END AS split,
                 lang, count(*) AS n_docs
          FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+    "corpus_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+               concat(
+                 CASE doc_id % 3 WHEN 0 THEN 'http://'
+                                 WHEN 1 THEN 'https://'
+                                 ELSE 'HTTPS://www.' END,
+                 CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+                 '.example.com/docs/', lang, '/',
+                 CAST(doc_id % 50 AS VARCHAR),
+                 CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                 CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'
+                      ELSE '' END,
+                 CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+               AS url FROM documents),
+           c AS (SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(trim(url)), '^https?://', ''),
+                       '^www\.', ''),
+                     '#.*$', ''),
+                   '\?.*$', ''),
+                 '/+$', '') AS canonical_url FROM u)
+         SELECT canonical_url, min(doc_id) AS keep_doc_id,
+                count(*) AS dup_count
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_eval,
                             string_split($normSql, ' ') AS arr FROM documents),

@@ -244,6 +244,33 @@ object GraphQueries extends QueryPack {
           rounds = 8)
         .orderBy("node")),
 
+    // B26 (r12): Louvain community detection (GDS louvain, VERDICT
+    // r11 #2) on the same sparse slice as B13 — one level of
+    // modularity-gain local moving, synchronous rounds with an
+    // all-integer gain and min-community tie-break so the oracle
+    // replays the identical move sequence (GraphOps.louvainLevel).
+    // Fixed 4 rounds (2 full parity sweeps); the spec certifies
+    // Q(louvain) ≥ Q(lpa) on this slice and pins a hand-computed
+    // two-community barbell fixture.
+    "graph_louvain" -> ((s, dir) =>
+      GraphOps.louvainLevel(
+          supplyEdges(s, dir, quantityCap = Some(1.0), partStratum = Some(7)),
+          rounds = 4)
+        .orderBy("node")),
+
+    // B27 (r12): FastRP node embeddings (GDS fastRP, VERDICT r11 #3)
+    // on the same slice — deterministic hash projections (Achlioptas
+    // s=3) + mean neighbor aggregation, iteration weights (0,1,1).
+    // The hash init makes the FULL oracle possible (a sampled init
+    // would be rows-only); 6dp rounding absorbs the per-round
+    // neighbor-sum ulps (the PageRank oracle precedent).
+    "graph_fastrp" -> ((s, dir) =>
+      GraphOps.fastRP(
+          supplyEdges(s, dir, quantityCap = Some(1.0), partStratum = Some(7)),
+          dims = 8, iterWeights = Seq(0.0, 1.0, 1.0))
+        .select(col("node"), col("dim"), round(col("val"), 6).as("val"))
+        .orderBy("node", "dim")),
+
     // B14 (r9): weighted hop-bounded shortest path (GDS Dijkstra with
     // a cost property, VERDICT r8 #4) — min path COST within ≤ 4
     // hops from suppliers {1, 2}, edge cost = cheapest contributing
@@ -542,6 +569,45 @@ object GraphQueries extends QueryPack {
                     ORDER BY count(*) DESC, p.label) AS rk
            FROM und u JOIN lp${i - 1} p ON u.a = p.node
            GROUP BY u.b, p.label) WHERE rk = 1)"""
+
+  // One Louvain local-moving round — the louvainLevel recurrence: the
+  // ALL-INTEGER gain 2m·k_{i,c} − k_i·Σtot'_c (Σtot' excludes i from
+  // its own community), argmax with ties to the smallest community,
+  // movers restricted to the round's parity class (the swap-cycle
+  // damping — GraphOps.louvainLevel scaladoc), holders ride the left
+  // join. row_number ORDER BY gain DESC, community ≡ Spark's
+  // min(struct(-gain, community)) — integer comparisons both sides.
+  private def louvIter(i: Int) =
+    s"""lv$i AS MATERIALIZED (
+           SELECT a.node, coalesce(mv.community, a.community) AS community
+           FROM lv${i - 1} a LEFT JOIN (
+             SELECT node, community FROM (
+               SELECT k.a AS node, k.community,
+                      row_number() OVER (PARTITION BY k.a ORDER BY
+                        (2 * mm.m * k.kic - dg.deg *
+                         (t.tot - CASE WHEN k.community = cur.community
+                                  THEN dg.deg ELSE 0 END)) DESC,
+                        k.community) AS rk
+               FROM (SELECT u.a, p.community, count(*) AS kic
+                     FROM und u JOIN lv${i - 1} p ON u.b = p.node
+                     WHERE (u.a + $i) % 2 = 0
+                     GROUP BY u.a, p.community) k
+               JOIN degv dg ON dg.node = k.a
+               JOIN lv${i - 1} cur ON cur.node = k.a
+               JOIN (SELECT p.community, sum(dg2.deg) AS tot
+                     FROM lv${i - 1} p JOIN degv dg2 ON dg2.node = p.node
+                     GROUP BY p.community) t ON t.community = k.community
+               CROSS JOIN mm) WHERE rk = 1) mv
+           ON mv.node = a.node)"""
+
+  // One FastRP round — mean neighbor aggregation; deg(a) is constant
+  // per group so max() reads it without a second aggregate pass.
+  private def frpIter(i: Int) =
+    s"""fr$i AS MATERIALIZED (SELECT u.a AS node, p.dim,
+           sum(p.val) / max(d.deg) AS val
+         FROM und u JOIN fr${i - 1} p ON u.b = p.node
+         JOIN degv d ON d.node = u.a
+         GROUP BY u.a, p.dim)"""
 
   // One Bellman-Ford round over the weighted symmetric relation:
   // expand everything settled, keep min cost (full relax — the
@@ -926,6 +992,29 @@ object GraphQueries extends QueryPack {
           lp0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
           ${(1 to 8).map(lpaIter).mkString(",\n")}
           SELECT node, label FROM lp8 ORDER BY node""",
+    "graph_louvain" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
+          degv AS MATERIALIZED (SELECT a AS node, count(*) AS deg
+             FROM und GROUP BY a),
+          mm AS (SELECT count(*) // 2 AS m FROM und),
+          lv0 AS (SELECT node, node AS community FROM degv),
+          ${(1 to 4).map(louvIter).mkString(",\n")}
+          SELECT node, community FROM lv4 ORDER BY node""",
+    "graph_fastrp" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
+          degv AS MATERIALIZED (SELECT a AS node, count(*) AS deg
+             FROM und GROUP BY a),
+          dimt AS (SELECT unnest(range(8)) AS dim),
+          fr0 AS MATERIALIZED (SELECT node, dim,
+                 CASE ((node * 31 + dim * 1000003 + 777) % 1000000007
+                       + 1000000007) % 1000000007 % 6
+                   WHEN 0 THEN 1.0e0 WHEN 1 THEN -1.0e0
+                   ELSE 0.0e0 END AS val
+               FROM degv CROSS JOIN dimt),
+          ${(1 to 3).map(frpIter).mkString(",\n")}
+          SELECT f2.node, f2.dim, round(f2.val + f3.val, 6) AS val
+          FROM fr2 f2 JOIN fr3 f3 USING (node, dim)
+          ORDER BY node, dim""",
     "graph_sssp" ->
       s"""WITH we AS (SELECT -l_suppkey AS a, o_custkey AS b,
                  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w

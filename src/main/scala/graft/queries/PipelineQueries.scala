@@ -786,6 +786,36 @@ object PipelineQueries extends QueryPack {
           "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         CdcStream.runToMemory(joined, OutputMode.Append())
       }.orderBy("click_id", "purchase_id")
+    }),
+
+    // H19 (r12): stream-stream LEFT OUTER interval join — "which
+    // clicks got NO purchase within 30 minutes" (VERDICT r11 #7).
+    // Inner pairs emit on match exactly as H18; NULL-padded rows for
+    // unmatched clicks emit only when the global watermark passes
+    // click.ts + 30min (CdcStream.intervalJoinLeft scaladoc), so the
+    // verification pins delay = 0 and KEEPS the no-data final batch
+    // (it IS the watermark advance that flushes the NULL rows — the
+    // opposite trade from H18's inner-only run). The oracle replays
+    // the batch left join CUT AT THE SAME HORIZON: unmatched clicks
+    // survive iff click_ms + 30min < final watermark (min over both
+    // sides of max event-time, at Spark's millisecond watermark
+    // granularity) — the honest terminating-run semantics, pinned
+    // boundary-exact by PipelineSpec's eviction fixture.
+    "stream_interval_left" -> ((s, dir) => {
+      val evs = CdcStream.readEvents(s, dir)
+      val clicks = evs.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"), col("user_id"))
+      val joined = CdcStream.intervalJoinLeft(clicks, purchases, "user_id",
+        within = "30 minutes", delay = "0 seconds")
+        .select(col("click_id"), col("purchase_id"),
+          col("l.user_id").as("user_id"),
+          unix_micros(col("l.ts")).as("click_us"),
+          unix_micros(col("r.ts")).as("purchase_us"))
+      withSqlConf(s, "spark.sql.shuffle.partitions" -> "8") {
+        CdcStream.runToMemory(joined, OutputMode.Append())
+      }.orderBy("click_id", "purchase_id")
     })
   )
 
@@ -815,7 +845,8 @@ object PipelineQueries extends QueryPack {
     "stream_event_counts", "stream_json_parse", "stream_progress",
     "stream_counts_watermarked",
     "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
-    "stream_funnel", "stream_enrich_counts", "stream_interval_join")
+    "stream_funnel", "stream_enrich_counts", "stream_interval_join",
+    "stream_interval_left")
 
   val oracles: Map[String, String] = Map(
     // the stream folds to the batch funnel's histogram — same oracle
@@ -834,6 +865,28 @@ object PipelineQueries extends QueryPack {
          FROM events l JOIN events r ON l.user_id = r.user_id
           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
          WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+         ORDER BY 1, 2""",
+    // batch left interval join cut at the final-watermark horizon:
+    // matched pairs always; NULL rows iff the watermark (min over
+    // both sides of max event time, ms-truncated — Spark tracks
+    // event-time stats in milliseconds) passed click.ts + 30min
+    "stream_interval_left" ->
+      """WITH c AS (SELECT event_id AS click_id, ts, user_id
+               FROM events WHERE event_type = 'click'),
+           p AS (SELECT event_id AS purchase_id, ts, user_id
+               FROM events WHERE event_type = 'purchase'),
+           wm AS (SELECT least((SELECT max(epoch_us(ts)) // 1000 FROM c),
+                               (SELECT max(epoch_us(ts)) // 1000 FROM p))
+                    AS w_ms),
+           j AS (SELECT c.click_id, p.purchase_id, c.user_id,
+                        epoch_us(c.ts) AS click_us,
+                        epoch_us(p.ts) AS purchase_us
+                 FROM c LEFT JOIN p ON c.user_id = p.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         SELECT click_id, purchase_id, user_id, click_us, purchase_us
+         FROM j, wm
+         WHERE purchase_id IS NOT NULL
+            OR click_us + 1800000000 < wm.w_ms * 1000
          ORDER BY 1, 2""",
     // the streamed history == the batch SCD2 build's closed rows
     "stream_scd2" ->

@@ -231,6 +231,39 @@ object CdcStream {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
   }
 
+  /** H19 (r12): stream-stream LEFT OUTER interval join — the
+    * attribution question [[intervalJoin]] cannot answer: "which
+    * clicks got NO purchase within the window" (VERDICT r11 #7).
+    * Same key + time-range condition; unmatched left rows emit
+    * NULL-padded — and, unlike the inner join's emit-on-match, that
+    * can only happen once the WATERMARK proves no matching right row
+    * can still arrive: an unmatched left `l` is held in state until
+    * the global watermark (min over both inputs of max-event-time −
+    * `delay`) passes `l.ts + within`, then flushes exactly once.
+    * Consequences callers must design for (and the
+    * `stream_interval_left` oracle encodes):
+    *
+    *  - unmatched lefts inside the final watermark horizon — rows
+    *    with `l.ts + within ≥` the final watermark — are NEVER
+    *    emitted by a terminating run (a live pipeline emits them as
+    *    the watermark advances past them);
+    *  - a full-span `delay` (the H18 inner-join verification trick)
+    *    degenerates the left join to the inner join — the watermark
+    *    never passes anything, so no NULL row ever flushes. The
+    *    verification entry therefore pins `delay` at 0 and encodes
+    *    the horizon cut in the batch oracle instead.
+    */
+  def intervalJoinLeft(left: DataFrame, right: DataFrame, keyCol: String,
+                       within: String, delay: String = "1 day"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   /** Run a stream into a batch-writer callback via foreachBatch — the
     * reference's end-to-end topology (Kafka → ClickHouse insert) as
     * Structured Streaming: each micro-batch lands through the same

@@ -176,6 +176,44 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
+  test("PqEncode/PqDecode == plain-Scala PQ on random vectors") {
+    val nSub = 4
+    val w = 3 // dim 12
+    val kcode = 5
+    val cbs = Array.fill(nSub, kcode, w)(rnd.nextDouble() * 2 - 1)
+    // duplicate codeword to hit the tie rule (first/smallest code wins)
+    cbs(1)(3) = cbs(1)(1).clone()
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(nSub * w)(rnd.nextDouble() * 2 - 1)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        graft.operators.Similarity.pqEncode(col("v"), cbs).as("codes"),
+        graft.operators.Similarity.pqDecode(
+          graft.operators.Similarity.pqEncode(col("v"), cbs), cbs).as("recon"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val wantCodes = (0 until nSub).map { s =>
+        cbs(s).indices.minBy { c =>
+          val d = (0 until w).map(j => v(s * w + j) - cbs(s)(c)(j))
+            .map(x => x * x).sum
+          (d, c) // strict <: first minimal code wins (the tie rule)
+        }
+      }
+      val wantRecon = wantCodes.zipWithIndex.flatMap { case (c, s) => cbs(s)(c) }
+      assert(got(id)._1 == wantCodes, s"codes for vec $id")
+      assert(got(id)._2 == wantRecon, s"recon for vec $id")
+    }
+    // ADC identity: dot(q, decode(codes)) == sum of subspace dots
+    val q = Array.fill(nSub * w)(rnd.nextDouble())
+    val (_, (codes0, recon0)) = (vecs.head._1, got(vecs.head._1))
+    val adc = q.zip(recon0).map { case (a, b) => a * b }.sum
+    val bySub = (0 until nSub).map { s =>
+      (0 until w).map(j => q(s * w + j) * cbs(s)(codes0(s))(j)).sum
+    }.sum
+    assert(math.abs(adc - bySub) < 1e-12)
+  }
+
   test("splitAssign depends only on content (random ids, dup contents)") {
     val contents = Vector.fill(10)(rnd.alphanumeric.take(20).mkString)
     val rows = (0 until 100).map(i => (rnd.nextLong(), contents(i % 10)))

@@ -539,6 +539,103 @@ class GraphOpsSpec extends SparkSpec {
       && r1.getDouble(3) == 0.0)
   }
 
+  test("louvainLevel: barbell settles on the two triangles (hand replay)") {
+    // two K3s {1,2,3} {4,5,6} + bridge 3-4 — the modularity fixture.
+    // Hand-replayed alternating-parity rounds (m=7, 2m=14, integer
+    // gain 2m·kic − k_i·Σtot'):
+    //   t=1 (odd movers): 1→{2} (gain 10 beats 8), 3→{1} (tie 8,8 →
+    //     min community), 5→{6} (10 beats 8)
+    //   t=2 (even): 2 stays (own 10 beats 8); 4→c6 (kic=2: 16 beats
+    //     5); 6 stays (own 10 beats 8)
+    //   t=3 (odd): 3→c2 (kic=2: 16 beats −7); 1, 5 stay on own-gain
+    //   t=4 (even): all stay — {1,2,3} and {4,5,6}, Q = 0.357143
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val got = GraphOps.louvainLevel(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+    val q = GraphOps.modularity(g,
+      GraphOps.louvainLevel(g, rounds = 4)
+        .select(col("node"), col("community"))).collect()(0)
+    assert(q.getDouble(3) == 0.357143) // the optimum for this graph
+  }
+
+  test("louvainLevel beats LPA modularity on the sf0.001 supply slice") {
+    // The r11 verdict's certification ask: the gain-guided optimizer
+    // must land a better (or equal) partition than plain label
+    // propagation on the REAL slice both driver entries run on.
+    val e = graft.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") <= 1)
+      .filter(col("l_partkey") % 7 === 0)
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).as("a"), col("o_custkey").as("b"))
+      .distinct()
+    val qLouv = GraphOps.modularity(e,
+      GraphOps.louvainLevel(e, rounds = 4)).collect()(0).getDouble(3)
+    val qLpa = GraphOps.modularity(e,
+      GraphOps.labelPropagation(e, rounds = 8)
+        .select(col("node"), col("label").as("community")))
+      .collect()(0).getDouble(3)
+    assert(qLouv >= qLpa,
+      s"louvain Q $qLouv should be >= lpa Q $qLpa on the supply slice")
+  }
+
+  test("fastRP: one round is exactly the mean of neighbor projections") {
+    // pin the recurrence against an independent in-test computation
+    // of the SAME documented init hash + mean — the differential
+    // discipline (both engines can't share a bug with this spec).
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val got = GraphOps.fastRP(g, dims = 4, iterWeights = Seq(1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val und = GraphOps.undirected(g)
+    def init(node: Long, dim: Long): Double =
+      (((node * 31 + dim * 1000003 + 777) % 1000000007L) % 6) match {
+        case 0 => 1.0; case 1 => -1.0; case _ => 0.0
+      }
+    val adj = und.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((n, nbrs) <- adj; d <- 0L until 4L) {
+      val want = nbrs.map(init(_, d)).sum / nbrs.size
+      assert(math.abs(got((n, d)) - want) < 1e-12,
+        s"node $n dim $d: got ${got((n, d))}, want $want")
+    }
+    // weight 0 skips the round in the output sum but still iterates
+    val w2 = GraphOps.fastRP(g, dims = 4, iterWeights = Seq(0.0, 1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((n, nbrs) <- adj; d <- 0L until 4L) {
+      val hop1 = adj.map { case (k, v) => k -> v.map(init(_, d)).sum / v.size }
+      val want = nbrs.map(hop1).sum / nbrs.size
+      assert(math.abs(w2((n, d)) - want) < 1e-12)
+    }
+  }
+
+  test("fastRP is layout-independent and feeds the ANN/dedup tier") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (1L, 3L), (2L, 4L))
+    // layout-independence AT THE OUTPUT CONTRACT (6dp, the driver
+    // entry's rounding): partial-agg sum order shifts ulps with the
+    // partitioning — the PageRank posture, absorbed by the rounding,
+    // NOT bit-identity of the raw doubles
+    def at6(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("node"), col("dim"), round(col("val"), 6).as("val"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val base = at6(GraphOps.fastRP(g, dims = 8))
+    val shuffled = at6(GraphOps.fastRP(g.repartition(7), dims = 8))
+    assert(base == shuffled)
+    // differential consumer (VERDICT r11 #3): pivoted embeddings run
+    // through the embedding-dedup operator — schema and value domain
+    // are what the ANN tier expects, pairs come back exactly-scored
+    val emb = GraphOps.fastRP(g, dims = 8)
+      .groupBy("node").agg(expr(
+        "transform(array_sort(collect_list(struct(dim, val)))," +
+          " s -> cast(s.val as float))").as("embedding"))
+    val pairs = graft.operators.Dedup.embeddingPairsLsh(
+      emb, "node", "embedding", tau = 0.1).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.1 - 1e-9))
+  }
+
   test("nodeSimilarity: posting path and self-join path agree exactly") {
     val s = spark
     import s.implicits._

@@ -733,6 +733,50 @@ class PipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream LEFT interval join: null rows flush on watermark passage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[CdcStream.Ev]
+    val rMem = MemoryStream[CdcStream.Ev]
+    val clicks = lMem.toDS()
+      .select(col("event_id").as("click_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val purchases = rMem.toDS()
+      .select(col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val joined = CdcStream.intervalJoinLeft(clicks, purchases, "user_id",
+      within = "30 minutes", delay = "1 hour")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("pipelinespec_ivjl")
+      .outputMode(OutputMode.Append()).start()
+    val min = 60L * 1000000L
+    val t0 = 1000 * min
+    // click 1 matches; click 2 (same user, purchase 40m late) does not
+    lMem.addData(CdcStream.Ev(1, t0, 7, "click", 0),
+                 CdcStream.Ev(2, t0 + min, 9, "click", 0))
+    rMem.addData(CdcStream.Ev(10, t0 + 10 * min, 7, "purchase", 0),
+                 CdcStream.Ev(11, t0 + 41 * min, 9, "purchase", 0))
+    q.processAllAvailable()
+    def rows() = spark.table("pipelinespec_ivjl").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // matched pair emits on match; the UNMATCHED click is still held —
+    // its window could yet be filled by a late purchase
+    assert(rows() == Set((1L, 10L)), s"rows: ${rows()}")
+    // watermark passes click2.ts + 30m (min-policy: both sides must
+    // advance) → the NULL-padded row flushes exactly once
+    lMem.addData(CdcStream.Ev(3, t0 + 10000 * min, 1, "click", 0))
+    rMem.addData(CdcStream.Ev(13, t0 + 10000 * min, 2, "purchase", 0))
+    q.processAllAvailable()
+    lMem.addData(CdcStream.Ev(4, t0 + 10001 * min, 1, "click", 0))
+    q.processAllAvailable()
+    assert(rows().contains((2L, -1L)),
+      s"unmatched click not flushed: ${rows()}")
+    // click 1 must NOT also get a null row (it matched)
+    assert(!rows().contains((1L, -1L)), s"matched click null-padded: ${rows()}")
+    q.stop()
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
