@@ -129,6 +129,33 @@ object SketchQueries extends QueryPack {
         nCoarse = Some(16), nprobe = Some(16), fitSamplePct = Some(10)),
       minRecall = 0.8)),
 
+    // E10 planted 100× contract (VERDICT r11 #4's actual criterion):
+    // ANN-benchmark recall of the DEFAULT-config IVF-PQ path over
+    // planted near-dup pairs whose ORIGINAL is a query (vec_id % 100
+    // = 0) — on the --plant-dups pack the copy sits at cos [0.93,
+    // 0.98], far above the random-cosine noise (σ≈0.125), so it IS
+    // the query's true #1 neighbor and a retrieval miss is a real
+    // coarse-probe or PQ-shortlist failure. Linear id-mapped oracle
+    // (the dedup_embedding_lsh_planted_check methodology); vacuously
+    // green on unplanted packs (exact_pairs = 0, shown honestly).
+    "sim_ivfpq_planted_check" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val v = emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2(col("v")))
+      val planted = v.as("a")
+        .join(v.as("b"), col("b.vec_id") === col("a.vec_id") + lit(500000000L))
+        .filter(col("a.vec_id") % 100 === 0)
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          graft.functions.VectorFunctions.cosinePre(
+            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= 0.9)
+      val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding")
+        .select(col("q_id").as("i"), col("vec_id").as("j"))
+      recallRow(got, planted.select("i", "j"), minRecall = 0.8)
+    }),
+
     // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
     // cosine verify — the scalable twin of dedup_embedding (every
     // returned pair is exactly-scored; SketchSpec pins precision 1.0
@@ -970,6 +997,14 @@ object SketchQueries extends QueryPack {
       """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
                 count(*) AS n_queries
          FROM embeddings WHERE vec_id % 100 = 0""",
+    "sim_ivfpq_planted_check" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j
+               FROM n a JOIN n b ON b.vec_id = a.vec_id + 500000000
+               WHERE a.vec_id % 100 = 0
+                 AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+         SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
     // n_queries counts query vectors with >= 1 same-label partner
     // (a query alone in its label has an EMPTY exact top-k — no
     // baseline rows, so it can't appear in the distinct-q_id count)
