@@ -56,7 +56,8 @@ object Plans {
       "graph_walk_pairs", "graph_eigenvector", "text_bm25",
       "graph_sample_neighborhood", "graph_ktruss",
       "graph_link_prediction", "text_tfidf", "corpus_stratified_split",
-      "cdc_cms_check", "sim_filtered_ann")
+      "cdc_cms_check", "sim_filtered_ann",
+      "graph_louvain", "graph_fastrp", "sim_ivfpq", "corpus_url_dedup")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to
