@@ -112,21 +112,33 @@ object SketchQueries extends QueryPack {
     // E10 contract check: recall ≥ 0.8 vs the exact unfiltered
     // baseline at a PINNED configuration (the sim_ivf_ann_check
     // stance: the check verifies PQ mechanics at a known operating
-    // point — 16 coarse cells ALL probed, 8×256 codebooks, 4k
-    // shortlist). Exhaustive coarse probing on purpose: the driver
-    // corpora are near-uniform unit vectors, where probing recall
-    // tracks probed mass for ANY partitioner (the sim_ivf_ann_check
-    // finding) — probing recall under real cluster structure is the
-    // planted 100× twin's contract; THIS check isolates the PQ
-    // encode→ADC→shortlist→refine mechanics. Measured (numpy replica
-    // of the exact pipeline): shortlist-40 recall 0.96 at sf0.001 /
-    // 1.0 at sf0.01 with 8×256 books (16-codeword books sat at 0.68
-    // — the published 256 is load-bearing, not ceremonial). The
-    // refine stage exactly-scores every returned hit, so the
-    // cosine-binding hit join also verifies the re-rank protocol.
+    // point — 16 coarse cells ALL probed, 8×256 codebooks).
+    // Exhaustive coarse probing on purpose: the driver corpora are
+    // near-uniform unit vectors, where probing recall tracks probed
+    // mass for ANY partitioner (the sim_ivf_ann_check finding) —
+    // probing recall under real cluster structure is the planted
+    // twin's contract; THIS check isolates the PQ encode→ADC→
+    // shortlist→refine mechanics. The shortlist is a pinned POOL
+    // FRACTION (0.8%, floor 40), not a fixed row count: ADC
+    // confusions above a true neighbor scale with the candidate pool
+    // on unclustered data, so a fixed 40-row shortlist states a
+    // different (and eventually false — 10× sweep finding) claim at
+    // every n, while "true top-10 rank inside the ADC top 0.8%" is
+    // the n-invariant precision statement. Measured (numpy replica):
+    // recall 0.96/1.0 at sf0.001/sf0.1 with 8×256 books at the 2%
+    // floor (16-codeword books sat at 0.68 — the published 256 is
+    // load-bearing), 0.917 at the 10× pack's 20k vectors with the 2%
+    // shortlist (a fixed 40 rows there measured <0.8 — the 10× sweep
+    // finding that motivated the fraction form). The refine stage
+    // exactly-scores every returned hit, so the cosine-binding hit
+    // join also verifies the re-rank protocol.
     "sim_ivfpq_check" -> ((s, dir) => annCheck(s, dir,
-      emb => Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-        nCoarse = Some(16), nprobe = Some(16), fitSamplePct = Some(10)),
+      emb => {
+        val rf = math.max(4, (emb.count() / 500L).toInt) // k=10 → 2% pool
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          nCoarse = Some(16), nprobe = Some(16), fitSamplePct = Some(10),
+          refineFactor = rf)
+      },
       minRecall = 0.8)),
 
     // E10 planted 100× contract (VERDICT r11 #4's actual criterion):
