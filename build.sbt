@@ -49,5 +49,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
-)
+) ++ (sys.env.get("SPARK_DRIVER_XMS") match {
+  // A/B switch for heap-ergonomics probes (r13 BFS-family
+  // adjudication): "default" omits -Xms entirely (the pre-r12 JVM
+  // default-initial-heap config); any other value overrides the pin.
+  case Some("default") => Seq.empty
+  case Some(x)         => Seq(s"-Xms$x")
+  case None => Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}")
+})

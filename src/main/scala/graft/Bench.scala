@@ -153,7 +153,9 @@ object Bench {
         .getOrElse {
           val dir = java.nio.file.Paths.get("bench_runs")
           java.nio.file.Files.createDirectories(dir)
-          dir.resolve(s"bench_${System.currentTimeMillis / 1000}.json")
+          // millisecond granularity: two runs finishing in the same
+          // SECOND silently overwrote each other's record (ADVICE r12)
+          dir.resolve(s"bench_${System.currentTimeMillis}.json")
         }
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench result still on stdout

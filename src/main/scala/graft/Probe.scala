@@ -35,8 +35,10 @@ object Probe {
     val memSpill = new LongAdder; val diskSpill = new LongAdder
     val taskCount = new AtomicLong
     val maxTaskMs = new AtomicLong
-    // bounded reservoir of task durations for the median (local[32]
-    // runs have at most tens of thousands of tasks; 1 long each)
+    // unbounded per-run buffer of task durations for the median —
+    // acceptably small at probe scale (local[32] runs end at tens of
+    // thousands of tasks; 1 boxed long each) (ADVICE r12: this is NOT
+    // a reservoir sample, every task's duration is kept)
     val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]
   }
 

@@ -287,3 +287,125 @@ object TopKWeighted {
     var floor: Long = 0L
   }
 }
+
+/** Bounded per-group top-k of (score, id) pairs — the EXACT
+  * replacement for `row_number().over(partitionBy(g).orderBy(score
+  * desc, id asc)) <= k`: same rows, same order, but state is a
+  * capacity-capped heap that dies in the map-side partial instead of
+  * a full per-group sort (VERDICT r12 #3 — sim_ivfpq's shortlist
+  * window sorted every query's ~19k-row candidate pool @100× to keep
+  * 40 rows; this keeps 40 doubles+longs per group per partition,
+  * period — the bound a 100-TB candidate stream needs).
+  *
+  * Ranking contract (identical to the window it replaces): score
+  * DESC, id ASC tiebreak; a NULL score ranks below every non-null
+  * score (Spark's `desc` default NULLS LAST) and is carried as
+  * -Infinity in the emitted struct — callers consuming only the ids
+  * (the shortlist pattern) see the window's exact row set; callers
+  * needing the score must re-derive it (the refine stage does).
+  * Result: array<struct<score double, id long>> sorted best-first —
+  * `posexplode` recovers the rank. */
+case class TopKPairs(
+    left: Expression,  // score (double)
+    right: Expression, // id (long)
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[TopKPairs.Entry]]
+  with BinaryLike[Expression] {
+  import TopKPairs.{Entry, worstFirst}
+
+  require(k >= 1, s"topk_pairs: k must be >= 1, got $k")
+
+  override def prettyName: String = "topk_pairs"
+  override def dataType: DataType = ArrayType(
+    new StructType().add("score", DoubleType, nullable = false)
+      .add("id", LongType, nullable = false),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Entry] =
+    new java.util.PriorityQueue[Entry](math.min(k + 1, 64), worstFirst)
+
+  private def add(buf: java.util.PriorityQueue[Entry], e: Entry): Unit = {
+    if (buf.size() < k) { buf.add(e); return }
+    // full: admit only if strictly better than the current worst
+    val w = buf.peek()
+    if (worstFirst.compare(e, w) > 0) { buf.poll(); buf.add(e) }
+  }
+
+  override def update(buf: java.util.PriorityQueue[Entry],
+                      input: InternalRow): java.util.PriorityQueue[Entry] = {
+    val id = right.eval(input)
+    if (id != null) {
+      val s = left.eval(input)
+      // NULL score → -Inf: ranks after every real score, id-asc among
+      // themselves — the window's NULLS LAST posture
+      val sc = if (s == null) Double.NegativeInfinity
+               else s.asInstanceOf[Double]
+      add(buf, new Entry(sc, id.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[Entry],
+                     b2: java.util.PriorityQueue[Entry]): java.util.PriorityQueue[Entry] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Entry]): Any = {
+    val arr = buf.toArray(Array.empty[Entry])
+    // best-first: score desc, id asc (reverse of the heap order)
+    java.util.Arrays.sort(arr, worstFirst.reversed())
+    val rows = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      rows(i) = InternalRow(arr(i).score, arr(i).id); i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Entry]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 16 * buf.size())
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next(); out.writeDouble(e.score); out.writeLong(e.id)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Entry] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sz = in.readInt()
+    val q = new java.util.PriorityQueue[Entry](math.max(sz, 1), worstFirst)
+    var i = 0
+    while (i < sz) { q.add(new Entry(in.readDouble(), in.readLong())); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKPairs {
+  final class Entry(val score: Double, val id: Long)
+  /** Heap order: WORST first — lower score first; among equal scores
+    * the HIGHER id first (id asc is better). `compare(a, b) > 0` ⇔
+    * a ranks strictly better than b. */
+  val worstFirst: java.util.Comparator[Entry] =
+    new java.util.Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c else java.lang.Long.compare(b.id, a.id)
+      }
+    }
+}

@@ -695,6 +695,131 @@ object GraphOps {
     assign
   }
 
+  /** One WEIGHTED Louvain local-moving level over a symmetric weighted
+    * relation (a, b, w) — the generalization [[louvainTwoLevel]] runs
+    * on the coarsened community supergraph (VERDICT r12 #4). Exactly
+    * the [[louvainLevel]] recurrence with counts replaced by weight
+    * sums: k_{i,c} = Σ w over i's links into c, deg_i = Σ w over ALL
+    * of i's rows, gain(i,c) = 2m·k_{i,c} − k_i·Σtot'_c (all-integer —
+    * weights are longs), synchronous argmax with min-community ties,
+    * alternating-parity damping, fixed `rounds`.
+    *
+    * SELF-LOOP contract (the supergraph's intra-community mass rides
+    * a single (c, c) row of weight 2·intra-edges): self-loops count
+    * toward deg_i and Σtot_c — they are degree mass that stays with
+    * the node wherever it goes — but NEVER toward k_{i,c}: a
+    * self-loop is not a link to another member of c, so admitting it
+    * would bias every node toward "stay". m = Σ_rows w / 2 (each
+    * undirected unit of mass appears in both directions — a
+    * self-loop row carries both directions in its single row's
+    * weight), so coarsening PRESERVES m and the level-1 gain scale.
+    *
+    * STAY CANDIDATE — the one deliberate departure from the level-1
+    * recurrence: every mover also carries an explicit (i, cur,
+    * kic=0) candidate, so "hold the current community" competes in
+    * the argmax at gain 2m·k_{i,cur} − k_i·(Σtot_cur − k_i). Level 1
+    * pins the always-move form (candidates = neighbor communities
+    * only) because at its all-singleton init "stay" would win every
+    * argmax at gain 0 and nothing would ever coalesce; on the
+    * COARSENED graph the situation inverts — a supernode's entire
+    * intra mass sits on its self-loop, which k_{i,c} rightly
+    * excludes, so without the stay row its own community never
+    * appears among candidates and a single weak bridge edge would
+    * FORCE a negative-gain merge of two well-separated communities
+    * (hand fixture in the spec: barbell supergraph, gain −35 vs
+    * stay 0). With the stay candidate every move is gain-dominant
+    * over holding, which is what makes Q(two-level) ≥ Q(level-1)
+    * the expected outcome rather than luck.
+    *
+    * [[louvainLevel]] is this recurrence at w ≡ 1 on a loop-free
+    * relation; it keeps its own count-shaped plan (cheaper — no
+    * weight column rides the |E| relation).
+    *
+    * Output: (node, community) after `rounds` rounds — node here is a
+    * supergraph vertex id (a level-1 community id when called from
+    * [[louvainTwoLevel]]).
+    */
+  def louvainLevelWeighted(undW: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1,
+      s"louvainLevelWeighted: rounds must be >= 1, got $rounds")
+    val u = undW.select(col("a"), col("b"), col("w").cast("long").as("w"))
+      .transform(pin)
+    val uB = u.repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
+    val deg = u.groupBy(col("a").as("node")).agg(sum(col("w")).as("deg"))
+      .transform(pin)
+    // Σ_rows w counts every undirected mass unit twice (symmetric rows;
+    // a self-loop row's weight carries both directions itself)
+    val m = u.agg(sum(col("w"))).head.getLong(0) / 2
+    var assign = deg.select(col("node"))
+      .withColumn("community", col("node")).localCheckpoint()
+    for (t <- 1 to rounds) {
+      val tot = assign.join(deg, "node")
+        .groupBy("community").agg(sum(col("deg")).as("tot"))
+      val gathered = uB.join(assign, col("b") === col("node"))
+        .filter((col("a") + lit(t.toLong)) % 2 === 0 &&
+          col("a") =!= col("b")) // self-loops never enter k_{i,c}
+        .select(col("a"), col("community"), col("w"))
+      // explicit stay candidate per mover (scaladoc: STAY CANDIDATE)
+      val stay = assign.filter((col("node") + lit(t.toLong)) % 2 === 0)
+        .select(col("node").as("a"), col("community"), lit(0L).as("w"))
+      val kic = gathered.unionByName(stay)
+        .groupBy(col("a"), col("community"))
+        .agg(sum(col("w")).as("kic"))
+      val best = kic
+        .join(deg.select(col("node").as("a"), col("deg")), "a")
+        .join(assign.select(col("node").as("a"), col("community").as("cur")),
+          "a")
+        .join(tot, "community")
+        .select(col("a").as("node"), col("community"),
+          (lit(2L * m) * col("kic") - col("deg") *
+            (col("tot") - when(col("community") === col("cur"), col("deg"))
+              .otherwise(lit(0L)))).as("gain"))
+        .groupBy("node")
+        .agg(min(struct((-col("gain")).as("ng"), col("community").as("c")))
+          .as("best"))
+        .select(col("node"), col("best.c").as("next"))
+      assign = assign.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("next"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
+  /** Two-level Louvain (the GDS `louvain` recursion with ONE
+    * coarsening step — VERDICT r12 #4, the composability
+    * [[louvainLevel]]'s scaladoc promised): run the local-moving
+    * level, COARSEN the graph onto its communities (supergraph edge
+    * weight = count of original symmetric rows between the two
+    * communities — intra-community mass lands on a single (c, c)
+    * self-loop row of weight 2·intra, so Σ degree mass and m are
+    * PRESERVED), run the weighted level on the supergraph, and map
+    * every node through both assignments. Modularity is monotone
+    * non-decreasing across the composition: level 2 starts from
+    * level 1's partition (each supernode its own community = the
+    * level-1 state) and only takes gain-positive moves — certified
+    * Q(two-level) ≥ Q(level-1) by the spec on the sf0.001 slice.
+    *
+    * Output: (node, community_l1, community) — community is the
+    * level-2 (final) community id, a level-1 community id in turn.
+    */
+  def louvainTwoLevel(edges: DataFrame, rounds1: Int,
+                      rounds2: Int): DataFrame = {
+    val und = undirected(edges).transform(pin)
+    val l1 = louvainLevel(edges, rounds1).transform(pin)
+    val sund = und
+      .join(l1.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(l1.select(col("node").as("b"), col("community").as("cb")), "b")
+      .groupBy(col("ca").as("a"), col("cb").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val l2 = louvainLevelWeighted(sund, rounds2)
+    l1.select(col("node"), col("community").as("community_l1"))
+      .join(l2.select(col("node").as("community_l1"),
+        col("community")), "community_l1")
+      .select(col("node"), col("community_l1"), col("community"))
+  }
+
   /** B27 (r12): FastRP node embeddings (Neo4j GDS `fastRP`; Chen et
     * al., "Fast and Accurate Network Embeddings via Very Sparse
     * Random Projection", 2019 — GDS's flagship embedding; VERDICT r11
@@ -1286,20 +1411,25 @@ object GraphOps {
     * fix is not candidate pruning but KILLING THE PAIR SHUFFLE:
     *   1. build per-feature sorted posting arrays (one exchange of
     *      the |E| edge rows — half the former join's input traffic);
-    *   2. RANGE-partition the posting arrays by their MIN entity id.
-    *      Posting lists with overlapping support draw from the same
-    *      entity block, so their minima concentrate near the block
-    *      base — range partitioning therefore CO-LOCATES the features
-    *      that witness the same (e1,e2) pairs (a locality heuristic:
-    *      placement never affects counts, only where combining
-    *      happens; worst case degrades to the old full-volume
-    *      shuffle, minus the join overhead);
-    *   3. explode each array's C(d,2) ordered pairs (sorted array ⟹
-    *      e1 < e2 structurally) and count — the Σ C(deg,2) rows now
-    *      die in the MAP-SIDE partial aggregate (multiplicity =
-    *      shared-feature count, concentrated on 1-2 partitions by
-    *      step 2), so the exchange carries ~distinct-pair volume,
-    *      not pair-occurrence volume. Measured at the 100× pack:
+    *   2. slice every sorted array into ≤`chunkSize` CELLS and
+    *      generate pairs over the cell grid (r13 — VERDICT r12 #2:
+    *      the r9 shape ranged-partitioned whole lists by their MIN
+    *      entity id, but hub entities head most lists, so the fat
+    *      lists all shared one tiny pkey and wedged into a single
+    *      range partition — probe-measured task-skew 20–140 @100×):
+    *      intra-cell pairs via the posexplode + slice generators,
+    *      cross-cell pairs as the grid's upper triangle (the global
+    *      ascending sort makes e1 < e2 structural in both, and each
+    *      unordered pair falls in exactly one grid cell). Per-row
+    *      generator output is bounded by chunkSize² REGARDLESS of
+    *      list length, and the repartition on (f, ci[, cj]) spreads
+    *      one fat list's quadratic work across the cluster — the
+    *      hot-key bound a 100-TB corpus needs, since posting-list
+    *      skew grows with the corpus;
+    *   3. count the exploded pairs — the Σ C(deg,2) rows still
+    *      die in the MAP-SIDE partial aggregate, so the (e1,e2)
+    *      exchange carries ~distinct-pair volume, not
+    *      pair-occurrence volume. Measured at the 100× pack:
     *      1.28 G pair occurrences → ~50 M exchanged rows.
     *
     * COST-BASED CUTOVER (the LSH auto-mode precedent): below
@@ -1327,7 +1457,9 @@ object GraphOps {
   def nodeSimilarity(edges: DataFrame, entity: String, feature: String,
                      featCap: Long, topK: Int,
                      postingCutover: Long = 2000000L,
-                     cappedEdgeCount: Option[Long] = None): DataFrame = {
+                     cappedEdgeCount: Option[Long] = None,
+                     chunkSize: Int = 512): DataFrame = {
+    require(chunkSize >= 2, s"nodeSimilarity: chunkSize must be >= 2, got $chunkSize")
     val ef = edges.select(col(entity).as("e"), col(feature).as("f")).distinct()
       .transform(pin)
     val okFeat = ef.groupBy("f").agg(count(lit(1)).as("dfreq"))
@@ -1344,21 +1476,51 @@ object GraphOps {
         .groupBy(col("x.e").as("e1"), col("y.e").as("e2"))
         .agg(count(lit(1)).as("inter"))
     } else {
-      // per-feature sorted posting array; singleton lists emit no
-      // pairs. Pair explode as two chained generators (posexplode +
-      // slice-explode — codegen'd; the flatten∘transform∘transform
-      // HOF form builds the same pairs through interpreted lambdas,
-      // measured 2× slower); ascending order makes e1 < e2 structural
-      val posting = capped.groupBy("f")
+      // per-feature sorted posting array split over a CHUNK GRID
+      // (VERDICT r12 #2): the old shape kept each posting list whole
+      // and ranged-partitioned lists by their MIN entity id — but hub
+      // entities appear in most lists, so the fattest lists all carry
+      // the same tiny pkey and pile into ONE range partition (the
+      // 14-run probe's task-skew 20–140 straggler @100×, a hazard
+      // that GROWS with the corpus). The grid instead slices every
+      // sorted list into ≤chunkSize cells: intra-cell pairs come from
+      // the classic posexplode + slice generators; cross-cell pairs
+      // from the cell grid's upper triangle (ci < cj ⇒ every element
+      // of cell ci < every element of cell cj — the global ascending
+      // sort makes e1 < e2 structural across cells too, and each
+      // unordered pair falls in exactly one grid cell). Per-row
+      // generator output is now bounded by chunkSize² regardless of
+      // list length, and the explicit repartition on (f, ci[, cj])
+      // spreads a single fat list's quadratic work across the cluster
+      // instead of wedging it into one task. Singleton lists emit no
+      // pairs. (Generators stay the codegen'd posexplode/slice pair —
+      // the flatten∘transform HOF form measured 2× slower.)
+      val chunks = capped.groupBy("f")
         .agg(sort_array(collect_list(col("e"))).as("es"))
         .filter(size(col("es")) >= 2)
-        .withColumn("pkey", element_at(col("es"), 1))
-        .repartitionByRange(col("pkey"))
-      posting
-        .select(posexplode(col("es")).as(Seq("i", "e1")), col("es"))
+        .select(col("f"),
+          explode(sequence(lit(0),
+            floor((size(col("es")) - lit(1)) / lit(chunkSize))
+              .cast("int"))).as("ci"),
+          col("es"))
+        .select(col("f"), col("ci"),
+          slice(col("es"), col("ci") * lit(chunkSize) + lit(1),
+            lit(chunkSize)).as("arr"))
+        .transform(pin)
+      val intra = chunks.filter(size(col("arr")) >= 2)
+        .repartition(col("f"), col("ci"))
+        .select(posexplode(col("arr")).as(Seq("i", "e1")), col("arr"))
         .select(col("e1"),
-          explode(slice(col("es"), col("i") + lit(2),
-            size(col("es")) - col("i") - lit(1))).as("e2"))
+          explode(slice(col("arr"), col("i") + lit(2),
+            size(col("arr")) - col("i") - lit(1))).as("e2"))
+      val cross = chunks.as("x").join(chunks.as("y"),
+          col("x.f") === col("y.f") && col("x.ci") < col("y.ci"))
+        .select(col("x.f").as("f"), col("x.ci").as("ci"),
+          col("y.ci").as("cj"), col("x.arr").as("ax"), col("y.arr").as("ay"))
+        .repartition(col("f"), col("ci"), col("cj"))
+        .select(explode(col("ax")).as("e1"), col("ay"))
+        .select(col("e1"), explode(col("ay")).as("e2"))
+      intra.union(cross)
         .groupBy("e1", "e2")
         .agg(count(lit(1)).as("inter"))
     }

@@ -523,6 +523,14 @@ object Similarity {
     B.column(graft.functions.PqDecode(B.expression(codes), cbs))
   }
 
+  /** Bounded per-query top-m shortlist aggregate — EXACTLY the rows of
+    * `row_number().over(partitionBy(q).orderBy(score desc, id asc))
+    * <= m`, but as a capacity-m heap ([[graft.functions.TopKPairs]])
+    * that partial-aggregates map-side instead of sorting each query's
+    * full candidate pool (VERDICT r12 #3). */
+  private def topkPairsCol(score: Column, id: Column, m: Int): Column =
+    Sketches.topkPairsCol(score, id, m)
+
   /** E10: IVF-PQ approximate top-k (Jégou et al. 2011) — the
     * published 100-TB ANN memory posture (VERDICT r11 #4). Same
     * coarse quantizer + probing as [[ivfTopK]], but the SCORED
@@ -577,14 +585,23 @@ object Similarity {
           .withColumn("approx", VectorFunctions.cosinePre(
             VectorFunctions.dot(col("qv"), col("recon")),
             col("qn"), VectorFunctions.l2(col("recon"))))
-        val short = cand
-          .withColumn("ark", row_number().over(
-            Window.partitionBy("q_id")
-              .orderBy(col("approx").desc, col("id"))))
-          .filter(col("ark") <= refineFactor * k)
-          .select(col("q_id"), col("id").as("vec_id"),
-            col("qv"), col("qn"))
-        val refined = short.join(
+        // bounded shortlist (VERDICT r12 #3): a refineFactor·k-capped
+        // heap aggregate replaces the per-query row_number sort over
+        // the FULL candidate pool (~19k rows/query @100× — the
+        // dominant cost of the old plan). Identical row set and tie
+        // rule (approx desc, id asc); per-query state is O(m) and the
+        // heap dies in the map-side partial, so the q_id exchange
+        // carries ≤ m rows per query per map partition, not the pool.
+        val short = cand.groupBy("q_id")
+          .agg(topkPairsCol(col("approx"), col("id"),
+            refineFactor * k).as("picks"))
+          .select(col("q_id"), explode(col("picks.id")).as("vec_id"))
+        // query vectors rejoin via broadcast (|queries| rows — the
+        // shortlist no longer drags qv/qn through the aggregate)
+        val qvecs = v.filter(col("id") % queryMod === 0)
+          .select(col("id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val refined = short.join(broadcast(qvecs), "q_id").join(
           v.select(col("id").as("vec_id"), col("v"), col("nrm")), "vec_id")
         topK(refined.select(col("q_id"), col("vec_id"), col("qv"),
           col("qn"), col("v"), col("nrm")), k)

@@ -658,6 +658,20 @@ object Sketches {
     df.groupBy(keyCols.map(col): _*)
       .agg(topkWeightedCol(col(itemCol), col(weightCol), capacity).as(as))
 
+  /** Aggregate Column: bounded per-group top-k of (score, id) pairs —
+    * the EXACT row set and order of `row_number().over(partitionBy(g)
+    * .orderBy(score desc, id asc)) <= k`, as a capacity-k heap that
+    * partial-aggregates map-side instead of sorting each group's full
+    * pool (VERDICT r12 #3; [[graft.functions.TopKPairs]]). NULL
+    * scores rank last (the window's desc NULLS LAST) and surface as
+    * -Infinity in the emitted struct. Result: array<struct<score,
+    * id>> best-first — `posexplode` recovers the rank. */
+  def topkPairsCol(score: org.apache.spark.sql.Column,
+                   id: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    colOf(graft.functions.TopKPairs(
+      exprOf(score.cast("double")), exprOf(id.cast("long")), k)
+      .toAggregateExpression())
+
   // -------------------------------------------------------------------
   // Count-min sketch (graft.functions.CountMin) — mergeable point-
   // frequency estimation: "how often does THIS item occur", answered

@@ -49,9 +49,13 @@ object CorpusQueries extends QueryPack {
             when(col("doc_id") % 3 === 0, "http://")
               .when(col("doc_id") % 3 === 1, "https://")
               .otherwise("HTTPS://www."),
-            when(col("doc_id") % 2 === 0, upper(col("source")))
-              .otherwise(col("source")),
-            lit(".example.com/docs/"), col("lang"), lit("/"),
+            // coalesce: Spark's concat NULLs out on any NULL arg while
+            // DuckDB's skips them — pin both engines to '' (ADVICE r12)
+            when(col("doc_id") % 2 === 0,
+              upper(coalesce(col("source"), lit(""))))
+              .otherwise(coalesce(col("source"), lit(""))),
+            lit(".example.com/docs/"),
+            coalesce(col("lang"), lit("")), lit("/"),
             (col("doc_id") % 50).cast("string"),
             when(col("doc_id") % 2 === 0, "/").otherwise(""),
             when(col("doc_id") % 5 === 0, "?utm_source=feed&ref=rss")
@@ -579,8 +583,9 @@ object CorpusQueries extends QueryPack {
                  CASE doc_id % 3 WHEN 0 THEN 'http://'
                                  WHEN 1 THEN 'https://'
                                  ELSE 'HTTPS://www.' END,
-                 CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
-                 '.example.com/docs/', lang, '/',
+                 CASE WHEN doc_id % 2 = 0 THEN upper(coalesce(source, ''))
+                      ELSE coalesce(source, '') END,
+                 '.example.com/docs/', coalesce(lang, ''), '/',
                  CAST(doc_id % 50 AS VARCHAR),
                  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
                  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'

@@ -258,6 +258,20 @@ object GraphQueries extends QueryPack {
           rounds = 4)
         .orderBy("node")),
 
+    // B26b (r13): two-level Louvain (VERDICT r12 #4) — the GDS
+    // louvain recursion with one coarsening step: level-1 local
+    // moving (4 rounds), coarsen onto the communities (supergraph
+    // edge weight = symmetric row count, intra mass on a (c,c)
+    // self-loop of weight 2·intra so m is preserved), then 4 WEIGHTED
+    // local-moving rounds on the supergraph. All-integer gains at
+    // both levels → the oracle replays BOTH levels row-for-row; the
+    // spec certifies Q(two-level) ≥ Q(level-1) on the sf0.001 slice.
+    "graph_louvain_multi" -> ((s, dir) =>
+      GraphOps.louvainTwoLevel(
+          supplyEdges(s, dir, quantityCap = Some(1.0), partStratum = Some(7)),
+          rounds1 = 4, rounds2 = 4)
+        .orderBy("node")),
+
     // B27 (r12): FastRP node embeddings (GDS fastRP, VERDICT r11 #3)
     // on the same slice — deterministic hash projections (Achlioptas
     // s=3) + mean neighbor aggregation, iteration weights (0,1,1).
@@ -596,6 +610,43 @@ object GraphQueries extends QueryPack {
                JOIN lv${i - 1} cur ON cur.node = k.a
                JOIN (SELECT p.community, sum(dg2.deg) AS tot
                      FROM lv${i - 1} p JOIN degv dg2 ON dg2.node = p.node
+                     GROUP BY p.community) t ON t.community = k.community
+               CROSS JOIN mm) WHERE rk = 1) mv
+           ON mv.node = a.node)"""
+
+  // One WEIGHTED Louvain local-moving round on the community
+  // supergraph (louvainLevelWeighted): the louvIter recurrence with
+  // count(*) → sum(w), self-loop rows (a = b, the 2·intra-mass
+  // carriers) excluded from the k_{i,c} gather (they stay in
+  // degrees/Σtot), and the explicit per-mover STAY candidate (node,
+  // cur, kic = 0) — on the coarsened graph a supernode's own
+  // community never appears among its neighbor communities, so
+  // without the stay row one bridge edge would force negative-gain
+  // merges (GraphOps.louvainLevelWeighted scaladoc). m is the
+  // LEVEL-1 scalar (coarsening preserves it).
+  private def louvWIter(i: Int) =
+    s"""sv$i AS MATERIALIZED (
+           SELECT a.node, coalesce(mv.community, a.community) AS community
+           FROM sv${i - 1} a LEFT JOIN (
+             SELECT node, community FROM (
+               SELECT k.a AS node, k.community,
+                      row_number() OVER (PARTITION BY k.a ORDER BY
+                        (2 * mm.m * k.kic - dg.deg *
+                         (t.tot - CASE WHEN k.community = cur.community
+                                  THEN dg.deg ELSE 0 END)) DESC,
+                        k.community) AS rk
+               FROM (SELECT a, community, sum(w) AS kic FROM (
+                       SELECT u.a, p.community, u.w
+                       FROM sund u JOIN sv${i - 1} p ON u.b = p.node
+                       WHERE (u.a + $i) % 2 = 0 AND u.a <> u.b
+                       UNION ALL
+                       SELECT s.node AS a, s.community, 0 AS w
+                       FROM sv${i - 1} s WHERE (s.node + $i) % 2 = 0)
+                     GROUP BY a, community) k
+               JOIN sdeg dg ON dg.node = k.a
+               JOIN sv${i - 1} cur ON cur.node = k.a
+               JOIN (SELECT p.community, sum(dg2.deg) AS tot
+                     FROM sv${i - 1} p JOIN sdeg dg2 ON dg2.node = p.node
                      GROUP BY p.community) t ON t.community = k.community
                CROSS JOIN mm) WHERE rk = 1) mv
            ON mv.node = a.node)"""
@@ -1000,6 +1051,27 @@ object GraphQueries extends QueryPack {
           lv0 AS (SELECT node, node AS community FROM degv),
           ${(1 to 4).map(louvIter).mkString(",\n")}
           SELECT node, community FROM lv4 ORDER BY node""",
+    "graph_louvain_multi" ->
+      s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
+          degv AS MATERIALIZED (SELECT a AS node, count(*) AS deg
+             FROM und GROUP BY a),
+          mm AS (SELECT count(*) // 2 AS m FROM und),
+          lv0 AS (SELECT node, node AS community FROM degv),
+          ${(1 to 4).map(louvIter).mkString(",\n")},
+          sund AS MATERIALIZED (
+             SELECT ca.community AS a, cb.community AS b,
+                    count(*) AS w
+             FROM und u JOIN lv4 ca ON u.a = ca.node
+                        JOIN lv4 cb ON u.b = cb.node
+             GROUP BY 1, 2),
+          sdeg AS MATERIALIZED (SELECT a AS node, sum(w) AS deg
+             FROM sund GROUP BY a),
+          sv0 AS (SELECT node, node AS community FROM sdeg),
+          ${(1 to 4).map(louvWIter).mkString(",\n")}
+          SELECT l.node, l.community AS community_l1,
+                 s.community AS community
+          FROM lv4 l JOIN sv4 s ON s.node = l.community
+          ORDER BY l.node""",
     "graph_fastrp" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1 AND l_partkey % 7 = 0")},
           degv AS MATERIALIZED (SELECT a AS node, count(*) AS deg

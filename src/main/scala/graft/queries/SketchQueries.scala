@@ -119,11 +119,12 @@ object SketchQueries extends QueryPack {
     // probing recall under real cluster structure is the planted
     // twin's contract; THIS check isolates the PQ encode→ADC→
     // shortlist→refine mechanics. The shortlist is a pinned POOL
-    // FRACTION (0.8%, floor 40), not a fixed row count: ADC
-    // confusions above a true neighbor scale with the candidate pool
+    // FRACTION (2%, floor 40 — refineFactor = max(4, n/500) with
+    // k=10), not a fixed row count: ADC confusions above a true
+    // neighbor scale with the candidate pool
     // on unclustered data, so a fixed 40-row shortlist states a
     // different (and eventually false — 10× sweep finding) claim at
-    // every n, while "true top-10 rank inside the ADC top 0.8%" is
+    // every n, while "true top-10 rank inside the ADC top 2%" is
     // the n-invariant precision statement. Measured (numpy replica):
     // recall 0.96/1.0 at sf0.001/sf0.1 with 8×256 books at the 2%
     // floor (16-codeword books sat at 0.68 — the published 256 is

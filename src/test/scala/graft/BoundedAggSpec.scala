@@ -53,6 +53,43 @@ class BoundedAggSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("topk_pairs reproduces the row_number window exactly (ties + nulls)") {
+    // the contract sim_ivfpq's shortlist rests on: identical row set
+    // and order to the per-group sort it replaced — exercised with
+    // manufactured score TIES (coarse rounding) and NULL scores
+    // (window desc = NULLS LAST; heap carries them as -Inf)
+    val df = events.select(col("event_type").as("g"),
+      when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(round(col("value"), 1)).as("score"),
+      col("event_id").as("id"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5)
+      .select(col("g"), col("id"), col("rk").cast("long").as("rk"))
+      .orderBy("g", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = df.groupBy("g")
+      .agg(Sketches.topkPairsCol(col("score"), col("id"), 5).as("p"))
+      .select(col("g"), posexplode(col("p")).as(Seq("i", "e")))
+      .select(col("g"), col("e.id").as("id"),
+        (col("i") + 1).cast("long").as("rk"))
+      .orderBy("g", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("topk_pairs is partitioning-invariant (partial merge correct)") {
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(Sketches.topkPairsCol(col("value"), col("event_id"), 7).as("p"))
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getDouble(0), e.getLong(1))).toSeq).toSeq
+    assert(run(events.repartition(13)) == run(events.coalesce(1)))
+  }
+
   test("uniq_upto registered in SQL and matches the DataFrame form") {
     GraftExtensions.register(spark)
     events.createOrReplaceTempView("ev_bounded")

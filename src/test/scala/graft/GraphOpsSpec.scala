@@ -561,6 +561,65 @@ class GraphOpsSpec extends SparkSpec {
     assert(q.getDouble(3) == 0.357143) // the optimum for this graph
   }
 
+  test("louvainLevelWeighted: heavy inter-edge merges, heavy self-loops hold (hand replay)") {
+    val s = spark
+    import s.implicits._
+    // two supernodes, inter mass 10, self-loops 2 each: m = 12.
+    // t=1 movers = odd ids → node 1: gain(1→c2) = 2·12·10 − 12·12 =
+    // 96 > gain(stay) = 0 → merge into community 2.
+    val merge = Seq((1L, 1L, 2L), (2L, 2L, 2L),
+      (1L, 2L, 10L), (2L, 1L, 10L)).toDF("a", "b", "w")
+    val got = GraphOps.louvainLevelWeighted(merge, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L))
+    // barbell supergraph: self-loops 6 (2·3 intra), inter mass 1,
+    // m = 7. gain(1→c2) = 2·7·1 − 7·7 = −35 < 0 = gain(stay) → the
+    // two communities hold at level 2 (self-loops never enter k_{i,c})
+    val hold = Seq((1L, 1L, 6L), (2L, 2L, 6L),
+      (1L, 2L, 1L), (2L, 1L, 1L)).toDF("a", "b", "w")
+    val got2 = GraphOps.louvainLevelWeighted(hold, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("louvainTwoLevel: barbell is invariant under coarsening; assignment refines level 1") {
+    // level 1 settles {1,2,3}→2, {4,5,6}→6 (hand replay above);
+    // the supergraph is exactly the `hold` fixture shape (self-loops
+    // 6, bridge 1), so level 2 must keep both communities — and every
+    // node's final community must equal its level-1 community id.
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val got = GraphOps.louvainTwoLevel(g, rounds1 = 4, rounds2 = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 2L),
+      (4L, 6L, 6L), (5L, 6L, 6L), (6L, 6L, 6L)))
+  }
+
+  test("louvainTwoLevel: Q never drops vs level 1 on the sf0.001 supply slice, and level 2 refines level 1") {
+    val e = graft.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") <= 1)
+      .filter(col("l_partkey") % 7 === 0)
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).as("a"), col("o_custkey").as("b"))
+      .distinct()
+    val two = GraphOps.louvainTwoLevel(e, rounds1 = 4, rounds2 = 4)
+      .transform(df => { df.cache(); df })
+    // refinement: the final community is a FUNCTION of the level-1
+    // community (whole communities move together at level 2)
+    val violations = two.groupBy("community_l1")
+      .agg(countDistinct(col("community")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(violations == 0)
+    val qL1 = GraphOps.modularity(e,
+      GraphOps.louvainLevel(e, rounds = 4)).collect()(0).getDouble(3)
+    val qL2 = GraphOps.modularity(e,
+      two.select(col("node"), col("community"))).collect()(0).getDouble(3)
+    assert(qL2 >= qL1,
+      s"two-level Q $qL2 should be >= level-1 Q $qL1 on the supply slice")
+    two.unpersist()
+  }
+
   test("louvainLevel beats LPA modularity on the sf0.001 supply slice") {
     // The r11 verdict's certification ask: the gain-guided optimizer
     // must land a better (or equal) partition than plain label
@@ -655,6 +714,14 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(viaJoin == viaPosting)
     assert(viaJoin.nonEmpty)
+    // r13 chunk grid: chunkSize = 2 forces every ≥3-entity posting
+    // list through MULTI-CELL generation (intra + cross-cell upper
+    // triangle, including an odd trailing singleton cell) — the grid
+    // must reproduce the whole-list result exactly
+    val viaChunks = GraphOps.nodeSimilarity(ef, "e", "f",
+      featCap = 3L, topK = 100, postingCutover = 0L, chunkSize = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(viaJoin == viaChunks)
   }
 
   test("nodeSimilarity ordering key is integer-stable under ties") {

@@ -777,6 +777,54 @@ class PipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("LEFT interval join: boundary-exact eviction matches the oracle's strict '<' horizon") {
+    // ADVICE r12: the stream_interval_left oracle cuts unmatched
+    // clicks at a STRICT '<' horizon (click_ms + 30min < watermark_ms)
+    // but no fixture exercised a window end landing EXACTLY on the
+    // final watermark. Pin it: click A's window end == watermark ms
+    // (must NOT flush — strict '<'), click B's window end is 1 ms
+    // inside the horizon (must flush a NULL row). delay = 0, the
+    // driver entry's configuration.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[CdcStream.Ev]
+    val rMem = MemoryStream[CdcStream.Ev]
+    val clicks = lMem.toDS()
+      .select(col("event_id").as("click_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val purchases = rMem.toDS()
+      .select(col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+    val joined = CdcStream.intervalJoinLeft(clicks, purchases, "user_id",
+      within = "30 minutes", delay = "0 seconds")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("pipelinespec_ivjl_boundary")
+      .outputMode(OutputMode.Append()).start()
+    val min = 60L * 1000000L
+    val t0 = 1000 * min
+    // click A (id 1): window end t0 + 30min == final watermark exactly
+    // click B (id 2): 1 ms earlier → window end 1 ms INSIDE the horizon
+    lMem.addData(CdcStream.Ev(1, t0, 5, "click", 0),
+                 CdcStream.Ev(2, t0 - 1000, 6, "click", 0))
+    // advance: left far ahead, right max EXACTLY t0 + 30min (user 99,
+    // matches nothing) → min-policy watermark lands on t0 + 30min ms
+    lMem.addData(CdcStream.Ev(3, t0 + 100000 * min, 1, "click", 0))
+    rMem.addData(CdcStream.Ev(10, t0 + 30 * min, 99, "purchase", 0))
+    q.processAllAvailable()
+    // watermark computed at batch end applies next batch: one dummy
+    lMem.addData(CdcStream.Ev(4, t0 + 100001 * min, 1, "click", 0))
+    q.processAllAvailable()
+    val nullClicks = spark.table("pipelinespec_ivjl_boundary").collect()
+      .filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(nullClicks.contains(2L),
+      s"1ms-inside click not flushed: $nullClicks")
+    assert(!nullClicks.contains(1L),
+      s"boundary-exact click flushed — Spark eviction is '<=' but the " +
+        s"oracle horizon is strict '<': $nullClicks")
+    q.stop()
+  }
+
   test("binary metadata matches the underlying payload") {
     val meta = SparkEntry.queries("mm_binary_meta")(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
