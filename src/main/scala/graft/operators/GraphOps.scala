@@ -1422,10 +1422,13 @@ object GraphOps {
     *      ascending sort makes e1 < e2 structural in both, and each
     *      unordered pair falls in exactly one grid cell). Per-row
     *      generator output is bounded by chunkSize² REGARDLESS of
-    *      list length, and the repartition on (f, ci[, cj]) spreads
-    *      one fat list's quadratic work across the cluster — the
-    *      hot-key bound a 100-TB corpus needs, since posting-list
-    *      skew grows with the corpus;
+    *      list length, and cells range-partition by (cell min
+    *      element, f, ci[, cj]) — overlapping-range cells witness
+    *      the same pairs (locality for the map-side partial, as
+    *      before) while the multi-column key lets the partitioner
+    *      SPLIT a hub block over as many partitions as its bounded
+    *      cells need — the hot-key bound a 100-TB corpus needs,
+    *      since posting-list skew grows with the corpus;
     *   3. count the exploded pairs — the Σ C(deg,2) rows still
     *      die in the MAP-SIDE partial aggregate, so the (e1,e2)
     *      exchange carries ~distinct-pair volume, not
@@ -1490,11 +1493,12 @@ object GraphOps {
       // sort makes e1 < e2 structural across cells too, and each
       // unordered pair falls in exactly one grid cell). Per-row
       // generator output is now bounded by chunkSize² regardless of
-      // list length, and the explicit repartition on (f, ci[, cj])
-      // spreads a single fat list's quadratic work across the cluster
-      // instead of wedging it into one task. Singleton lists emit no
-      // pairs. (Generators stay the codegen'd posexplode/slice pair —
-      // the flatten∘transform HOF form measured 2× slower.)
+      // list length; placement is range-by-CELL-MIN below (the
+      // locality + anti-skew note there — the first grid cut lost
+      // the same-pair co-location and the (e1,e2) exchange blew up
+      // 2 GB → 8.2 GB at 100×, probe-measured). Singleton lists emit
+      // no pairs. (Generators stay the codegen'd posexplode/slice
+      // pair — the flatten∘transform HOF form measured 2× slower.)
       val chunks = capped.groupBy("f")
         .agg(sort_array(collect_list(col("e"))).as("es"))
         .filter(size(col("es")) >= 2)
@@ -1507,8 +1511,19 @@ object GraphOps {
           slice(col("es"), col("ci") * lit(chunkSize) + lit(1),
             lit(chunkSize)).as("arr"))
         .transform(pin)
+      // placement key = the CELL's own min element: cells whose
+      // element ranges overlap are exactly the cells that witness the
+      // same (e1,e2) pairs, so range co-location keeps the Σ C(d,2)
+      // pair stream dying in the map-side partial (the r9 locality
+      // argument, now at cell granularity). The (f, ci) tiebreakers
+      // are the anti-skew half: the r9 shape ranged on the LIST min
+      // alone, so every hub-headed fat list tied on one key and the
+      // partitioner could never split the block — with bounded cells
+      // and a multi-column key, a hub block spreads over as many
+      // partitions as its mass needs. Placement never affects counts.
       val intra = chunks.filter(size(col("arr")) >= 2)
-        .repartition(col("f"), col("ci"))
+        .withColumn("pk", element_at(col("arr"), 1))
+        .repartitionByRange(col("pk"), col("f"), col("ci"))
         .select(posexplode(col("arr")).as(Seq("i", "e1")), col("arr"))
         .select(col("e1"),
           explode(slice(col("arr"), col("i") + lit(2),
@@ -1517,7 +1532,8 @@ object GraphOps {
           col("x.f") === col("y.f") && col("x.ci") < col("y.ci"))
         .select(col("x.f").as("f"), col("x.ci").as("ci"),
           col("y.ci").as("cj"), col("x.arr").as("ax"), col("y.arr").as("ay"))
-        .repartition(col("f"), col("ci"), col("cj"))
+        .withColumn("pk", element_at(col("ax"), 1))
+        .repartitionByRange(col("pk"), col("f"), col("ci"), col("cj"))
         .select(explode(col("ax")).as("e1"), col("ay"))
         .select(col("e1"), explode(col("ay")).as("e2"))
       intra.union(cross)

@@ -152,21 +152,34 @@ object SketchQueries extends QueryPack {
     // (the dedup_embedding_lsh_planted_check methodology); vacuously
     // green on unplanted packs (exact_pairs = 0, shown honestly).
     "sim_ivfpq_planted_check" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val v = emb.select(col("vec_id"),
-          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", graft.functions.VectorFunctions.l2(col("v")))
-      val planted = v.as("a")
-        .join(v.as("b"), col("b.vec_id") === col("a.vec_id") + lit(500000000L))
-        .filter(col("a.vec_id") % 100 === 0)
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          graft.functions.VectorFunctions.cosinePre(
-            graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")),
-            col("a.nrm"), col("b.nrm")).as("cosine"))
-        .filter(col("cosine") >= 0.9)
-      val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding")
+      val got = Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
         .select(col("q_id").as("i"), col("vec_id").as("j"))
-      recallRow(got, planted.select("i", "j"), minRecall = 0.8)
+      recallRow(got, plantedAnnPairs(s, dir), minRecall = 0.8)
+    }),
+
+    // E3/E2 planted twins (r13 — VERDICT r12 #7, the sim_ivfpq
+    // precedent extended): the unplanted _check twins bind recall to
+    // the exact brute-force baseline, which is |queries|·n scoring —
+    // infeasible at the 100× pack's 1M vectors. The planted pack's
+    // jittered near-copies (cosine ≥ 0.9, far above the σ≈0.125
+    // noise) give a LINEAR id-mapped ground truth: a retrieval miss
+    // is a real coarse-probe (IVF) or bucket-collision (LSH)
+    // failure. Floors match each family's mechanism: IVF 0.8 (the
+    // IVF-PQ floor without the PQ loss), LSH 0.7 (the D6
+    // embedding-LSH planted floor — band collision is probabilistic).
+    // Vacuously green on unplanted packs (exact_pairs = 0, honest).
+    "sim_ivf_ann_planted_check" -> ((s, dir) => {
+      val got = Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("q_id").as("i"), col("vec_id").as("j"))
+      recallRow(got, plantedAnnPairs(s, dir), minRecall = 0.8)
+    }),
+    "sim_lsh_ann_planted_check" -> ((s, dir) => {
+      val got = Similarity.lshTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("q_id").as("i"), col("vec_id").as("j"))
+      recallRow(got, plantedAnnPairs(s, dir), minRecall = 0.7)
     }),
 
     // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
@@ -807,6 +820,40 @@ object SketchQueries extends QueryPack {
                         minRecall: Double): DataFrame =
     Planted.recallRow(got, exact, minRecall)
 
+  /** Planted ANN ground truth shared by the E2/E3/E10 planted checks:
+    * (query, jittered-copy) id pairs at cosine ≥ 0.9 — the scale_up
+    * --plant-dups convention (dup vec_id = orig + STRIDE/2), filtered
+    * to the ANN query stratum (vec_id % 100 = 0). Empty on unplanted
+    * packs. */
+  private def plantedAnnPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2(col("v")))
+    v.as("a")
+      .join(v.as("b"), col("b.vec_id") === col("a.vec_id") + lit(500000000L))
+      .filter(col("a.vec_id") % 100 === 0)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        graft.functions.VectorFunctions.cosinePre(
+          graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .select("i", "j")
+  }
+
+  /** Shared oracle for the planted ANN checks: the DuckDB replay of
+    * [[plantedAnnPairs]] — pair count + the recall contract (always
+    * true on the oracle side; the Spark side computes the actual
+    * recall and reports false on a miss, which hash-mismatches). */
+  private val plantedAnnOracle =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+       p AS (SELECT a.vec_id AS i, b.vec_id AS j
+             FROM n a JOIN n b ON b.vec_id = a.vec_id + 500000000
+             WHERE a.vec_id % 100 = 0
+               AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+       SELECT count(*) AS exact_pairs, true AS recall_ok FROM p"""
+
   /** One-row contract verdict: (bad_pairs, recall_ok, <exactCount>).
     * All three aggregates are tiny; the cross joins are 1×1×1. */
   private def checkRow(bad: DataFrame, got: DataFrame, want: DataFrame,
@@ -1010,14 +1057,9 @@ object SketchQueries extends QueryPack {
       """SELECT CAST(0 AS BIGINT) AS bad_pairs, true AS recall_ok,
                 count(*) AS n_queries
          FROM embeddings WHERE vec_id % 100 = 0""",
-    "sim_ivfpq_planted_check" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-         p AS (SELECT a.vec_id AS i, b.vec_id AS j
-               FROM n a JOIN n b ON b.vec_id = a.vec_id + 500000000
-               WHERE a.vec_id % 100 = 0
-                 AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
-         SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
+    "sim_ivfpq_planted_check" -> plantedAnnOracle,
+    "sim_ivf_ann_planted_check" -> plantedAnnOracle,
+    "sim_lsh_ann_planted_check" -> plantedAnnOracle,
     // n_queries counts query vectors with >= 1 same-label partner
     // (a query alone in its label has an EMPTY exact top-k — no
     // baseline rows, so it can't appear in the distinct-q_id count)

@@ -176,7 +176,7 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
-  test("PqEncode/PqDecode == plain-Scala PQ on random vectors") {
+  test("PqEncode/PqDecode == plain-Scala PQ on random vectors (binary and array layouts bit-for-bit)") {
     val nSub = 4
     val w = 3 // dim 12
     val kcode = 5
@@ -185,13 +185,24 @@ class DifferentialSpec extends SparkSpec {
     cbs(1)(3) = cbs(1)(1).clone()
     val vecs = (0 until 40).map(i =>
       (i.toLong, Array.fill(nSub * w)(rnd.nextDouble() * 2 - 1)))
+    // both layouts in one projection: packed BinaryType (the E10
+    // production path since r13 — VERDICT r12 #5) and the legacy
+    // array<int>, each decoded through its own type dispatch
     val got = vecs.toDF("id", "v")
       .select(col("id"),
         graft.operators.Similarity.pqEncode(col("v"), cbs).as("codes"),
+        graft.operators.Similarity.pqEncode(col("v"), cbs,
+          packed = false).as("codes_arr"),
         graft.operators.Similarity.pqDecode(
-          graft.operators.Similarity.pqEncode(col("v"), cbs), cbs).as("recon"))
+          graft.operators.Similarity.pqEncode(col("v"), cbs), cbs).as("recon"),
+        graft.operators.Similarity.pqDecode(
+          graft.operators.Similarity.pqEncode(col("v"), cbs, packed = false),
+          cbs).as("recon_arr"))
       .collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Double](2))).toMap
+      .map(r => r.getLong(0) -> (
+        r.getAs[Array[Byte]](1).map(_ & 0xFF).toSeq,
+        r.getSeq[Int](2),
+        r.getSeq[Double](3), r.getSeq[Double](4))).toMap
     vecs.foreach { case (id, v) =>
       val wantCodes = (0 until nSub).map { s =>
         cbs(s).indices.minBy { c =>
@@ -201,17 +212,51 @@ class DifferentialSpec extends SparkSpec {
         }
       }
       val wantRecon = wantCodes.zipWithIndex.flatMap { case (c, s) => cbs(s)(c) }
-      assert(got(id)._1 == wantCodes, s"codes for vec $id")
-      assert(got(id)._2 == wantRecon, s"recon for vec $id")
+      val (codesBin, codesArr, recon, reconArr) = got(id)
+      assert(codesBin == wantCodes, s"binary codes for vec $id")
+      assert(codesArr == wantCodes, s"array codes for vec $id")
+      assert(recon == wantRecon, s"recon for vec $id")
+      assert(reconArr == recon, s"binary/array recon diverge for vec $id")
     }
     // ADC identity: dot(q, decode(codes)) == sum of subspace dots
     val q = Array.fill(nSub * w)(rnd.nextDouble())
-    val (_, (codes0, recon0)) = (vecs.head._1, got(vecs.head._1))
+    val (_, (codes0, _, recon0, _)) = (vecs.head._1, got(vecs.head._1))
     val adc = q.zip(recon0).map { case (a, b) => a * b }.sum
     val bySub = (0 until nSub).map { s =>
       (0 until w).map(j => q(s * w + j) * cbs(s)(codes0(s))(j)).sum
     }.sum
     assert(math.abs(adc - bySub) < 1e-12)
+  }
+
+  test("PqAdcDot/PqReconNorm == the decode-then-score path (fused ADC, r13)") {
+    val nSub = 4
+    val w = 3
+    val kcode = 7
+    val cbs = Array.fill(nSub, kcode, w)(rnd.nextDouble() * 2 - 1)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(nSub * w)(rnd.nextDouble() * 2 - 1)))
+    val S = graft.operators.Similarity
+    val enc = S.pqEncode(col("v"), cbs)
+    // query = a distinct affine image of v (not v itself) so the dot
+    // exercises genuinely different q/corpus sides
+    val df = vecs.toDF("id", "v")
+      .withColumn("q", expr("transform(v, x -> x * 0.7 + 0.1)"))
+    val got = df.select(col("id"),
+        S.pqAdcDot(col("q"), enc, cbs).as("fused_dot"),
+        graft.functions.VectorFunctions.dot(col("q"),
+          S.pqDecode(enc, cbs)).as("decode_dot"),
+        S.pqReconNorm(enc, cbs).as("fused_nrm"),
+        graft.functions.VectorFunctions.l2(
+          S.pqDecode(enc, cbs)).as("decode_nrm"))
+      .collect()
+    got.foreach { r =>
+      // dot: identical summation order → bit-equal
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"fused ADC dot diverges for id ${r.getLong(0)}")
+      // norm: per-subspace partial sums vs flat pass → ulp-equal only
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-12,
+        s"fused recon norm diverges for id ${r.getLong(0)}")
+    }
   }
 
   test("splitAssign depends only on content (random ids, dup contents)") {
