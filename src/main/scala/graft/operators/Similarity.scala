@@ -335,6 +335,93 @@ object Similarity {
     } finally if (doCache) v.unpersist(blocking = false)
   }
 
+  /** E11 (r13): EXACT k-means over the quantized integer grid — the
+    * clustering primitive of embedding-curation pipelines (SemDeDup's
+    * cluster-then-prune, IVF coarse quantizers, cluster-balanced
+    * sampling), made bit-replayable across engines so the WHOLE
+    * assignment is FULL-oracle-checkable, not just a recall contract.
+    *
+    * Replayability design (the q1_agg scaled-integer discipline
+    * applied to Lloyd's loop — float k-means is not oracle-able
+    * because mean reduction order drifts between engines):
+    *  - components quantize to `floor(x · scale)` as integers (double
+    *    multiply + floor are IEEE-identical on both engines);
+    *  - distances compare as EXACT integers: with |q| ≤ ~2·scale the
+    *    squared distance is ≤ dim·(4·scale)² ≈ 2^41 ≪ 2^53, so the
+    *    double dot products compute it exactly — argmin can't drift
+    *    by an ulp;
+    *  - ties break to the LOWEST cid via one packed key
+    *    (dist·k + cid, still exact in double);
+    *  - centroid update is floor(Σq / n) in pure integer arithmetic
+    *    (s − pmod(s, n) is exactly divisible, so any division
+    *    rounding mode agrees); an emptied cluster keeps its previous
+    *    centroid (deterministic, both engines);
+    *  - init = the k lowest-id vectors (cid = id rank).
+    *
+    * Scale shape: assignment is a PROJECTION — k per-centroid literal
+    * dist columns (k here is the small report-cluster count, not the
+    * √n IVF regime; see [[nearestCentroid]] for the fused-matrix form
+    * that regime needs) folded by `least`, zero shuffle. Each update
+    * round is one posexplode hash-agg whose map-side partial folds to
+    * ≤ k·dim groups before the exchange, and the collected model
+    * state is k·dim longs (bounded collect). Total: `rounds` linear
+    * passes over a cached integer table — the Lloyd cost model, with
+    * no per-pair or per-candidate blowup anywhere. */
+  def kmeansExact(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, rounds: Int = 3,
+                  scale: Int = 10000): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kmeansExact: k and rounds must be >= 1")
+    val quant = transform(VectorFunctions.asDouble(col(vecCol)),
+      x => floor(x * scale).cast("int"))
+    // cached fit input: id + dim ints per row — sketch-sized (the
+    // caller-owned persist contract, docs/SCALE.md §caching); read by
+    // `rounds` assignment passes + `rounds-1` update aggregations
+    val base = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), quant.as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the k lowest-id vectors, cid = id rank
+    // (bounded collect: k rows of model state)
+    var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
+      .select("q").collect()
+      .map(_.getSeq[Int](0).map(_.toLong).toArray)
+    require(cents.length == k,
+      s"kmeansExact: corpus has ${cents.length} rows < k=$k")
+    def assigned: DataFrame = {
+      val qd = col("q").cast("array<double>")
+      val qq = VectorFunctions.dot(qd, qd)
+      val keys = cents.zipWithIndex.map { case (c, cid) =>
+        val cd = array(c.map(v => lit(v.toDouble)): _*)
+        val cc = c.map(v => v.toDouble * v).sum
+        (qq + lit(cc) - lit(2.0d) * VectorFunctions.dot(qd, cd)) * k + cid
+      }
+      base.withColumn("cid",
+        (least(keys: _*).cast("long") % k).cast("int"))
+    }
+    for (_ <- 1 until rounds) {
+      // bounded collect: ≤ k·dim (cid, pos, sum, count) rows — the
+      // per-round model state, same discipline as fitCentroids
+      val sums = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCid = sums.groupBy(_.getAs[Int]("cid"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCid.get(cid) match {
+          case None => old // emptied cluster keeps its centroid
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { r =>
+              val s = r.getAs[Long]("s"); val n = r.getAs[Long]("cnt")
+              next(r.getAs[Int]("pos")) = Math.floorDiv(s, n)
+            }
+            next
+        }
+      }
+    }
+    assigned.select("vec_id", "cid")
+  }
+
   /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an
     * array column — one fused native expression holding the centroid
     * matrix as a codegen reference object

@@ -70,6 +70,16 @@ object SimilarityQueries extends QueryPack {
           col("n_vecs"), col("ctr"))
         .orderBy("label", "dim")),
 
+    // E11 (r13): exact integer-grid k-means, FULL oracle — DuckDB
+    // replays init + every Lloyd round bit-for-bit (all arithmetic is
+    // exact-integer by construction; Similarity.kmeansExact scaladoc).
+    // The clustering stage of SemDeDup-style curation, here as a
+    // first-class checkable operator instead of opaque model state.
+    "embed_kmeans" -> ((s, dir) =>
+      graft.operators.Similarity.kmeansExact(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // E7: embedding outlier screening — the 20 vectors LEAST cosine-
     // similar to the corpus mean, the cheap data-quality pass that
     // catches corrupted/degenerate embeddings before they poison
@@ -177,7 +187,60 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "vec_id")
   }
 
+  /** One Lloyd round of the embed_kmeans oracle: assignment a`i` from
+    * centroids c`i-1` (exact-integer distances via double dot
+    * products, packed dist·8+cid tie key), then centroids c`i` =
+    * floor(Σq / n) per (cid, pos) in pure integer arithmetic, emptied
+    * clusters keeping their previous centroid. The final round skips
+    * the update (the operator outputs the last assignment). dim = 64
+    * is the embeddings-table contract (embed_integrity pins n_dims =
+    * 1); k = 8, scale = 10⁴ mirror kmeansExact's defaults. */
+  private def kmRound(i: Int, last: Boolean): String = {
+    val assign =
+      s"""a$i AS ${if (last) "" else "MATERIALIZED "}(
+            SELECT vec_id,
+                   CAST(CAST(min(dist * 8 + cid) AS BIGINT) % 8 AS INT) AS cid
+            FROM (SELECT v.vec_id, c.cid,
+                    v.qq
+                    + list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
+                    - 2 * list_dot_product(v.qd, CAST(c.c AS DOUBLE[])) AS dist
+                  FROM v CROSS JOIN c${i - 1} c) d
+            GROUP BY vec_id)"""
+    if (last) assign
+    else assign +
+      s""",
+         u$i AS (SELECT a.cid, r.pos, sum(v.q[r.pos]) AS s,
+                        count(*) AS cnt
+                 FROM a$i a JOIN v USING (vec_id),
+                      unnest(range(1, 65)) AS r(pos)
+                 GROUP BY 1, 2),
+         cn$i AS (SELECT cid,
+                         list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt
+                                   AS BIGINT) ORDER BY pos) AS c
+                  FROM u$i GROUP BY cid),
+         c$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                 FROM c${i - 1} p LEFT JOIN cn$i n USING (cid))"""
+  }
+
+  private val kmeansOracle: String = {
+    val rounds = 3
+    s"""WITH v AS MATERIALIZED (
+          SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd,
+                 list_dot_product(CAST(q AS DOUBLE[]),
+                                  CAST(q AS DOUBLE[])) AS qq
+          FROM (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 10000) AS INT)) AS q
+                FROM embeddings WHERE embedding IS NOT NULL) t),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                      CAST(q AS BIGINT[]) AS c
+               FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 8) s),
+        ${(1 to rounds).map(i => kmRound(i, last = i == rounds)).mkString(",\n")}
+        SELECT vec_id, cid FROM a$rounds ORDER BY vec_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_kmeans" -> kmeansOracle,
     "sim_bruteforce_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

@@ -349,6 +349,28 @@ object SketchQueries extends QueryPack {
         minRecall = 0.7)
     }),
 
+    // D7 contract at 100×-scale packs (r13 — the last dedup family
+    // with no 100× evidence): the INCREMENTAL batch↔history path
+    // over the planted pack, batch = the planted copies (id ≥ Off
+    // inside the replica block), history = everything else. The
+    // plant convention puts every copy at orig + Off, so the J ≥ 0.7
+    // truth pairs are EXACTLY batch↔history pairs — the same linear
+    // id-mapped ground truth as dedup_minhash_planted_check, on the
+    // same estimator (shared seeds/banding by construction), same
+    // 0.7 floor. Orientation: the operator returns i = batch (plant);
+    // the truth is (orig, plant) — flipped here. Vacuously green on
+    // unplanted packs (batch empty, exact_pairs = 0, honest).
+    "dedup_incremental_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isPlant =
+        pmod(col("doc_id"), lit(1000000000L)) >= lit(Planted.Off)
+      val inc = Sketches.minhashLshAgainst(
+        docs.filter(isPlant), docs.filter(!isPlant), "doc_id", "text")
+      recallRow(inc.select(col("j").as("i"), col("i").as("j")),
+        Planted.ngramTruth(docs, n = 3, tau = 0.7, dfCap = 1000L),
+        minRecall = 0.7)
+    }),
+
     // E3 contract check: IVF ANN recall@10 vs the same baseline, at a
     // PINNED operating point (16 centroids, nprobe 6 ⇒ 37% probed).
     // The √n default trades probe fraction for corpus growth, and on
@@ -1013,6 +1035,12 @@ object SketchQueries extends QueryPack {
     // LINEAR planted recomputes (id-mapped join at +5e8 — no
     // quadratic explode; see DedupQueries.dedup_ngram_planted_check)
     "dedup_minhash_planted_check" ->
+      s"""$plantedJaccardCte
+          SELECT count(*) AS exact_pairs, true AS recall_ok
+          FROM pj WHERE j >= 0.7e0""",
+    // identical truth set: every planted J ≥ 0.7 pair IS a
+    // batch↔history pair under the plant-id split (entry comment)
+    "dedup_incremental_planted_check" ->
       s"""$plantedJaccardCte
           SELECT count(*) AS exact_pairs, true AS recall_ok
           FROM pj WHERE j >= 0.7e0""",

@@ -252,6 +252,51 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // F14 (r13): model-based quality filtering — the fastText/linear
+    // classifier filter stage (the FineWeb/CCNet "quality model"
+    // pass) with a DETERMINISTIC hashed linear model so the WHOLE
+    // dataflow is FULL-oracle-checkable: tokens hash into V=4096
+    // buckets (the hashing trick — collisions share a weight), the
+    // bucket→weight table is derived from md5 (integer weights in
+    // [-500, 500]; in production this table is the trained model's
+    // weights, loaded not derived — the swap point), and the doc
+    // score is the EXACT integer weight sum normalized to [-1, 1].
+    // Dataflow shape at scale: the weight table is V rows and
+    // broadcast; the per-doc reduce is one hash-agg with map-side
+    // partials — one shuffle of (doc_id, partial sum), never token
+    // volume.
+    "text_classifier_score" -> ((s, dir) => {
+      val V = 4096
+      val weights = s.range(V).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 1001 - 500).as("w"))
+      val toks = TextOps.withTokens(
+          Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+          "text", Seq(col("doc_id")))
+        .select(col("doc_id"), explode(col("graft_toks")).as("tok"))
+      // score at 6dp via the exact-scaled-integer discipline (the
+      // cdc_activity_heatmap finding: round(double) at a tie is not
+      // cross-engine-stable): micro = floor(raw·10⁶ / (n·500)) =
+      // floor(raw·2000 / n) in pure integer arithmetic (the numerator
+      // minus its pmod is exactly divisible, so the division is exact
+      // under any rounding mode), then ONE division by 10⁶ — both
+      // engines produce the identical double
+      val num = col("raw") * 2000L
+      val micro = ((num - pmod(num, col("n_toks"))) / col("n_toks"))
+        .cast("long")
+      toks
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast("long") % V).as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("raw"))
+        .select(col("doc_id"), col("n_toks"), col("raw"),
+          (micro.cast("double") / 1000000.0d).as("score"),
+          (col("raw") >= 0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // F11 (r8): perplexity-style LM quality scoring — the CCNet/KenLM
     // filter class with a corpus-fit unigram model as the
     // fully-relational proxy: p(tok) = (count+1)/(N+V) (add-one
@@ -492,6 +537,24 @@ object TextQueries extends QueryPack {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, md5(substr($normSql, 1, 100)) AS fp_prefix
           FROM documents ORDER BY doc_id""",
+    "text_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+                     FROM documents WHERE text IS NOT NULL),
+          b AS (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+                FROM t),
+          w AS (SELECT r.range AS bucket,
+                       ('0x' || substr(md5('w' || CAST(r.range AS VARCHAR)), 1, 8))::BIGINT
+                         % 1001 - 500 AS w
+                FROM range(4096) r),
+          g AS (SELECT doc_id, count(*) AS n_toks,
+                       CAST(sum(w.w) AS BIGINT) AS raw
+                FROM b JOIN w USING (bucket) GROUP BY doc_id)
+          SELECT doc_id, n_toks, raw,
+                 ((raw * 2000 - ((raw * 2000 % n_toks) + n_toks) % n_toks)
+                  // n_toks) / 1000000.0 AS score,
+                 raw >= 0 AS keep
+          FROM g ORDER BY doc_id""",
     "text_quality_funnel" ->
       s"""WITH t AS (SELECT string_split($normSql, ' ') AS toks FROM documents
                      WHERE text IS NOT NULL),

@@ -278,4 +278,64 @@ class SketchSpec extends SparkSpec {
       .withColumn("exact", round(VectorFunctions.cosine(col("qv"), col("v")), 4))
     assert(joined.filter(abs(col("cosine") - col("exact")) > 1e-9).count() == 0)
   }
+
+  test("exact kmeans: hand fixture pins tie rule, empty-cluster keep, movement") {
+    import spark.implicits._
+    // v0 = v1 = 0.0 (duplicate → init c0 = c1 = [0], every point TIES
+    // → lowest cid wins → c1 empties and must KEEP its centroid),
+    // v2 = 0.5. Round 1: all → cid 0; c0 ← floor((0+0+5000)/3) = 1666,
+    // c1 stays [0]. Round 2: v0/v1 dist 1666² to c0 vs 0 to c1 → cid 1;
+    // v2 dist 3334² < 5000² → cid 0.
+    val vecs = Seq(0L -> Array(0.0f), 1L -> Array(0.0f), 2L -> Array(0.5f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansExact(vecs, "vec_id", "embedding",
+        k = 2, rounds = 2)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.toSeq == Seq(0L -> 1, 1L -> 1, 2L -> 0))
+  }
+
+  test("exact kmeans: separated clusters land on the obvious partition") {
+    import spark.implicits._
+    val a = Seq(0.0f, 0.01f, 0.02f) // near origin
+    val b = Seq(1.0f, 0.99f, 0.98f) // near one
+    val rows = Seq(
+      0L -> Array(a(0), a(0)), 1L -> Array(b(0), b(0)),
+      2L -> Array(a(1), a(0)), 3L -> Array(b(1), b(0)),
+      4L -> Array(a(2), a(1)), 5L -> Array(b(0), b(2)))
+    val got = Similarity.kmeansExact(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, rounds = 3)
+      .orderBy("vec_id").collect().map(_.getInt(1)).toSeq
+    assert(got == Seq(0, 1, 0, 1, 0, 1))
+  }
+
+  test("exact kmeans: result is invariant under input partitioning") {
+    val base = Similarity.kmeansExact(vecs, "vec_id", "embedding")
+    val repart = Similarity.kmeansExact(vecs.repartition(7),
+      "vec_id", "embedding")
+    assert(base.exceptAll(repart).isEmpty && repart.exceptAll(base).isEmpty)
+    // sanity: uses all 8 clusters on the real corpus
+    assert(base.select("cid").distinct().count() == 8)
+  }
+
+  test("incremental planted check: plant split + orientation bind a real pair") {
+    // a miniature --plant-text-dups pack: the original (history side)
+    // and its verbatim copy at +5e8 (batch side) must be recalled and
+    // the truth must count exactly that one pair — pinning both the
+    // plant-id batch/history split and the (orig, plant) orientation
+    // flip the entry does (SketchQueries dedup_incremental_planted_check)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_planted_fix").toString
+    Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 8L),
+      (100L + 500000000L,
+        "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 8L),
+      (7L, "totally different words in this other document here", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("dedup_incremental_planted_check")(spark, dir)
+      .collect()(0)
+    assert(row.getAs[Long]("exact_pairs") == 1L)
+    assert(row.getAs[Boolean]("recall_ok"))
+  }
 }

@@ -455,4 +455,32 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(chunks.nonEmpty)
   }
+
+  test("classifier score: exact integer reduction, bounds, independent replay") {
+    val got = SparkEntry.queries("text_classifier_score")(spark, sfDir)
+    val rows = got.collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.length == docs)
+    // raw is the exact weight sum → |raw| ≤ 500·n and score ∈ [-1, 1]
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_toks"); val raw = r.getAs[Long]("raw")
+      val s = r.getAs[Double]("score")
+      n > 0 && math.abs(raw) <= 500L * n && s >= -1.0 && s <= 1.0 &&
+        (r.getAs[Boolean]("keep") == (raw >= 0))
+    })
+    // independent replay of one doc's raw score straight from the
+    // token stream (no weight-table join): same md5 bucket/weight
+    // derivation composed per occurrence
+    val target = rows.head.getAs[Long]("doc_id")
+    val wOf = (conv(substring(md5(concat(lit("w"),
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 4096)
+        .cast("string"))), 1, 8), 16, 10).cast("long") % 1001) - 500
+    val replay = graft.operators.TextOps.withTokens(
+        Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") === target), "text", Seq(col("doc_id")))
+      .select(explode(col("graft_toks")).as("tok"))
+      .agg(sum(wOf)).first().getLong(0)
+    assert(replay == rows.head.getAs[Long]("raw"))
+  }
 }
