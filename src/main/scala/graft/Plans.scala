@@ -58,7 +58,8 @@ object Plans {
       "graph_link_prediction", "text_tfidf", "corpus_stratified_split",
       "cdc_cms_check", "sim_filtered_ann",
       "graph_louvain", "graph_fastrp", "sim_ivfpq", "corpus_url_dedup",
-      "graph_louvain_multi", "embed_kmeans", "text_classifier_score")
+      "graph_louvain_multi", "embed_kmeans", "text_classifier_score",
+      "embed_cluster_sample", "graph_node2vec_walks")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

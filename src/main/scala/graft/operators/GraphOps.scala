@@ -1161,6 +1161,120 @@ object GraphOps {
     acc
   }
 
+  /** B28 (r13): DETERMINISTIC node2vec walks (Grover & Leskovec 2016;
+    * Neo4j GDS `node2vec`'s sampling stage) — [[randomWalks]] with the
+    * SECOND-ORDER biased transition: stepping from `node` having
+    * arrived from `prev`, each sorted-adjacency candidate x carries an
+    * integer weight
+    *
+    *   wReturn    if x = prev          (the 1/p "return" class)
+    *   wNeighbor  if x ∈ nb(prev)      (the distance-1 class)
+    *   wOut       otherwise            (the 1/q "explore" class)
+    *
+    * i.e. the classic (1/p : 1 : 1/q) α-weights scaled to integers so
+    * the whole choice stays in exact 64-bit arithmetic. Selection is a
+    * deterministic draw against the cumulative weight over the sorted
+    * neighbor array: r = hash mod Σw, pick the first candidate whose
+    * cumulative range covers r — the hash mixes walk, step, node AND
+    * prev (second-order state re-rolls on the pair, not the node).
+    * When Σw = 0 (all classes zeroed for this candidate set — e.g.
+    * non-backtracking wReturn = 0 at a degree-1 dead end) the step
+    * falls back to the UNIFORM first-order draw, so a walk always
+    * advances and both engines agree on the escape hatch. Step 1 has
+    * no prev and uses [[randomWalks]]' first-order formula verbatim.
+    *
+    * Determinism instead of entropy for the same reasons as
+    * [[randomWalks]] (reproducible corpora + a FULL chained-CTE
+    * oracle); same overflow bound on the hash terms. Scale shape: one
+    * extra equi-join per step (the prev-side adjacency fetch for the
+    * membership class) against the same pinned adjacency — the
+    * frontier stays |seeds|·walksPerSeed rows and is broadcast; the
+    * per-row weighted fold is bounded by true degree, exactly the
+    * candidate volume the unbiased walk already touched.
+    *
+    * Output: (walk_id, step, node) — step 0 is the seed row. */
+  def node2vecWalks(edges: DataFrame, seeds: DataFrame, walksPerSeed: Int,
+                    steps: Int, wReturn: Long = 1L, wNeighbor: Long = 4L,
+                    wOut: Long = 2L): DataFrame = {
+    require(walksPerSeed >= 1, s"node2vecWalks: walksPerSeed >= 1")
+    require(steps >= 1, s"node2vecWalks: steps >= 1")
+    require(wReturn >= 0 && wNeighbor >= 0 && wOut >= 0,
+      "node2vecWalks: weights must be non-negative")
+    val und = undirected(edges).transform(pin)
+    val adj = neighborArrays(und, "a", "b", sorted = true)
+      .select(col("node"), col("nbrs").as("nb"), col("deg"))
+      .transform(pin)
+    val w0 = seeds.select(col("node")).distinct()
+      .join(adj.select("node"), Seq("node"), "left_semi")
+      .withColumn("w", explode(sequence(lit(0), lit(walksPerSeed - 1))))
+      .select((col("node") * walksPerSeed + col("w")).as("walk_id"),
+        col("node"))
+      .localCheckpoint()
+    var acc = w0.select(col("walk_id"), lit(0).as("step"), col("node"))
+    // step 1: first-order (no prev) — the randomWalks formula
+    var cur = adj.join(broadcast(w0), "node")
+      .select(col("walk_id"), col("node").as("prev"),
+        element_at(col("nb"),
+          (pmod(col("walk_id") * lit(1000003L) + lit(10007L) +
+              col("node") * lit(101L), lit(1000000007L)) % col("deg"))
+            .cast("int") + 1).as("node"))
+      .localCheckpoint()
+    acc = acc.union(cur.select(col("walk_id"), lit(1).as("step"),
+      col("node")))
+    val prevAdj = adj.select(col("node").as("p_node"), col("nb").as("nbp"))
+    for (i <- 2 to steps) {
+      val wgt = (x: org.apache.spark.sql.Column) =>
+        when(x === col("prev"), lit(wReturn))
+          .when(array_contains(col("nbp"), x), lit(wNeighbor))
+          .otherwise(lit(wOut))
+      val h = pmod(col("walk_id") * lit(1000003L) + lit(10007L * i) +
+        col("node") * lit(101L) + col("prev") * lit(31L),
+        lit(1000000007L))
+      // weighted draw over the precomputed weight array: fold
+      // (remaining, pos, chosen 1-based POSITION); chosen stays 0
+      // until the cumulative weight passes r, then sticks
+      // (interpreted HOF — frontier-bounded). Two hard-won rules
+      // (both caught live at sf0.001 against the oracle): (1) the
+      // chosen value must be a POSITION, never a node id — ids here
+      // are signed (suppliers negated) and any id-valued sentinel
+      // collides with a real node; (2) the α-classes are computed in
+      // a separate `transform` projection ("wgts"), not inline in
+      // the fold — the class comparison against the outer prev/nbp
+      // columns mis-resolved inside aggregate's two-variable lambda
+      // (prev read as a non-match), while transform binds it
+      // correctly.
+      val pickPos = aggregate(col("wgts"),
+        struct((h % col("tot")).as("rem"), lit(0L).as("pos"),
+          lit(0L).as("chosen")),
+        (acc0, w) => struct(
+          (acc0.getField("rem") - w).as("rem"),
+          (acc0.getField("pos") + 1L).as("pos"),
+          when(acc0.getField("chosen") > 0L, acc0.getField("chosen"))
+            .when(w > acc0.getField("rem"),
+              acc0.getField("pos") + 1L)
+            .otherwise(lit(0L)).as("chosen")),
+        a => a.getField("chosen"))
+      val pick = element_at(col("nb"), pickPos.cast("int"))
+      // both adjacency fetches keep the frontier on the BROADCAST
+      // side: adj⋈frontier is frontier-sized, so the prev-side fetch
+      // broadcasts that result against the pinned adjacency too
+      val stepped = adj.join(broadcast(cur), "node")
+      cur = prevAdj.join(broadcast(stepped),
+          col("p_node") === col("prev"))
+        .withColumn("wgts", transform(col("nb"), x => wgt(x)))
+        .withColumn("tot",
+          aggregate(col("wgts"), lit(0L), (a, w) => a + w))
+        .select(col("walk_id"), col("node").as("prev"),
+          when(col("tot") > 0L, pick)
+            .otherwise(element_at(col("nb"),
+              (h % col("deg")).cast("int") + 1)).as("node"))
+        .localCheckpoint()
+      acc = acc.union(cur.select(col("walk_id"), lit(i).as("step"),
+        col("node")))
+    }
+    acc
+  }
+
   /** HITS hubs-and-authorities (Neo4j GDS `alpha.hits`) with a FIXED
     * iteration count and L1 normalization — the directed complement
     * to PageRank: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}

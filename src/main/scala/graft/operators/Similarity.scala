@@ -422,6 +422,44 @@ object Similarity {
     assigned.select("vec_id", "cid")
   }
 
+  /** E12 (r13): cluster-balanced corpus selection — `perCluster`
+    * deterministic representatives from every [[kmeansExact]] cluster,
+    * the data-mixing primitive of cluster-balanced curation (sample
+    * evenly across semantic clusters instead of letting the head
+    * cluster dominate the training mix; the selection stage SemDeDup
+    * runs after clustering).
+    *
+    * Draw order is the md5-prefix bucket of the id (the
+    * PipelineOps.hashKeep family — a reproducible pseudo-random
+    * order), id ascending on ties, so the draw is content-independent
+    * and replayable on any engine. Selection is the capacity-m
+    * [[graft.functions.TopKPairs]] heap per cluster (score =
+    * −bucket, so "smallest bucket wins" rides the heap's
+    * score-desc/id-asc order exactly): map-side partials keep
+    * per-task state at O(k·perCluster) and no per-cluster sort or
+    * k-partition window ever materializes — with k clusters a
+    * `row_number().over(partitionBy(cid))` would collapse the whole
+    * corpus onto k tasks, the skew class VERDICT r12 #3 killed. */
+  def clusterSample(vecs: DataFrame, idCol: String, vecCol: String,
+                    perCluster: Int = 25, k: Int = 8,
+                    rounds: Int = 3): DataFrame = {
+    require(perCluster >= 1, "clusterSample: perCluster must be >= 1")
+    val draw = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    kmeansExact(vecs, idCol, vecCol, k, rounds)
+      // −draw < 2³² is exact in double; TopKPairs keeps score desc =
+      // draw asc, id asc among equal draws — the oracle's ORDER BY
+      .select(col("cid"), col("vec_id"),
+        (-draw).cast("double").as("score"))
+      .groupBy("cid")
+      .agg(Sketches.topkPairsCol(col("score"), col("vec_id"), perCluster)
+        .as("sel"))
+      .select(col("cid"), posexplode(col("sel")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("id").as("vec_id"))
+      .orderBy("cid", "rk")
+  }
+
   /** Ids of the `nprobe` centroids nearest (by cosine) to `v`, as an
     * array column — one fused native expression holding the centroid
     * matrix as a codegen reference object

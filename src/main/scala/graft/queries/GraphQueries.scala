@@ -372,6 +372,20 @@ object GraphQueries extends QueryPack {
         .orderBy("walk_id", "step")
     }),
 
+    // B28 (r13): deterministic node2vec walks — the second-order
+    // biased sampling stage (GDS node2vec; Grover & Leskovec 2016)
+    // with integer α-weights (return 1 : neighbor 4 : explore 2, the
+    // 1/p:1:1/q classes at p=4, q=2) and a hash-mod-Σw cumulative
+    // draw, so DuckDB replays every biased choice exactly
+    // (GraphOps.node2vecWalks scaladoc).
+    "graph_node2vec_walks" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      GraphOps.node2vecWalks(e, seeds, walksPerSeed = 2, steps = 4)
+        .orderBy("walk_id", "step")
+    }),
+
     // B21b (r10): skip-gram pair extraction from the walk corpus
     // (window 2, both directions, multiplicity kept) — the exact
     // (center, context, count) shape a word2vec-style embedding
@@ -723,6 +737,39 @@ object GraphQueries extends QueryPack {
                    % 1000000007 + 1000000007) % 1000000007 % adj.deg + 1]
              AS node
          FROM w${i - 1} w JOIN adj ON w.node = adj.node)"""
+
+  // One biased node2vec step: candidates from the sorted adjacency of
+  // the current node, α-class weights against the PREV node's
+  // adjacency, cumulative-sum draw at h mod Σw (first candidate whose
+  // range covers the draw — `cum > r AND cum - wgt <= r`, which a
+  // zero-weight candidate can never satisfy), uniform first-order
+  // fallback when Σw = 0. Mirrors GraphOps.node2vecWalks exactly.
+  private def n2vIter(i: Int) =
+    s"""cand$i AS (SELECT w.walk_id, w.node, w.prev, a.deg,
+               a.nb[r.pos] AS x, r.pos,
+               CASE WHEN a.nb[r.pos] = w.prev THEN 1
+                    WHEN list_contains(ap.nb, a.nb[r.pos]) THEN 4
+                    ELSE 2 END AS wgt
+             FROM v${i - 1} w
+             JOIN adj a ON w.node = a.node
+             JOIN adj ap ON w.prev = ap.node,
+             unnest(range(1, len(a.nb) + 1)) AS r(pos)),
+        s$i AS (SELECT walk_id, node, prev, deg, x, wgt, pos,
+               sum(wgt) OVER (PARTITION BY walk_id ORDER BY pos) AS cum,
+               sum(wgt) OVER (PARTITION BY walk_id) AS tot,
+               ((walk_id * 1000003 + ${10007L * i} + node * 101 + prev * 31)
+                % 1000000007 + 1000000007) % 1000000007 AS h
+             FROM cand$i),
+        v$i AS MATERIALIZED (
+             SELECT walk_id, node AS prev, x AS node
+             FROM s$i
+             WHERE tot > 0 AND cum > (h % tot) AND cum - wgt <= (h % tot)
+             UNION ALL
+             SELECT w.walk_id, w.node AS prev,
+                    a.nb[CAST(w.h % w.deg AS INT) + 1] AS node
+             FROM (SELECT DISTINCT walk_id, node, h, deg FROM s$i
+                   WHERE tot = 0) w
+             JOIN adj a ON w.node = a.node)"""
 
   // The shared walk-trace CTE prefix (adjacency, seed walks, 5 steps)
   private def walkTraceSql =
@@ -1114,6 +1161,30 @@ object GraphQueries extends QueryPack {
           FROM r3 ORDER BY node""",
     "graph_random_walks" ->
       s"""WITH $walkTraceSql
+          SELECT walk_id, step, node FROM trace
+          ORDER BY walk_id, step""",
+    "graph_node2vec_walks" ->
+      s"""WITH ${edgeSql("")},
+          adj AS MATERIALIZED (
+             SELECT a AS node, list(b ORDER BY b) AS nb, count(*) AS deg
+             FROM und GROUP BY a),
+          seeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
+          v0 AS MATERIALIZED (
+             SELECT node * 2 + k AS walk_id, node
+             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+             WHERE node IN (SELECT node FROM adj)),
+          v1 AS MATERIALIZED (
+             SELECT walk_id, w.node AS prev,
+               adj.nb[((walk_id * 1000003 + 10007 + w.node * 101)
+                       % 1000000007 + 1000000007) % 1000000007 % adj.deg + 1]
+                 AS node
+             FROM v0 w JOIN adj ON w.node = adj.node),
+          ${(2 to 4).map(n2vIter).mkString(",\n")},
+          trace AS (SELECT walk_id, 0 AS step, node FROM v0
+             UNION ALL SELECT walk_id, 1 AS step, node FROM v1
+             UNION ALL SELECT walk_id, 2 AS step, node FROM v2
+             UNION ALL SELECT walk_id, 3 AS step, node FROM v3
+             UNION ALL SELECT walk_id, 4 AS step, node FROM v4)
           SELECT walk_id, step, node FROM trace
           ORDER BY walk_id, step""",
     "graph_sample_neighborhood" ->

@@ -80,6 +80,16 @@ object SimilarityQueries extends QueryPack {
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
 
+    // E12 (r13): cluster-balanced selection — 25 deterministic
+    // representatives per embed_kmeans cluster (the SemDeDup /
+    // data-mixing selection stage), drawn in md5-bucket order via the
+    // capacity-25 TopKPairs heap (never a k-partition window —
+    // Similarity.clusterSample scaladoc). FULL oracle: the kmeans
+    // replay + the same ranked draw.
+    "embed_cluster_sample" -> ((s, dir) =>
+      graft.operators.Similarity.clusterSample(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // E7: embedding outlier screening — the 20 vectors LEAST cosine-
     // similar to the corpus mean, the cheap data-quality pass that
     // catches corrupted/degenerate embeddings before they poison
@@ -222,7 +232,10 @@ object SimilarityQueries extends QueryPack {
                  FROM c${i - 1} p LEFT JOIN cn$i n USING (cid))"""
   }
 
-  private val kmeansOracle: String = {
+  /** The shared WITH-chain ending in the final assignment `a3` —
+    * spliced by both the embed_kmeans oracle and consumers of the
+    * assignment (embed_cluster_sample). */
+  private val kmeansCtes: String = {
     val rounds = 3
     s"""WITH v AS MATERIALIZED (
           SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd,
@@ -235,12 +248,30 @@ object SimilarityQueries extends QueryPack {
         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                       CAST(q AS BIGINT[]) AS c
                FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 8) s),
-        ${(1 to rounds).map(i => kmRound(i, last = i == rounds)).mkString(",\n")}
-        SELECT vec_id, cid FROM a$rounds ORDER BY vec_id"""
+        ${(1 to rounds).map(i => kmRound(i, last = i == rounds)).mkString(",\n")}"""
   }
+
+  private val kmeansOracle: String =
+    s"""$kmeansCtes
+        SELECT vec_id, cid FROM a3 ORDER BY vec_id"""
+
+  /** embed_cluster_sample oracle: the kmeans assignment ranked per
+    * cluster by (md5-prefix bucket, vec_id) — the hashKeep draw —
+    * cut at 25 (kept as a window here because DuckDB has no heap
+    * aggregate; the row sets are identical by the TopKPairs
+    * contract). */
+  private val clusterSampleOracle: String =
+    s"""$kmeansCtes,
+        r AS (SELECT cid, vec_id,
+                row_number() OVER (PARTITION BY cid ORDER BY
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                  vec_id) AS rk
+              FROM a3)
+        SELECT cid, rk, vec_id FROM r WHERE rk <= 25 ORDER BY cid, rk"""
 
   val oracles: Map[String, String] = Map(
     "embed_kmeans" -> kmeansOracle,
+    "embed_cluster_sample" -> clusterSampleOracle,
     "sim_bruteforce_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

@@ -438,6 +438,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.randomWalks(e, Seq(99L).toDF("node"), 2, 3).count() == 0)
   }
 
+  test("node2vecWalks: shape, edge validity, bias classes steer the walk") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined at node 3: enough degree-2+ structure for
+    // the α-classes to matter
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val seeds = Seq(1L, 3L).toDF("node")
+    def run(wr: Long, wn: Long, wo: Long) =
+      GraphOps.node2vecWalks(e, seeds, walksPerSeed = 2, steps = 4,
+        wReturn = wr, wNeighbor = wn, wOut = wo)
+    val trace = run(1L, 4L, 2L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // shape: 4 walks × (steps + 1) rows, seeds at step 0
+    assert(trace.length == 20)
+    assert(trace.filter(_._2 == 0).map(_._3).sorted.toSeq ==
+      Seq(1L, 1L, 3L, 3L))
+    // every consecutive hop is a real undirected edge
+    val und = GraphOps.undirected(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- trace.groupBy(_._1).values;
+         Array(p, q) <- w.sortBy(_._2).sliding(2).map(_.toArray))
+      assert(und((p._3, q._3)), s"hop ${p._3}->${q._3} is not an edge")
+    // deterministic + partitioning-proof
+    val again = GraphOps.node2vecWalks(
+        GraphOps.undirected(e).repartition(5), seeds, 2, 4,
+        1L, 4L, 2L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(trace.sorted.toSeq == again.sorted.toSeq)
+    // non-backtracking: wReturn = 0 forbids a→b→a whenever b has an
+    // alternative (every node here has deg ≥ 2)
+    val nb0 = run(0L, 1L, 1L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for (w <- nb0.groupBy(_._1).values;
+         Array(p, q, r) <- w.sortBy(_._2).sliding(3).map(_.toArray))
+      assert(p._3 != r._3,
+        s"walk ${p._1} backtracked ${p._3}->${q._3}->${r._3} with wReturn=0")
+    // return-dominant: a huge wReturn makes every biased step (2+)
+    // bounce back to where it came from
+    val ret = run(1000000L, 1L, 1L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for (w <- ret.groupBy(_._1).values;
+         Array(p, q, r) <- w.sortBy(_._2).sliding(3).map(_.toArray))
+      assert(p._3 == r._3,
+        s"walk ${p._1} failed to return ${p._3}->${q._3}->${r._3}")
+  }
+
   test("hits: hand arithmetic on the 2-path, L1 mass, hub/auth split") {
     val s = spark
     import s.implicits._

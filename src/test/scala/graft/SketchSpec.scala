@@ -317,6 +317,28 @@ class SketchSpec extends SparkSpec {
     assert(base.select("cid").distinct().count() == 8)
   }
 
+  test("cluster sample: exact per-cluster quota, ids carry their own cluster") {
+    val sample = Similarity.clusterSample(vecs, "vec_id", "embedding",
+      perCluster = 5)
+    val assigned = Similarity.kmeansExact(vecs, "vec_id", "embedding")
+    val sizes = assigned.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = sample.groupBy("cid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every cluster contributes exactly min(quota, |cluster|) rows
+    assert(sizes.keySet == got.keySet)
+    sizes.foreach { case (cid, n) => assert(got(cid) == math.min(5L, n)) }
+    // each sampled id is labeled with ITS kmeans cluster (the sample
+    // is a sub-selection of the assignment, not a re-clustering)
+    assert(sample.select("vec_id", "cid")
+      .exceptAll(assigned.select("vec_id", "cid")).isEmpty)
+    // ranks are 1..quota per cluster and the draw is repartition-proof
+    assert(sample.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
+    val re = Similarity.clusterSample(vecs.repartition(7), "vec_id",
+      "embedding", perCluster = 5)
+    assert(sample.exceptAll(re).isEmpty && re.exceptAll(sample).isEmpty)
+  }
+
   test("incremental planted check: plant split + orientation bind a real pair") {
     // a miniature --plant-text-dups pack: the original (history side)
     // and its verbatim copy at +5e8 (batch side) must be recalled and
