@@ -386,6 +386,28 @@ object GraphQueries extends QueryPack {
         .orderBy("walk_id", "step")
     }),
 
+    // B28b (r13): skip-gram pairs over the BIASED walk corpus — the
+    // actual node2vec training-data output (walks are the sampler;
+    // the (center, context) pairs are what the embedding trainer
+    // consumes). Same window-2 extraction as graph_walk_pairs, over
+    // graph_node2vec_walks' trace.
+    "graph_node2vec_pairs" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      val trace = GraphOps.node2vecWalks(e, seeds, walksPerSeed = 2,
+        steps = 4)
+      val l = trace.select(col("walk_id"), col("step").as("ls"),
+        col("node").as("center"))
+      val r = trace.select(col("walk_id"), col("step").as("rs"),
+        col("node").as("context"))
+      l.join(r, "walk_id")
+        .filter(col("ls") =!= col("rs") &&
+          abs(col("ls") - col("rs")) <= 2)
+        .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+        .orderBy("center", "context")
+    }),
+
     // B21b (r10): skip-gram pair extraction from the walk corpus
     // (window 2, both directions, multiplicity kept) — the exact
     // (center, context, count) shape a word2vec-style embedding
@@ -770,6 +792,32 @@ object GraphQueries extends QueryPack {
              FROM (SELECT DISTINCT walk_id, node, h, deg FROM s$i
                    WHERE tot = 0) w
              JOIN adj a ON w.node = a.node)"""
+
+  // The shared node2vec trace prefix: adjacency, seed walks, the
+  // first-order step 1, three biased steps — consumed by both the
+  // walk dump and the skip-gram pair extraction.
+  private def n2vTraceSql =
+    s"""${edgeSql("")},
+          adj AS MATERIALIZED (
+             SELECT a AS node, list(b ORDER BY b) AS nb, count(*) AS deg
+             FROM und GROUP BY a),
+          seeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
+          v0 AS MATERIALIZED (
+             SELECT node * 2 + k AS walk_id, node
+             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS k) t
+             WHERE node IN (SELECT node FROM adj)),
+          v1 AS MATERIALIZED (
+             SELECT walk_id, w.node AS prev,
+               adj.nb[((walk_id * 1000003 + 10007 + w.node * 101)
+                       % 1000000007 + 1000000007) % 1000000007 % adj.deg + 1]
+                 AS node
+             FROM v0 w JOIN adj ON w.node = adj.node),
+          ${(2 to 4).map(n2vIter).mkString(",\n")},
+          trace AS MATERIALIZED (SELECT walk_id, 0 AS step, node FROM v0
+             UNION ALL SELECT walk_id, 1 AS step, node FROM v1
+             UNION ALL SELECT walk_id, 2 AS step, node FROM v2
+             UNION ALL SELECT walk_id, 3 AS step, node FROM v3
+             UNION ALL SELECT walk_id, 4 AS step, node FROM v4)"""
 
   // The shared walk-trace CTE prefix (adjacency, seed walks, 5 steps)
   private def walkTraceSql =
@@ -1164,29 +1212,16 @@ object GraphQueries extends QueryPack {
           SELECT walk_id, step, node FROM trace
           ORDER BY walk_id, step""",
     "graph_node2vec_walks" ->
-      s"""WITH ${edgeSql("")},
-          adj AS MATERIALIZED (
-             SELECT a AS node, list(b ORDER BY b) AS nb, count(*) AS deg
-             FROM und GROUP BY a),
-          seeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
-          v0 AS MATERIALIZED (
-             SELECT node * 2 + k AS walk_id, node
-             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS k) t
-             WHERE node IN (SELECT node FROM adj)),
-          v1 AS MATERIALIZED (
-             SELECT walk_id, w.node AS prev,
-               adj.nb[((walk_id * 1000003 + 10007 + w.node * 101)
-                       % 1000000007 + 1000000007) % 1000000007 % adj.deg + 1]
-                 AS node
-             FROM v0 w JOIN adj ON w.node = adj.node),
-          ${(2 to 4).map(n2vIter).mkString(",\n")},
-          trace AS (SELECT walk_id, 0 AS step, node FROM v0
-             UNION ALL SELECT walk_id, 1 AS step, node FROM v1
-             UNION ALL SELECT walk_id, 2 AS step, node FROM v2
-             UNION ALL SELECT walk_id, 3 AS step, node FROM v3
-             UNION ALL SELECT walk_id, 4 AS step, node FROM v4)
+      s"""WITH $n2vTraceSql
           SELECT walk_id, step, node FROM trace
           ORDER BY walk_id, step""",
+    "graph_node2vec_pairs" ->
+      s"""WITH $n2vTraceSql
+          SELECT l.node AS center, r.node AS context,
+                 count(*) AS cnt
+          FROM trace l JOIN trace r ON l.walk_id = r.walk_id
+          WHERE l.step <> r.step AND abs(l.step - r.step) <= 2
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_sample_neighborhood" ->
       s"""WITH ${edgeSql("")},
           sgseeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),
