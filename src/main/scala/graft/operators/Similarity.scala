@@ -379,47 +379,54 @@ object Similarity {
     val base = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("vec_id"), quant.as("q"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // deterministic init: the k lowest-id vectors, cid = id rank
-    // (bounded collect: k rows of model state)
-    var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
-      .select("q").collect()
-      .map(_.getSeq[Int](0).map(_.toLong).toArray)
-    require(cents.length == k,
-      s"kmeansExact: corpus has ${cents.length} rows < k=$k")
-    def assigned: DataFrame = {
-      val qd = col("q").cast("array<double>")
-      val qq = VectorFunctions.dot(qd, qd)
-      val keys = cents.zipWithIndex.map { case (c, cid) =>
-        val cd = array(c.map(v => lit(v.toDouble)): _*)
-        val cc = c.map(v => v.toDouble * v).sum
-        (qq + lit(cc) - lit(2.0d) * VectorFunctions.dot(qd, cd)) * k + cid
+    // try/finally: the fit input is model-fit-scoped, not
+    // caller-owned — the result below is localCheckpoint'ed (eager,
+    // lineage truncated) so the returned frame no longer references
+    // the cache and repeated invocations leak nothing (ADVICE r13)
+    try {
+      // deterministic init: the k lowest-id vectors, cid = id rank
+      // (bounded collect: k rows of model state)
+      var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
+        .select("q").collect()
+        .map(_.getSeq[Int](0).map(_.toLong).toArray)
+      require(cents.length == k,
+        s"kmeansExact: corpus has ${cents.length} rows < k=$k")
+      def assigned: DataFrame = {
+        val qd = col("q").cast("array<double>")
+        val qq = VectorFunctions.dot(qd, qd)
+        val keys = cents.zipWithIndex.map { case (c, cid) =>
+          val cd = array(c.map(v => lit(v.toDouble)): _*)
+          val cc = c.map(v => v.toDouble * v).sum
+          (qq + lit(cc) - lit(2.0d) * VectorFunctions.dot(qd, cd)) * k + cid
+        }
+        // least() needs ≥ 2 args — k = 1 is the single head key
+        val best = if (keys.length == 1) keys.head else least(keys: _*)
+        base.withColumn("cid", (best.cast("long") % k).cast("int"))
       }
-      base.withColumn("cid",
-        (least(keys: _*).cast("long") % k).cast("int"))
-    }
-    for (_ <- 1 until rounds) {
-      // bounded collect: ≤ k·dim (cid, pos, sum, count) rows — the
-      // per-round model state, same discipline as fitCentroids
-      val sums = assigned
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-      val byCid = sums.groupBy(_.getAs[Int]("cid"))
-      cents = cents.zipWithIndex.map { case (old, cid) =>
-        byCid.get(cid) match {
-          case None => old // emptied cluster keeps its centroid
-          case Some(rows) =>
-            val next = old.clone()
-            rows.foreach { r =>
-              val s = r.getAs[Long]("s"); val n = r.getAs[Long]("cnt")
-              next(r.getAs[Int]("pos")) = Math.floorDiv(s, n)
-            }
-            next
+      for (_ <- 1 until rounds) {
+        // bounded collect: ≤ k·dim (cid, pos, sum, count) rows — the
+        // per-round model state, same discipline as fitCentroids
+        val sums = assigned
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val byCid = sums.groupBy(_.getAs[Int]("cid"))
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          byCid.get(cid) match {
+            case None => old // emptied cluster keeps its centroid
+            case Some(rows) =>
+              val next = old.clone()
+              rows.foreach { r =>
+                val s = r.getAs[Long]("s"); val n = r.getAs[Long]("cnt")
+                next(r.getAs[Int]("pos")) = Math.floorDiv(s, n)
+              }
+              next
+          }
         }
       }
-    }
-    assigned.select("vec_id", "cid")
+      assigned.select("vec_id", "cid").localCheckpoint()
+    } finally base.unpersist(blocking = false)
   }
 
   /** E12 (r13): cluster-balanced corpus selection — `perCluster`

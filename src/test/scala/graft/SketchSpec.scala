@@ -294,6 +294,16 @@ class SketchSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L -> 1, 1L -> 1, 2L -> 0))
   }
 
+  test("exact kmeans: k = 1 assigns everything to cid 0 (ADVICE r13)") {
+    import spark.implicits._
+    // least() needs ≥ 2 args — k = 1 used to throw AnalysisException
+    val rows = Seq(0L -> Array(0.0f, 0.1f), 1L -> Array(0.9f, 0.2f))
+    val got = Similarity.kmeansExact(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, rounds = 2)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.toSeq == Seq(0L -> 0, 1L -> 0))
+  }
+
   test("exact kmeans: separated clusters land on the obvious partition") {
     import spark.implicits._
     val a = Seq(0.0f, 0.01f, 0.02f) // near origin
