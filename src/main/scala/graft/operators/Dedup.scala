@@ -166,6 +166,38 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double, dfCap: Long): DataFrame = {
+    val jac = col("inter").cast("double") /
+      (col("sz_i") + col("sz_j") - col("inter"))
+    shinglePairSizes(docs, idCol, textCol, n, dfCap)
+      .filter(jac >= tau)
+      .select(col("i"), col("j"), round(jac, 4).as("jaccard"))
+  }
+
+  /** D18 (r14): n-gram CONTAINMENT pairs — the asymmetric complement
+    * of [[jaccardPairs]]: score = |A∩B| / min(|A|,|B|), i.e. "how much
+    * of the SMALLER document's shingle set the pair shares". The
+    * subset/superset detector Jaccard structurally misses: a 100-line
+    * doc fully embedded in a 10,000-line doc has Jaccard ≈ 0.01 but
+    * containment 1.0 — the quote-expansion / boilerplate-wrapper
+    * near-dup class (and the decontamination screen's metric, applied
+    * corpus-internally). Same inverted-index candidate generation,
+    * same dfCap skew bound, same scale shape — only the threshold
+    * metric differs, so the plan cost is identical to Jaccard's. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double, dfCap: Long): DataFrame = {
+    val cont = col("inter").cast("double") / least(col("sz_i"), col("sz_j"))
+    shinglePairSizes(docs, idCol, textCol, n, dfCap)
+      .filter(cont >= tau)
+      .select(col("i"), col("j"), round(cont, 4).as("containment"))
+  }
+
+  /** Shared inverted-index core of [[jaccardPairs]] /
+    * [[containmentPairs]]: candidate pairs sharing ≥1 capped shingle,
+    * with intersection count and both capped set sizes —
+    * (i, j, inter, sz_i, sz_j), i < j. */
+  private def shinglePairSizes(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               dfCap: Long): DataFrame = {
     // the index key is xxhash64(shingle), not the shingle string: the
     // shuffle moves fixed-width longs (~5× smaller payload), and a
     // 64-bit collision perturbing a pair's intersection count is
@@ -216,13 +248,9 @@ object Dedup {
       .where(col("i") < col("j"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("sz_i") + col("sz_j") - col("inter"))
     inter
       .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
-      .filter(jac >= tau)
-      .select(col("i"), col("j"), round(jac, 4).as("jaccard"))
   }
 
   /** D5: exact embedding near-duplicate pairs (cosine ≥ tau).

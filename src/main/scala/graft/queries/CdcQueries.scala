@@ -546,6 +546,35 @@ object CdcQueries extends QueryPack {
           round(stddev_pop(col("value")), 4).as("stddev_v"))
         .orderBy("event_type")),
 
+    // A-dash (r14): RFM segmentation — the classic lifecycle report
+    // (recency / frequency / monetary rolled into threshold cells).
+    // One map-side-combinable per-user aggregate (the shuffle carries
+    // |users| rows of 3 longs), the corpus reference instant as a
+    // broadcast scalar, then a tiny cell rollup. Recency is EXACT
+    // integer micros → floor-div hours (`div`, not `/`: double
+    // division + truncation can flip at exact hour boundaries where
+    // DuckDB's BIGINT `//` cannot); money is exact integer cents.
+    "cdc_rfm" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+      ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(ref))
+        .withColumn("rec_h",
+          expr("(ref_us - last_us) div 3600000000"))
+        .withColumn("segment", concat(
+          when(col("rec_h") < 24, lit("R1")).otherwise(lit("R0")),
+          when(col("freq") >= 67, lit("F1")).otherwise(lit("F0")),
+          when(col("m_cents") >= 330000L, lit("M1")).otherwise(lit("M0"))))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("m_cents")) / 100.0).as("total_value"),
+          sum(col("freq")).as("n_events"))
+        .orderBy("segment")
+    }),
+
     // ClickHouse intervalLengthSum analog: per-user ACTIVE TIME — the
     // union length of 30-minute activity windows around each event
     // (overlaps counted once; a plain sum(len) double-counts bursts).
@@ -1176,6 +1205,24 @@ object CdcQueries extends QueryPack {
                FROM events)
          WHERE k IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+    "cdc_rfm" ->
+      """WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+         u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+                      count(*) AS freq,
+                      sum(CAST(round(value * 100) AS BIGINT)) AS m_cents
+               FROM events GROUP BY 1),
+         seg AS (SELECT
+                   (CASE WHEN (ref_us - last_us) // 3600000000 < 24
+                         THEN 'R1' ELSE 'R0' END)
+                 || (CASE WHEN freq >= 67 THEN 'F1' ELSE 'F0' END)
+                 || (CASE WHEN m_cents >= 330000 THEN 'M1' ELSE 'M0' END)
+                   AS segment,
+                 freq, m_cents
+                 FROM u, ref)
+         SELECT segment, count(*) AS n_users,
+                sum(m_cents) / 100.0 AS total_value,
+                CAST(sum(freq) AS BIGINT) AS n_events
+         FROM seg GROUP BY segment ORDER BY segment""",
     "cdc_active_time" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
                             epoch_us(ts) + 1800000000 AS e_us FROM events),

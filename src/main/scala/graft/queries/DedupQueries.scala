@@ -24,6 +24,15 @@ object DedupQueries extends QueryPack {
           "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L)
         .orderBy("i", "j")),
 
+    // D18 (r14): asymmetric n-gram CONTAINMENT ≥ 0.8 — the
+    // subset/superset near-dup class (short doc embedded in a long
+    // one) that Jaccard's symmetric denominator structurally misses.
+    // Same inverted-index + dfCap plan as D2; only the metric differs.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, tau = 0.8, dfCap = 1000L)
+        .orderBy("i", "j")),
+
     // D5: exact embedding-cosine near-dup pairs ≥ 0.4 (all-pairs
     // correctness baseline; LSH/IVF are the scale path — see E2/E3).
     "dedup_embedding" -> ((s, dir) =>
@@ -75,6 +84,24 @@ object DedupQueries extends QueryPack {
           JOIN sizes sa ON pairs.i = sa.doc_id
           JOIN sizes sb ON pairs.j = sb.doc_id
           WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+          ORDER BY i, j""",
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+                 FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+                 WHERE len(arr) >= 3),
+          idx AS (SELECT doc_id, tok FROM sh
+                  QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                    FROM idx a JOIN idx b USING (tok)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT i, j,
+                 round(inter * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+          FROM pairs
+          JOIN sizes sa ON pairs.i = sa.doc_id
+          JOIN sizes sb ON pairs.j = sb.doc_id
+          WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.8
           ORDER BY i, j""",
     // LINEAR planted-pair recompute (id-mapped join at +5e8 replaces
     // the quadratic idx-self-join of the dedup_ngram_jaccard oracle);

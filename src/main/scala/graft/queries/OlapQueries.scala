@@ -130,7 +130,106 @@ object OlapQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"),
              (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
                .as("total"))
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    // C5 (r14): ROLLUP subtotal hierarchy — region → nation → grand
+    // total in ONE aggregation (the ClickHouse `WITH ROLLUP` /
+    // reporting-drilldown modifier). Spark's Expand emits one row per
+    // rollup level BEFORE the exchange, but partial aggregation
+    // collapses each level to its group count map-side, so the
+    // shuffle stays O(groups·levels) regardless of fact size. Dims
+    // broadcast (region/nation are constant-size); customer⋈orders is
+    // the one real join and AQE sizes it. gid = grouping_id() — the
+    // SQL-standard bitmask (left col = MSB), identical in DuckDB's
+    // GROUPING(); subtotal NULLs are surfaced as 'ALL' so the rows
+    // stay engine-sortable.
+    "olap_rollup" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      Tables.load(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("gid"), col("n_orders"), col("total"))
+        .orderBy("gid", "r_name", "n_name")
+    }),
+
+    // C6 (r14): CUBE — every (status × year) marginal in one pass
+    // (the dashboard cross-tab modifier). Same Expand + partial-agg
+    // shape as olap_rollup: 4 level-rows per input row map-side, ≤
+    // |status|·|years|·4 groups on the wire.
+    "olap_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("o_orderstatus"), col("o_year"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_year"), lit(-1L)).as("o_year"),
+          col("gid"), col("cnt"), col("total"))
+        .orderBy("gid", "o_orderstatus", "o_year")),
+
+    // C7 (r14): explicit GROUPING SETS — two independent 1-D
+    // breakdowns + the grand total in one aggregation instead of
+    // three scans + a union (the reporting fan-out ClickHouse serves
+    // with GROUPING SETS).
+    "olap_grouping_sets" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+            Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          col("gid"), col("cnt"), col("total"))
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    }),
+
+    // C8 (r14): PIVOT — year rows × pinned status columns (Spark's
+    // pivot with an EXPLICIT value list: no extra distinct-values
+    // pass, and the output schema is static so the oracle can name
+    // the same columns). One hash-agg; the pivot is a map-side
+    // conditional projection, never a join.
+    "olap_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0))
+        .orderBy("o_year")),
+
+    // C9 (r14): TPC-H Q18 shape — large-order screening: a HAVING
+    // filter on a fact-side aggregate, then enrichment joins. The
+    // aggregate is map-side-combinable (l_orderkey groups are
+    // co-located per order); the surviving key set is tiny, so AQE
+    // broadcasts it into orders/customer instead of shuffling the
+    // facts again.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity")), 4).as("qty"))
+        .filter(col("qty") > 300)
+      Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          (round(col("o_totalprice") * 100).cast("long") / 100.0)
+            .as("o_total"), col("qty"))
+        .orderBy(col("o_total").desc, col("o_orderkey"))
+        .limit(100)
+    })
   )
 
   // source dir -> (orders, customer) bucketed table names, written
@@ -183,6 +282,56 @@ object OlapQueries extends QueryPack {
                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "olap_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+                coalesce(n_name, 'ALL') AS n_name,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+                count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY gid, r_name, n_name""",
+    "olap_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+                CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid,
+                count(*) AS cnt,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+         ORDER BY gid, o_orderstatus, o_year""",
+    "olap_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+                count(*) AS cnt,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
+    "olap_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FILTER (o_orderstatus = 'F') / 100.0 AS "F",
+                sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FILTER (o_orderstatus = 'O') / 100.0 AS "O",
+                sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FILTER (o_orderstatus = 'P') / 100.0 AS "P"
+         FROM orders GROUP BY 1 ORDER BY o_year""",
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 4) AS qty
+                      FROM lineitem GROUP BY l_orderkey
+                      HAVING round(sum(l_quantity), 4) > 300)
+         SELECT c_custkey, o_orderkey, o_orderdate,
+                CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_total,
+                qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_total DESC, o_orderkey LIMIT 100"""
   )
 }

@@ -183,6 +183,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("gram"))
         .limit(20)),
 
+    // F15 (r14): PMI-style collocation mining — the top bigrams by
+    // LIFT p(xy)/(p(x)·p(y)) with min-support 5, the phrase-detection
+    // pass (word2vec-phrases / Gensim Phrases) a corpus pipeline runs
+    // before tokenizer training. Lift ranks identically to PMI (log is
+    // monotone) while staying log-free: every term is a count ratio,
+    // and both engines evaluate the SAME IEEE division tree, so the
+    // doubles agree bit-for-bit at any magnitude. Scale shape: bigram
+    // and unigram counts are map-side-combinable hash-aggs; the
+    // min-support filter shrinks the bigram side BEFORE the two
+    // word-keyed joins; the corpus totals ride in as broadcast
+    // scalars; the final top-k is TakeOrderedAndProject.
+    "text_pmi_bigrams" -> ((s, dir) => {
+      val toks = tokenized(s, dir).select(col("doc_id"), col("t"))
+      val bStream = toks.select(explode(TextOps.ngrams(col("t"), 2)).as("g"))
+      val uStream = toks.select(explode(col("t")).as("w"))
+      val bc = bStream.groupBy("g").agg(count(lit(1)).as("nxy"))
+        .filter(col("nxy") >= 5)
+        .select(split(col("g"), " ").getItem(0).as("x"),
+          split(col("g"), " ").getItem(1).as("y"), col("nxy"))
+      val uc = uStream.groupBy("w").agg(count(lit(1)).as("c"))
+      val nt = uStream.agg(count(lit(1)).as("n_total"))
+      val bt = bStream.agg(count(lit(1)).as("b_total"))
+      val lift = (col("nxy") * lit(1.0) / col("b_total")) /
+        ((col("cx") * lit(1.0) / col("n_total")) *
+         (col("cy") * lit(1.0) / col("n_total")))
+      bc.join(uc.select(col("w").as("x"), col("c").as("cx")), "x")
+        .join(uc.select(col("w").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(bt))
+        .select(col("x"), col("y"), col("nxy"),
+          round(lift, 4).as("lift"), lift.as("_raw"))
+        .orderBy(col("_raw").desc, col("x"), col("y"))
+        .limit(30)
+        .select("x", "y", "nxy", "lift")
+    }),
+
     // F7: the curation filter funnel — per-rule drop accounting, the
     // first report a corpus-quality run produces (how much each Gopher-
     // style rule removes, and what survives them all). One pass over
@@ -584,6 +619,27 @@ object TextQueries extends QueryPack {
                 WHERE len(arr) >= 3)
           SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
           FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          b AS (SELECT arr[i] AS x, arr[i+1] AS y
+                FROM t, unnest(range(1, len(arr))) AS r(i)
+                WHERE len(arr) >= 2),
+          bc AS (SELECT x, y, count(*) AS nxy FROM b GROUP BY 1, 2
+                 HAVING count(*) >= 5),
+          u AS (SELECT unnest(arr) AS w FROM t),
+          uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+          nt AS (SELECT count(*) AS n_total FROM u),
+          bt AS (SELECT count(*) AS b_total FROM b)
+          SELECT x, y, nxy,
+                 round((nxy * 1.0 / b_total) /
+                       ((ux.c * 1.0 / n_total) * (uy.c * 1.0 / n_total)), 4)
+                   AS lift
+          FROM bc JOIN uc ux ON bc.x = ux.w
+                  JOIN uc uy ON bc.y = uy.w, nt, bt
+          ORDER BY (nxy * 1.0 / b_total) /
+                   ((ux.c * 1.0 / n_total) * (uy.c * 1.0 / n_total)) DESC,
+                   x, y
+          LIMIT 30""",
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
           u AS (SELECT doc_id, unnest(toks) AS g FROM t),

@@ -369,6 +369,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("containment pairs flag a short doc embedded in a long one") {
+    // doc 2 is a verbatim 10-token slice of doc 1's 60 tokens:
+    // containment = 1.0 (all 8 of the small side's 3-shingles are in
+    // the big side) while Jaccard = 8/58 ≈ 0.14 — the asymmetric
+    // class the symmetric metric misses.
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (21 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, 1000L)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("i") == 1L && got(0).getAs[Long]("j") == 2L)
+    assert(got(0).getAs[Double]("containment") == 1.0)
+    // the same pair is invisible to Jaccard at the same threshold
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000L)
+      .count() == 0)
+  }
+
   test("jaccard dfCap drops stop-shingles from index and sizes") {
     // 4 docs share the same one shingle -> df=4 > cap=3 -> no pairs
     val docs = (1L to 4L).map(i => (i, "common shingle here")).toDF("doc_id", "text")
