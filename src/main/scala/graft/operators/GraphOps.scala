@@ -1175,14 +1175,24 @@ object GraphOps {
   }
 
   /** Broadcast budget (bytes) for the walk family's per-step frontier
-    * relation — deliberately far under Spark's 8 GB broadcast-relation
-    * hard cap AND under a sane driver heap share, since the frontier
-    * is re-broadcast every step. Overridable per session via
-    * `graft.walk.broadcastBytes` (the spec forces the shuffle path
-    * with a tiny budget and asserts walk-for-walk identity). */
+    * relation. MEASURED, not guessed (r14, flat100 pack, 28.6k-walk
+    * fleet): the pinned pre-partitioned adjacency + frontier-exchange
+    * SMJ beat per-step re-broadcast at 100× for BOTH operators
+    * (node2vec 17.7 → 11.9 s at ~18.5 MB payload, randomWalks 7.2 →
+    * 5.4 s at ~1.8 MB), while at sf0.1 (sub-200 KB frontiers) the two
+    * are within noise (broadcast 1.23/1.91 s vs shuffle 1.39/1.99).
+    * So the default keeps broadcast ONLY for tiny fleets — where
+    * per-step shuffle-stage scheduling is pure overhead and a
+    * thousand-executor cluster is better served by one small
+    * broadcast — and cuts over at 1 MB, far under Spark's 8 GB
+    * broadcast ceiling and any driver-heap concern (the r13 weak).
+    * Overridable per session via `graft.walk.broadcastBytes` (the
+    * spec forces the shuffle path and asserts walk-for-walk identity)
+    * or the `GRAFT_WALK_BCAST` env (scale probes through Bench). */
   private def walkBroadcastBudget(df: DataFrame): Long =
     df.sparkSession.conf.getOption("graft.walk.broadcastBytes")
-      .map(_.toLong).getOrElse(512L << 20)
+      .orElse(sys.env.get("GRAFT_WALK_BCAST"))
+      .map(_.toLong).getOrElse(1L << 20)
 
   /** Conservative broadcast-side bytes per plain frontier row (two
     * longs + BytesToBytesMap/row overhead). */
