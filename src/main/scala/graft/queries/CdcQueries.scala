@@ -546,6 +546,49 @@ object CdcQueries extends QueryPack {
           round(stddev_pop(col("value")), 4).as("stddev_v"))
         .orderBy("event_type")),
 
+    // A-dash (r14): DAU/MAU stickiness — the product-analytics
+    // engagement ratio (avg daily actives over monthly actives, per
+    // month). Two distinct-count aggregates (both map-side partial
+    // via Expand) + a tiny per-month rollup; every division is the
+    // same IEEE op tree on both engines over exact integer counts.
+    "cdc_stickiness" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("month", "day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val monthly = ev.groupBy("month")
+        .agg(countDistinct(col("user_id")).as("mau"))
+      daily.groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+        .join(monthly, "month")
+        .select(col("month"), col("n_days"), col("mau"),
+          round(col("sum_dau") * lit(1.0) / col("n_days"), 4).as("avg_dau"),
+          round((col("sum_dau") * lit(1.0) / col("n_days")) / col("mau"), 4)
+            .as("stickiness"))
+        .orderBy("month")
+    }),
+
+    // A-dash (r14): EXACT per-type value quantiles — the verification
+    // tier of the percentile surface (the KLL sketch entry is the
+    // 100 TB path: exact percentile buffers each group's values on
+    // its reducer, which is fine at report-group cardinality and
+    // wrong for billion-row groups). Spark's percentile() and
+    // DuckDB's quantile_cont share the rank = p·(n−1) linear
+    // interpolation, so 4-dp rounding holds across engines.
+    "cdc_value_quantiles" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("q"), 1), 4).as("q25"),
+          round(element_at(col("q"), 2), 4).as("q50"),
+          round(element_at(col("q"), 3), 4).as("q75"),
+          round(element_at(col("q"), 4), 4).as("q95"))
+        .orderBy("event_type")),
+
     // A-dash (r14): RFM segmentation — the classic lifecycle report
     // (recency / frequency / monetary rolled into threshold cells).
     // One map-side-combinable per-user aggregate (the shuffle carries
@@ -1205,6 +1248,27 @@ object CdcQueries extends QueryPack {
                FROM events)
          WHERE k IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+    "cdc_stickiness" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
+                           CAST(ts AS DATE) AS day, user_id FROM events),
+         d AS (SELECT month, day, count(DISTINCT user_id) AS dau
+               FROM e GROUP BY 1, 2),
+         m AS (SELECT month, count(DISTINCT user_id) AS mau
+               FROM e GROUP BY 1),
+         s AS (SELECT month, count(*) AS n_days,
+                      CAST(sum(dau) AS BIGINT) AS sum_dau
+               FROM d GROUP BY 1)
+         SELECT s.month, n_days, mau,
+                round(sum_dau * 1.0 / n_days, 4) AS avg_dau,
+                round((sum_dau * 1.0 / n_days) / mau, 4) AS stickiness
+         FROM s JOIN m USING (month) ORDER BY month""",
+    "cdc_value_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+                round(quantile_cont(value, 0.25), 4) AS q25,
+                round(quantile_cont(value, 0.5), 4) AS q50,
+                round(quantile_cont(value, 0.75), 4) AS q75,
+                round(quantile_cont(value, 0.95), 4) AS q95
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_rfm" ->
       """WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
          u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,

@@ -57,6 +57,18 @@ object DedupQueries extends QueryPack {
           n = 3, tau = 0.5, dfCap = 1000L),
         Planted.ngramTruth(docs, n = 3, tau = 0.5, dfCap = 1000L),
         minRecall = 1.0)
+    }),
+
+    // D18 contract at 100×-scale packs: containmentPairs is exact, so
+    // the floor is recall 1.0 over the linearly-recomputed planted
+    // pairs whose exact capped containment clears τ.
+    "dedup_containment_planted_check" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Planted.recallRow(
+        Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.8, dfCap = 1000L),
+        Planted.ngramContainTruth(docs, n = 3, tau = 0.8, dfCap = 1000L),
+        minRecall = 1.0)
     })
   )
 
@@ -123,6 +135,23 @@ object DedupQueries extends QueryPack {
                 JOIN sizes sa ON sa.doc_id = i
                 JOIN sizes sb ON sb.doc_id = i + 500000000
                 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5e0)
+          SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
+    "dedup_containment_planted_check" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+          sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok
+                 FROM t, unnest(range(1, len(arr) - 1)) AS r(i)
+                 WHERE len(arr) >= 3),
+          idx AS (SELECT doc_id, tok FROM sh
+                  QUALIFY count(*) OVER (PARTITION BY tok) <= 1000),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS i, count(*) AS inter
+                    FROM idx a JOIN idx b
+                      ON b.doc_id = a.doc_id + 500000000 AND a.tok = b.tok
+                    GROUP BY 1),
+          p AS (SELECT i FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb ON sb.doc_id = i + 500000000
+                WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.8e0)
           SELECT count(*) AS exact_pairs, true AS recall_ok FROM p""",
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

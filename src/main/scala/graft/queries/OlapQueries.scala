@@ -209,6 +209,28 @@ object OlapQueries extends QueryPack {
         .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0))
         .orderBy("o_year")),
 
+    // C10 (r14): year-over-year growth — the lag-window reporting
+    // class. The window runs AFTER aggregation, over the
+    // |years|·|statuses| grouped relation (a few dozen rows at any
+    // corpus size), so the per-status sort is never a scale concern;
+    // the heavy input collapses in one map-side-combinable hash-agg.
+    // Growth is a pure double ratio both engines evaluate with the
+    // same IEEE op tree over exact integer cents.
+    "olap_yoy_growth" -> ((s, dir) => {
+      val yearly = Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderstatus"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_year")
+      yearly.withColumn("prev", lag(col("cents"), 1).over(w))
+        .select(col("o_orderstatus"), col("o_year"),
+          (col("cents") / 100.0).as("total"),
+          round((col("cents") * lit(1.0) / col("prev") - lit(1.0)) * 100, 4)
+            .as("yoy_pct"))
+        .orderBy("o_orderstatus", "o_year")
+    }),
+
     // C9 (r14): TPC-H Q18 shape — large-order screening: a HAVING
     // filter on a fact-side aggregate, then enrichment joins. The
     // aggregate is map-side-combinable (l_orderkey groups are
@@ -322,6 +344,18 @@ object OlapQueries extends QueryPack {
                 sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   FILTER (o_orderstatus = 'P') / 100.0 AS "P"
          FROM orders GROUP BY 1 ORDER BY o_year""",
+    "olap_yoy_growth" ->
+      """WITH y AS (SELECT o_orderstatus,
+                           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) AS cents
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, o_year, cents / 100.0 AS total,
+                round((cents * 1.0 /
+                       lag(cents) OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_year) - 1.0) * 100, 4)
+                  AS yoy_pct
+         FROM y ORDER BY o_orderstatus, o_year""",
     "q18_big_orders" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 4) AS qty
                       FROM lineitem GROUP BY l_orderkey

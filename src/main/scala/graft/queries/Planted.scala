@@ -58,6 +58,32 @@ private[queries] object Planted {
       .select(col("i"), (col("i") + lit(Off)).as("j"))
   }
 
+  /** [[ngramTruth]]'s asymmetric twin: exact CONTAINMENT
+    * |A∩B| / min(|A|,|B|) ≥ tau over the id-mapped planted pairs —
+    * the linear ground truth for [[graft.operators.Dedup
+    * .containmentPairs]]' 100× recall check. Same capped shingle
+    * universe on both sides. */
+  def ngramContainTruth(docs: DataFrame, n: Int, tau: Double,
+                        dfCap: Long): DataFrame = {
+    val sh = TextOps.withTokens(
+        docs.filter(col("text").isNotNull), "text", Seq(col("doc_id")))
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("graft_toks"), n)).as("tok"))
+    val capped = Skew.capHotKeys(sh, dfCap, Seq("tok"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("b.doc_id") === col("a.doc_id") + lit(Off) &&
+          col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc_id").as("i")).agg(count(lit(1)).as("inter"))
+    val cont = col("inter").cast("double") / least(col("sz_i"), col("sz_j"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select((col("doc_id") - lit(Off)).as("i"),
+        col("sz").as("sz_j")), "i")
+      .filter(cont >= tau)
+      .select(col("i"), (col("i") + lit(Off)).as("j"))
+  }
+
   /** Known-contaminated PLANTED train docs: j = i + Off where the
     * original i sits in the eval slice and the pair shares ≥
     * `minShared` distinct n-gram shingles THAT THE OPERATOR KEEPS
