@@ -209,6 +209,50 @@ object OlapQueries extends QueryPack {
         .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0))
         .orderBy("o_year")),
 
+    // C11 (r14): TPC-H Q17 shape — correlated scalar subquery
+    // DECORRELATED Spark-first: the per-part average is one
+    // map-side-combinable aggregate joined back to the fact (never a
+    // per-row subquery), with the brand filter broadcast-pruning both
+    // sides first. The 0.2·avg threshold is the same IEEE op tree on
+    // both engines (exact integer-valued quantity sums < 2^53), so
+    // the below-threshold verdict can't flip.
+    "q17_small_quantity" -> ((s, dir) => {
+      val pk = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4")
+        .select("p_partkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("l_partkey").as("ak"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(round(col("l_extendedprice") * 100).cast("long"))
+            / 100.0 / 7.0).as("avg_yearly"))
+    }),
+
+    // C12 (r14): TPC-H Q15 shape — top supplier(s) by quarterly
+    // revenue: a time-pruned fact aggregate, its scalar max broadcast
+    // back over the aggregate (ties kept, the Q15 contract), then one
+    // dim join for the name.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_bp"))
+      val mx = rev.agg(max(col("rev_bp")).as("m"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_bp") === col("m"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_bp") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // C10 (r14): year-over-year growth — the lag-window reporting
     // class. The window runs AFTER aggregation, over the
     // |years|·|statuses| grouped relation (a few dozen rows at any
@@ -344,6 +388,30 @@ object OlapQueries extends QueryPack {
                 sum(CAST(round(o_totalprice * 100) AS BIGINT))
                   FILTER (o_orderstatus = 'P') / 100.0 AS "P"
          FROM orders GROUP BY 1 ORDER BY o_year""",
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#4'),
+         a AS (SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+               FROM li GROUP BY 1)
+         SELECT count(*) AS n_small,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  / 100.0 / 7.0 AS avg_yearly
+         FROM li JOIN a ON l_partkey = ak
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_bp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_bp / 10000.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_bp = (SELECT max(rev_bp) FROM rev)
+         ORDER BY s_suppkey""",
     "olap_yoy_growth" ->
       """WITH y AS (SELECT o_orderstatus,
                            CAST(year(o_orderdate) AS BIGINT) AS o_year,
