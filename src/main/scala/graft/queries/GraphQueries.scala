@@ -199,6 +199,38 @@ object GraphQueries extends QueryPack {
       GraphOps.kCore(supplyEdges(s, dir, quantityCap = Some(1.0)), k = 2)
         .orderBy("node")),
 
+    // B29 (r14): degree assortativity (Newman's r; GDS graph-shape
+    // reporting) — Pearson correlation of endpoint degrees over the
+    // symmetric edge relation. Two degree joins onto the edge list +
+    // one one-pass corr aggregate; 4-dp rounding absorbs sub-ulp
+    // moment-formula differences (the cdc_value_stats stance).
+    "graph_assortativity" -> ((s, dir) => {
+      val und = GraphOps.undirected(supplyEdges(s, dir))
+      val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      und.join(deg.select(col("a"), col("d").as("da")), "a")
+        .join(deg.select(col("a").as("bk"), col("d").as("db")),
+          col("b") === col("bk"))
+        .agg(count(lit(1)).as("n_edges"),
+          round(corr(col("da").cast("double"), col("db").cast("double")), 4)
+            .as("assortativity"))
+    }),
+
+    // B30 (r14): log2-binned degree distribution — the power-law
+    // shape report (the first thing a graph pipeline plots). The bin
+    // is EXACT integer floor-log2 via the binary-string length (no
+    // float log whose boundary ulps could flip a power-of-two): two
+    // map-side-combinable hash-aggs, output ≤ 64 rows at any scale.
+    "graph_degree_hist" -> ((s, dir) => {
+      val und = GraphOps.undirected(supplyEdges(s, dir))
+      und.groupBy("a").agg(count(lit(1)).as("d"))
+        .select((length(bin(col("d"))) - 1).cast("long").as("bucket"),
+          col("d"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+        .orderBy("bucket")
+    }),
+
     // B10: hop-bounded BFS (the Neo4j shortestPath staple) — exact
     // distances ≤ 3 from suppliers {1, 2} over the quantity ≤ 1 slice.
     // Frontier expansion: each level joins the FRONTIER (not the
@@ -1064,6 +1096,18 @@ object GraphQueries extends QueryPack {
                  CAST(floor(inter * 1000000000 / (s1.sz + s2.sz - inter)) AS BIGINT) AS sim_key
           FROM p JOIN sz s1 ON p.e1 = s1.e JOIN sz s2 ON p.e2 = s2.e
           ORDER BY sim_key DESC, e1, e2 LIMIT 20""",
+    "graph_assortativity" ->
+      s"""WITH ${edgeSql("")},
+          deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1)
+          SELECT count(*) AS n_edges,
+                 round(corr(da.d * 1.0, db.d * 1.0), 4) AS assortativity
+          FROM und u JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a""",
+    "graph_degree_hist" ->
+      s"""WITH ${edgeSql("")},
+          deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1)
+          SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+                 count(*) AS n_nodes, min(d) AS d_min, max(d) AS d_max
+          FROM deg GROUP BY 1 ORDER BY bucket""",
     "graph_kcore" ->
       s"""WITH ${edgeSql("WHERE l_quantity <= 1")},
           s0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM und),
