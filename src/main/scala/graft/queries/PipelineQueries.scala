@@ -268,6 +268,24 @@ object PipelineQueries extends QueryPack {
         .orderBy("day_us", "event_type")
     }),
 
+    // H20 (r14): SLIDING windows (6 h every 3 h) — each event lands in
+    // exactly 2 epoch-aligned windows; Append emits a window once the
+    // watermark passes its end. The oracle regenerates both window
+    // starts per event with integer epoch arithmetic and applies the
+    // same finalization cut (the stream_counts_watermarked
+    // determinism argument, overlap factor 2).
+    "stream_sliding_counts" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val agg = CdcStream.eventCountsSliding(
+        CdcStream.readEvents(s, dir), size = "6 hours",
+        slide = "3 hours", delay = "1 day")
+      CdcStream.runToMemory(agg, OutputMode.Append())
+        .select(
+          unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    }),
+
     // H12 (new r6): session_window sessionization — the always-on
     // twin of the batch lag/gap cdc_sessionize. Same determinism
     // argument as stream_counts_watermarked: the final watermark
@@ -843,7 +861,7 @@ object PipelineQueries extends QueryPack {
     * operator-bucketed. */
   override val streams: Set[String] = Set(
     "stream_event_counts", "stream_json_parse", "stream_progress",
-    "stream_counts_watermarked",
+    "stream_counts_watermarked", "stream_sliding_counts",
     "stream_latest_expiring", "stream_latest_rel", "stream_latest_state",
     "stream_funnel", "stream_enrich_counts", "stream_interval_join",
     "stream_interval_left")
@@ -978,6 +996,17 @@ object PipelineQueries extends QueryPack {
                 count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events, m
          WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sliding_counts" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+         w AS (SELECT event_type, value,
+                      to_timestamp((CAST(floor(epoch(ts) / 10800) AS BIGINT)
+                                    - k.k) * 10800) AS ws
+               FROM events, unnest([0, 1]) AS k(k))
+         SELECT epoch_us(ws) AS win_us, event_type,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM w, m
+         WHERE ws + INTERVAL 6 HOUR <= wm
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_uniq_state_check" ->
       """SELECT event_type, count(*) AS total,

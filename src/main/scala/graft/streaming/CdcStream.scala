@@ -159,6 +159,25 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** H20 (r14): SLIDING-window event counts — overlapping windows
+    * (every `slide`, covering `size`), the rate/trend view tumbling
+    * windows can't give (a spike near a tumbling boundary splits
+    * across two buckets; sliding windows always hold one bucket that
+    * contains it whole). Spark assigns each event to size/slide
+    * epoch-aligned windows via a projection (an Expand, no join);
+    * with a watermark, Append emits each window exactly once when
+    * the watermark passes its end and evicts its state — live state
+    * is O(windows inside the horizon · types), the same bound as the
+    * tumbling form times the overlap factor. */
+  def eventCountsSliding(events: DataFrame, size: String = "6 hours",
+                         slide: String = "3 hours",
+                         delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("sum_value"))
+
   /** H12: streaming sessionization — the always-on twin of the batch
     * lag/gap form (`cdc_sessionize`), on Spark's native
     * `session_window`: per-user sessions grow while consecutive events
