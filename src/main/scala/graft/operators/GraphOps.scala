@@ -257,6 +257,61 @@ object GraphOps {
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** B31 (r14): FULL core decomposition — coreness(v) for EVERY node
+    * (Neo4j GDS `kcore`'s coreness output; [[kCore]] answers the
+    * membership question for ONE k) via the distributed H-index
+    * iteration (Montresor, De Pellegrini & Miorandi 2013; Lü et al.
+    * 2016): c₀(v) = deg(v), c_{t+1}(v) = H-index of the neighbors'
+    * c_t values (the largest h such that ≥ h neighbors hold c ≥ h).
+    * The sequence is MONOTONE NON-INCREASING per node and its
+    * fixpoint is exactly the coreness — monotonicity is what makes a
+    * fixed-round oracle replay sound (past the fixpoint each round is
+    * identity, so converge-early == fixed-count, the kCore argument).
+    *
+    * Scale shape: one equi-join of the pinned pre-partitioned edge
+    * relation against the |V|-row coreness vector per round (only the
+    * vector exchanges — the eigenvector loop shape) + one hash-agg
+    * whose per-node collect is bounded by true degree (the
+    * neighborArrays adjacency stance); the H-index itself is a
+    * codegen'd size(filter(...)) over the sorted value array. Rounds
+    * needed ≈ graph-dependent but small (≤ 6 observed at every scale
+    * point; the peel-depth class); LOUD past maxIters like kCore.
+    *
+    * Output: (node, coreness). */
+  def coreness(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val und = undirected(edges).transform(pin)
+    val undP = und.repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
+    var c = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("c")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val next = undP
+        .join(c.select(col("node").as("bk"), col("c").as("cb")),
+          col("b") === col("bk"))
+        .groupBy(col("a").as("node"))
+        .agg(sort_array(collect_list(col("cb")), asc = false).as("cs"))
+        .select(col("node"),
+          // H-index of a DESC-sorted array: positions form a monotone
+          // prefix under cs(i) ≥ i+1, so h = count of satisfying
+          // positions (tie order within equal values is irrelevant)
+          size(filter(col("cs"), (x, i) => x >= (i + 1).cast("long")))
+            .cast("long").as("c"))
+        .localCheckpoint()
+      changed = next.join(c.withColumnRenamed("c", "old"), "node")
+        .filter(col("c") =!= col("old")).count()
+      c = next
+      iter += 1
+    }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).error(
+        s"coreness stopped at maxIters=$maxIters before the H-index " +
+          "fixpoint — values may EXCEED the true coreness. Raise " +
+          "maxIters.")
+    c.select(col("node"), col("c").as("coreness"))
+  }
+
   /** Sampled, hop-bounded betweenness centrality — Brandes (2001)
     * from a FIXED seed set (Neo4j GDS `betweenness` with
     * `samplingSize`/`samplingSeed` pins exactly this shape: exact

@@ -231,6 +231,15 @@ object GraphQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // B31 (r14): FULL core decomposition — coreness per node via the
+    // monotone H-index iteration (GraphOps.coreness scaladoc; the
+    // GDS coreness output next to B11's single-k membership). The
+    // oracle replays 10 fixed rounds; monotone non-increase to the
+    // fixpoint makes converge-early == fixed-count (the kcore
+    // argument).
+    "graph_coreness" -> ((s, dir) =>
+      GraphOps.coreness(supplyEdges(s, dir)).orderBy("node")),
+
     // B10: hop-bounded BFS (the Neo4j shortestPath staple) — exact
     // distances ≤ 3 from suppliers {1, 2} over the quantity ≤ 1 slice.
     // Frontier expansion: each level joins the FRONTIER (not the
@@ -599,6 +608,18 @@ object GraphQueries extends QueryPack {
   // `und` is MATERIALIZED: the iterative oracles reference it in every
   // round, and DuckDB's default CTE inlining re-opens the parquet
   // scans per reference — 16 WCC rounds × 2 refs exhausts the fd limit.
+  // One H-index round of the graph_coreness oracle: per-node DESC
+  // rank of neighbor coreness values, h = count of positions with
+  // value ≥ rank (a monotone prefix on the sorted run, so tie order
+  // within equal values cannot change the count).
+  private def hciIter(i: Int) =
+    s"""n$i AS (SELECT u.a AS node, cc.c AS c,
+                row_number() OVER (PARTITION BY u.a ORDER BY cc.c DESC) AS r
+                FROM und u JOIN hc${i - 1} cc ON u.b = cc.node),
+        hc$i AS MATERIALIZED (SELECT node,
+                count(*) FILTER (WHERE c >= r) AS c
+                FROM n$i GROUP BY node)"""
+
   private def edgeSql(where: String) =
     s"""e0 AS (SELECT DISTINCT -l_suppkey AS a, o_custkey AS b
                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey $where),
@@ -1096,6 +1117,12 @@ object GraphQueries extends QueryPack {
                  CAST(floor(inter * 1000000000 / (s1.sz + s2.sz - inter)) AS BIGINT) AS sim_key
           FROM p JOIN sz s1 ON p.e1 = s1.e JOIN sz s2 ON p.e2 = s2.e
           ORDER BY sim_key DESC, e1, e2 LIMIT 20""",
+    "graph_coreness" ->
+      s"""WITH ${edgeSql("")},
+          hc0 AS MATERIALIZED (SELECT a AS node, count(*) AS c
+                               FROM und GROUP BY 1),
+          ${(1 to 10).map(hciIter).mkString(",\n")}
+          SELECT node, c AS coreness FROM hc10 ORDER BY node""",
     "graph_assortativity" ->
       s"""WITH ${edgeSql("")},
           deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1)

@@ -408,6 +408,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("coreness: hand fixtures (triangle+tail, K4, star, path) + kCore parity") {
+    def run(e: DataFrame) = GraphOps.coreness(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle 1-2-3 with tail 3-4: triangle coreness 2, tail 1
+    val tri = run(edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"$tri")
+    // K4: every node coreness 3
+    val k4 = run(edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(k4.values.toSet == Set(3L) && k4.size == 4, s"$k4")
+    // star: hub degree 5 but coreness 1 (the H-index must DROP it)
+    val star = run(edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
+    assert(star.values.toSet == Set(1L), s"$star")
+    // path: all coreness 1
+    assert(run(edges((1L, 2L), (2L, 3L), (3L, 4L))).values.toSet == Set(1L))
+    // parity with kCore membership: coreness ≥ 2 == the 2-core set
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L))
+    val viaCoreness = run(e).filter(_._2 >= 2L).keySet
+    val viaKcore = GraphOps.kCore(e, k = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(viaCoreness == viaKcore, s"$viaCoreness vs $viaKcore")
+  }
+
   test("randomWalks: hand-checked hops, walk shape, determinism, edge validity") {
     val s = spark
     import s.implicits._
