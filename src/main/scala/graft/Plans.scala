@@ -59,7 +59,12 @@ object Plans {
       "cdc_cms_check", "sim_filtered_ann",
       "graph_louvain", "graph_fastrp", "sim_ivfpq", "corpus_url_dedup",
       "graph_louvain_multi", "embed_kmeans", "text_classifier_score",
-      "embed_cluster_sample", "graph_node2vec_walks")
+      "embed_cluster_sample", "graph_node2vec_walks",
+      "olap_rollup", "olap_cube", "olap_grouping_sets", "olap_pivot",
+      "q18_big_orders", "olap_yoy_growth", "q17_small_quantity",
+      "q15_top_supplier", "cdc_rfm", "cdc_stickiness",
+      "cdc_value_quantiles", "text_pmi_bigrams", "dedup_containment",
+      "graph_assortativity", "graph_degree_hist", "graph_coreness")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to
