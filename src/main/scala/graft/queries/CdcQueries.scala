@@ -376,6 +376,39 @@ object CdcQueries extends QueryPack {
       lv.groupBy("level").agg(count(lit(1)).as("n_users")).orderBy("level")
     }),
 
+    // A-funnel (r14): time-to-convert — the funnel's companion metric
+    // (ClickHouse funnel analyses report step LATENCIES, not just
+    // level counts). Leftmost chain via chained min-joins (the
+    // sequence_match oracle shape, strict ts increase): t1 = first
+    // signup, t2 = first click after t1, t3 = first purchase after
+    // t2; averages are EXACT integer micros via floor-div (`div`),
+    // so no float rounding anywhere. Each step is one equi-join on
+    // user_id + a map-side-combinable min-agg; the summary is three
+    // broadcast scalar rows.
+    "cdc_funnel_times" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id", "t1").agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2.select("user_id", "t2"), "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id", "t2").agg(min(col("us")).as("t3"))
+      val a1 = t1.agg(count(lit(1)).as("n1"))
+      val a2 = t2.agg(count(lit(1)).as("n2"),
+        sum(col("t2") - col("t1")).as("s12"))
+      val a3 = t3.agg(count(lit(1)).as("n3"),
+        sum(col("t3") - col("t2")).as("s23"))
+      a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+        .select(col("n1"), col("n2"), col("n3"),
+          expr("if(n2 > 0, s12 div n2, null)").as("avg12_us"),
+          expr("if(n3 > 0, s23 div n3, null)").as("avg23_us"))
+    }),
+
     // windowFunnel in strict_increase mode: equal-ts events never
     // chain (the default mode lets them chain in (ts, tie) order).
     // Same histogram shape as cdc_funnel; the oracle's explicit join
@@ -1248,6 +1281,23 @@ object CdcQueries extends QueryPack {
                FROM events)
          WHERE k IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+    "cdc_funnel_times" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, t1, min(us) AS t2
+                FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'click' AND us > t1 GROUP BY 1, 2),
+         t3 AS (SELECT e.user_id, t2, min(us) AS t3
+                FROM e JOIN t2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t2 GROUP BY 1, 2),
+         a1 AS (SELECT count(*) AS n1 FROM t1),
+         a2 AS (SELECT count(*) AS n2, CAST(sum(t2 - t1) AS BIGINT) AS s12 FROM t2),
+         a3 AS (SELECT count(*) AS n3, CAST(sum(t3 - t2) AS BIGINT) AS s23 FROM t3)
+         SELECT n1, n2, n3,
+                CASE WHEN n2 > 0 THEN s12 // n2 END AS avg12_us,
+                CASE WHEN n3 > 0 THEN s23 // n3 END AS avg23_us
+         FROM a1, a2, a3""",
     "cdc_stickiness" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
                            CAST(ts AS DATE) AS day, user_id FROM events),
