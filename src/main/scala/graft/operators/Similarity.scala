@@ -367,6 +367,63 @@ object Similarity {
     * state is k·dim longs (bounded collect). Total: `rounds` linear
     * passes over a cached integer table — the Lloyd cost model, with
     * no per-pair or per-candidate blowup anywhere. */
+  /** E13 (r14): EXACT power iteration for the corpus's top principal
+    * direction — the PCA-diagnostic of an embedding store (dominant
+    * axis, anisotropy screening; the direction mean-centering /
+    * whitening pipelines remove first), made bit-replayable with the
+    * [[kmeansExact]] integer discipline applied to linear algebra:
+    *
+    *  - components quantize to floor(x·scale) ints (scale 100 — the
+    *    Gram entries must stay in long range: |q| ≤ 2·scale ⇒
+    *    |q_i·q_j| ≤ 4·scale², summed over n rows needs
+    *    n·4·scale² ≪ 2⁶³, good to n ≈ 10¹³ at scale 100);
+    *  - the 64×64 Gram matrix M = Σ q·qᵀ is ONE map-side-combinable
+    *    hash-agg over the 4096 (i, j) cells per row — the exchange
+    *    carries ≤ 4096·partitions rows, never the corpus — then a
+    *    bounded dim² collect (model-fit class);
+    *  - power rounds run on the COLLECTED integer matrix: v₀ = 1,
+    *    w = M·v exactly in longs (|w| ≤ dim·maxM·1000 < 2⁶³), then
+    *    the deterministic integer rescale v' = w / max(1,
+    *    max|w| / 1000) with TRUNCATING division on both engines
+    *    (DuckDB's BIGINT `//` truncates toward zero, probed — NOT
+    *    floor; Scala's Long `/` matches) — keeps |v| ≤ ~1000 so the
+    *    next round cannot overflow, where a float normalize would
+    *    drift;
+    *  - sign is pinned by v₀ = all-ones (no eigenvector sign
+    *    ambiguity), ties and everything else are pure integer ops.
+    *
+    * Output: (pos, v) — the integer direction after `rounds` rounds
+    * (callers cosine against it or normalize downstream). */
+  def pcaPowerExact(vecs: DataFrame, vecCol: String, rounds: Int = 3,
+                    scale: Int = 100): DataFrame = {
+    require(rounds >= 1, "pcaPowerExact: rounds must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val q = transform(VectorFunctions.asDouble(col(vecCol)),
+      x => floor(x * scale).cast("long"))
+    val cells = vecs.filter(col(vecCol).isNotNull)
+      .select(q.as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), posexplode(col("q")).as(Seq("j", "qj")),
+        col("qi"))
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("m"))
+      .collect()
+    require(cells.nonEmpty, "pcaPowerExact: empty corpus")
+    val dim = cells.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Long](dim, dim)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(dim)(1L)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      val s = math.max(1L, mx / 1000L)
+      v = w.map(_ / s)
+    }
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("pos", "v")
+  }
+
   def kmeansExact(vecs: DataFrame, idCol: String, vecCol: String,
                   k: Int = 8, rounds: Int = 3,
                   scale: Int = 10000): DataFrame = {

@@ -94,6 +94,18 @@ object SimilarityQueries extends QueryPack {
         "embedding", perCluster = KmPerCluster, k = KmK,
         rounds = KmRounds)),
 
+    // E13 (r14): exact power iteration — the corpus's top principal
+    // direction in all-integer arithmetic (Similarity.pcaPowerExact
+    // scaladoc: Gram matrix as one 4096-cell hash-agg + bounded
+    // collect, truncating-division rescale both engines). FULL
+    // oracle: DuckDB recomputes the integer Gram and replays every
+    // round.
+    "embed_pca_power" -> ((s, dir) =>
+      graft.operators.Similarity.pcaPowerExact(
+          assertKmDim(Tables.load(s, dir, "embeddings")), "embedding",
+          rounds = PcaRounds, scale = PcaScale)
+        .orderBy("pos")),
+
     // E7: embedding outlier screening — the 20 vectors LEAST cosine-
     // similar to the corpus mean, the cheap data-quality pass that
     // catches corrupted/degenerate embeddings before they poison
@@ -218,6 +230,8 @@ object SimilarityQueries extends QueryPack {
   private[graft] val KmScale = 10000
   private[graft] val KmDim = 64 // embeddings-table contract (n_dims=1)
   private[graft] val KmPerCluster = 25
+  private[graft] val PcaRounds = 3
+  private[graft] val PcaScale = 100 // Gram entries: n·4·scale² ≪ 2⁶³
 
   /** The operator adapts to any dim but the oracle's update CTE pins
     * [[KmDim]] — make that pin fail LOUDLY (a one-row limit scan, not
@@ -295,7 +309,30 @@ object SimilarityQueries extends QueryPack {
               FROM a$KmRounds)
         SELECT cid, rk, vec_id FROM r WHERE rk <= $KmPerCluster ORDER BY cid, rk"""
 
+  private val pcaOracle: String = {
+    def round(r: Int) =
+      s"""w$r AS (SELECT m.i AS pos, CAST(sum(m.m * v${r - 1}.v) AS BIGINT) AS w
+                  FROM m JOIN v${r - 1} ON m.j = v${r - 1}.pos GROUP BY 1),
+          s$r AS (SELECT greatest(CAST(1 AS BIGINT),
+                                  max(abs(w)) // 1000) AS s FROM w$r),
+          v$r AS (SELECT pos, w // s AS v FROM w$r, s$r)"""
+    s"""WITH q AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * $PcaScale) AS BIGINT)) AS q
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        m AS MATERIALIZED (
+          SELECT i.i - 1 AS i, j.j - 1 AS j,
+                 CAST(sum(q[i.i] * q[j.j]) AS BIGINT) AS m
+          FROM q, unnest(range(1, ${KmDim + 1})) AS i(i),
+               unnest(range(1, ${KmDim + 1})) AS j(j)
+          GROUP BY 1, 2),
+        v0 AS (SELECT i AS pos, CAST(1 AS BIGINT) AS v
+               FROM range(0, $KmDim) t(i)),
+        ${(1 to PcaRounds).map(round).mkString(",\n")}
+        SELECT pos, v FROM v$PcaRounds ORDER BY pos"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_pca_power" -> pcaOracle,
     "embed_kmeans" -> kmeansOracle,
     "embed_cluster_sample" -> clusterSampleOracle,
     "sim_bruteforce_topk" ->

@@ -294,6 +294,26 @@ class SketchSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L -> 1, 1L -> 1, 2L -> 0))
   }
 
+  test("pca power: dominant planted axis wins, sign pinned, repartition-proof") {
+    import spark.implicits._
+    // 20 vectors strongly along axis 1 (+ small axis-0 noise), 2 weak
+    // on axis 2: the top principal direction must concentrate on
+    // axis 1 with POSITIVE sign (v0 = all-ones pins it).
+    val rows = (0 until 20).map(i =>
+        i.toLong -> Array(0.01f * (i % 3), 1.0f, 0.0f)) ++
+      Seq(20L -> Array(0.0f, 0.0f, 0.3f), 21L -> Array(0.0f, 0.0f, 0.2f))
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.pcaPowerExact(df, "embedding")
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(v(1) > 0, s"sign not pinned positive: ${v.toSeq}")
+    assert(math.abs(v(1)) > 10 * math.abs(v(2)) &&
+      math.abs(v(1)) > 10 * math.abs(v(0)), s"axis 1 not dominant: ${v.toSeq}")
+    // deterministic under partitioning (integer Gram agg is exact)
+    val again = Similarity.pcaPowerExact(df.repartition(7), "embedding")
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(v.toSeq == again.toSeq)
+  }
+
   test("exact kmeans: k = 1 assigns everything to cid 0 (ADVICE r13)") {
     import spark.implicits._
     // least() needs ≥ 2 args — k = 1 used to throw AnalysisException
