@@ -579,6 +579,24 @@ object CdcQueries extends QueryPack {
           round(stddev_pop(col("value")), 4).as("stddev_v"))
         .orderBy("event_type")),
 
+    // A-dash (r14): day-grain cohort retention matrix — the classic
+    // triangle report (cohort day × day offset → retained users).
+    // Per-user cohort day is one min-agg; the matrix is one distinct
+    // per (user, active day) then a (cohort, offset) rollup — exact
+    // integer day arithmetic via floor-div on epoch micros, both
+    // engines. Output is |days|² cells at most, tiny at any scale.
+    "cdc_cohort_matrix" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("c_day"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("c_day"), (col("day") - col("c_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("c_day", "day_offset")
+    }),
+
     // A-dash (r14): DAU/MAU stickiness — the product-analytics
     // engagement ratio (avg daily actives over monthly actives, per
     // month). Two distinct-count aggregates (both map-side partial
@@ -1298,6 +1316,13 @@ object CdcQueries extends QueryPack {
                 CASE WHEN n2 > 0 THEN s12 // n2 END AS avg12_us,
                 CASE WHEN n3 > 0 THEN s23 // n3 END AS avg23_us
          FROM a1, a2, a3""",
+    "cdc_cohort_matrix" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+         c AS (SELECT user_id, min(day) AS c_day FROM e GROUP BY 1)
+         SELECT c_day, day - c_day AS day_offset, count(*) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY c_day, day_offset""",
     "cdc_stickiness" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
                            CAST(ts AS DATE) AS day, user_id FROM events),
