@@ -253,6 +253,22 @@ object OlapQueries extends QueryPack {
         .orderBy("s_suppkey")
     }),
 
+    // C13 (r14): TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI
+    // join (the one OLAP join class the suite lacked): orders with at
+    // least one returned line, counted by priority. The semi join
+    // exchanges only the filtered key column and short-circuits on
+    // first match — never a row-multiplying inner join + distinct.
+    "q4_priority_returns" -> ((s, dir) => {
+      val ret = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      Tables.load(s, dir, "orders")
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // C10 (r14): year-over-year growth — the lag-window reporting
     // class. The window runs AFTER aggregation, over the
     // |years|·|statuses| grouped relation (a few dozen rows at any
@@ -412,6 +428,13 @@ object OlapQueries extends QueryPack {
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE rev_bp = (SELECT max(rev_bp) FROM rev)
          ORDER BY s_suppkey""",
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "olap_yoy_growth" ->
       """WITH y AS (SELECT o_orderstatus,
                            CAST(year(o_orderdate) AS BIGINT) AS o_year,
