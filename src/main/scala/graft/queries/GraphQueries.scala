@@ -236,9 +236,12 @@ object GraphQueries extends QueryPack {
     // GDS coreness output next to B11's single-k membership). The
     // oracle replays 10 fixed rounds; monotone non-increase to the
     // fixpoint makes converge-early == fixed-count (the kcore
-    // argument).
+    // argument). assertConvergedWithin pins that premise LOUDLY: if
+    // some dataset ever needs > 10 rounds, verify fails with a named
+    // exception instead of a silent hash mismatch (ADVICE r14).
     "graph_coreness" -> ((s, dir) =>
-      GraphOps.coreness(supplyEdges(s, dir)).orderBy("node")),
+      GraphOps.coreness(supplyEdges(s, dir),
+        assertConvergedWithin = Some(10)).orderBy("node")),
 
     // B10: hop-bounded BFS (the Neo4j shortestPath staple) — exact
     // distances ≤ 3 from suppliers {1, 2} over the quantity ≤ 1 slice.
@@ -438,15 +441,28 @@ object GraphQueries extends QueryPack {
         .filter(col("node") % 7 === 0)
       val trace = GraphOps.node2vecWalks(e, seeds, walksPerSeed = 2,
         steps = 4)
-      val l = trace.select(col("walk_id"), col("step").as("ls"),
-        col("node").as("center"))
-      val r = trace.select(col("walk_id"), col("step").as("rs"),
-        col("node").as("context"))
-      l.join(r, "walk_id")
-        .filter(col("ls") =!= col("rs") &&
-          abs(col("ls") - col("rs")) <= 2)
-        .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      GraphOps.skipGramPairs(trace, window = 2)
         .orderBy("center", "context")
+    }),
+
+    // B32 (r15, VERDICT r14 #1): node2vec EMBEDDINGS — the (node,
+    // float[]) output surface GDS node2vec ships, folded from the
+    // B28b skip-gram pairs by the weighted-FastRP projection
+    // (GraphOps.node2vecEmbeddings scaladoc: co-occurrence-matrix
+    // projection, not SGD — the choice that keeps a FULL cross-engine
+    // oracle). Long-form (node, dim, val) for the oracle hash; the
+    // operator's native shape is the dim-ordered array.
+    "graph_node2vec" -> ((s, dir) => {
+      val e = supplyEdges(s, dir)
+      val seeds = e.select(col("a").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+      GraphOps.node2vecEmbeddings(e, seeds, walksPerSeed = 2,
+          steps = 4, dims = 8)
+        .select(col("node"), posexplode(col("embedding")))
+        .toDF("node", "dim", "val")
+        .select(col("node"), col("dim").cast("long").as("dim"),
+          round(col("val"), 6).as("val"))
+        .orderBy("node", "dim")
     }),
 
     // B21b (r10): skip-gram pair extraction from the walk corpus
@@ -459,14 +475,7 @@ object GraphQueries extends QueryPack {
       val seeds = e.select(col("a").as("node")).distinct()
         .filter(col("node") % 7 === 0)
       val trace = GraphOps.randomWalks(e, seeds, walksPerSeed = 2, steps = 5)
-      val l = trace.select(col("walk_id"), col("step").as("ls"),
-        col("node").as("center"))
-      val r = trace.select(col("walk_id"), col("step").as("rs"),
-        col("node").as("context"))
-      l.join(r, "walk_id")
-        .filter(col("ls") =!= col("rs") &&
-          abs(col("ls") - col("rs")) <= 2)
-        .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      GraphOps.skipGramPairs(trace, window = 2)
         .orderBy("center", "context")
     }),
 
@@ -1293,6 +1302,39 @@ object GraphQueries extends QueryPack {
           FROM trace l JOIN trace r ON l.walk_id = r.walk_id
           WHERE l.step <> r.step AND abs(l.step - r.step) <= 2
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // B32: the skip-gram pairs as a count-weighted relation, then two
+    // weighted-FastRP rounds — round-1 sums are integer-valued
+    // products (bit-exact any order), round-2 ulps absorbed by the
+    // 6dp output rounding (GraphOps.fastRPWeighted scaladoc).
+    "graph_node2vec" ->
+      s"""WITH $n2vTraceSql,
+          prs AS MATERIALIZED (
+             SELECT l.node AS center, r.node AS context, count(*) AS cnt
+             FROM trace l JOIN trace r ON l.walk_id = r.walk_id
+             WHERE l.step <> r.step AND abs(l.step - r.step) <= 2
+             GROUP BY 1, 2),
+          nwd AS MATERIALIZED (SELECT center AS node, sum(cnt) AS wd
+             FROM prs GROUP BY 1),
+          ndim AS (SELECT unnest(range(8)) AS dim),
+          nv0 AS MATERIALIZED (SELECT node, dim,
+                 CASE ((node * 31 + dim * 1000003 + 777) % 1000000007
+                       + 1000000007) % 1000000007 % 6
+                   WHEN 0 THEN 1.0e0 WHEN 1 THEN -1.0e0
+                   ELSE 0.0e0 END AS val
+               FROM nwd CROSS JOIN ndim),
+          nv1 AS MATERIALIZED (SELECT p.center AS node, x.dim,
+                 sum(p.cnt * x.val) / max(d.wd) AS val
+               FROM prs p JOIN nv0 x ON p.context = x.node
+               JOIN nwd d ON d.node = p.center
+               GROUP BY p.center, x.dim),
+          nv2 AS MATERIALIZED (SELECT p.center AS node, x.dim,
+                 sum(p.cnt * x.val) / max(d.wd) AS val
+               FROM prs p JOIN nv1 x ON p.context = x.node
+               JOIN nwd d ON d.node = p.center
+               GROUP BY p.center, x.dim)
+          SELECT n1.node, n1.dim, round(n1.val + n2.val, 6) AS val
+          FROM nv1 n1 JOIN nv2 n2 USING (node, dim)
+          ORDER BY node, dim""",
     "graph_sample_neighborhood" ->
       s"""WITH ${edgeSql("")},
           sgseeds AS (SELECT DISTINCT a AS node FROM e0 WHERE a % 7 = 0),

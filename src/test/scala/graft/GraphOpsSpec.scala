@@ -432,6 +432,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaCoreness == viaKcore, s"$viaCoreness vs $viaKcore")
   }
 
+  test("coreness: assertConvergedWithin throws loudly past the bound, passes at it") {
+    // triangle + tail converges in ≤ 2 rounds: bound 2 passes
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).localCheckpoint()
+    val ok = GraphOps.coreness(e, assertConvergedWithin = Some(2)).collect()
+    assert(ok.nonEmpty)
+    // bound 0 cannot hold for any graph whose degrees != coreness:
+    // the named exception fires instead of a silent oracle mismatch
+    val ex = intercept[IllegalStateException] {
+      GraphOps.coreness(e, assertConvergedWithin = Some(0)).collect()
+    }
+    assert(ex.getMessage.contains("oracle replays only 0"), ex.getMessage)
+    // maxIters truncation also trips the assertion (changed > 0)
+    val ex2 = intercept[IllegalStateException] {
+      GraphOps.coreness(e, maxIters = 1,
+        assertConvergedWithin = Some(10)).collect()
+    }
+    assert(ex2.getMessage.contains("converged=false"), ex2.getMessage)
+  }
+
   test("randomWalks: hand-checked hops, walk shape, determinism, edge validity") {
     val s = spark
     import s.implicits._
@@ -542,6 +561,57 @@ class GraphOpsSpec extends SparkSpec {
          Array(p, q, r) <- w.sortBy(_._2).sliding(3).map(_.toArray))
       assert(p._3 == r._3,
         s"walk ${p._1} failed to return ${p._3}->${q._3}->${r._3}")
+  }
+
+  test("node2vecEmbeddings: agrees with an independent in-memory replay") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined at 3 — the node2vecWalks spec fixture
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val seeds = Seq(1L, 3L).toDF("node")
+    val dims = 4
+    val got = GraphOps.node2vecEmbeddings(e, seeds, walksPerSeed = 2,
+        steps = 4, dims = dims).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(v =>
+        math.rint(v * 1e6) / 1e6)).toMap
+    // replay: trace (via the independently-spec'd walk operator) →
+    // window-2 pairs → Achlioptas init → two weighted-mean rounds
+    val trace = GraphOps.node2vecWalks(e, seeds, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pairs = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (w <- trace.groupBy(_._1).values; p <- w; q <- w
+         if p._2 != q._2 && math.abs(p._2 - q._2) <= 2)
+      pairs((p._3, q._3)) = pairs.getOrElse((p._3, q._3), 0L) + 1L
+    def proj(node: Long, dim: Long): Double = {
+      val m = 1000000007L
+      val h = (((node * 31 + dim * 1000003 + 777) % m) + m) % m % 6
+      if (h == 0) 1.0 else if (h == 1) -1.0 else 0.0
+    }
+    val nodes = pairs.keys.map(_._1).toSeq.distinct
+    val wd = nodes.map(n =>
+      n -> pairs.collect { case ((c, _), w) if c == n => w }.sum).toMap
+    def step(x: Map[(Long, Long), Double]): Map[(Long, Long), Double] =
+      (for (n <- nodes; d <- 0L until dims) yield (n, d) ->
+        pairs.collect { case ((c, ctx), w) if c == n =>
+          w * x((ctx, d)) }.sum / wd(n)).toMap
+    val x0 = (for (n <- nodes; d <- 0L until dims)
+      yield (n, d) -> proj(n, d)).toMap
+    val x1 = step(x0); val x2 = step(x1)
+    val want = nodes.map(n => n -> (0L until dims).map(d =>
+      math.rint((x1((n, d)) + x2((n, d))) * 1e6) / 1e6)).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    for (n <- nodes) assert(got(n) == want(n), s"node $n: ${got(n)} vs ${want(n)}")
+  }
+
+  test("node2vecWalks: empty edge relation yields an empty walk set, no NPE") {
+    // ADVICE r14: the avgDeg budget read was sum(deg) over an empty
+    // adjacency (NULL) — must degrade to the empty result, not throw
+    val s = spark
+    import s.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = GraphOps.node2vecWalks(e, Seq(1L).toDF("node"),
+      walksPerSeed = 2, steps = 3)
+    assert(out.count() == 0L)
   }
 
   test("hits: hand arithmetic on the 2-path, L1 mass, hub/auth split") {
