@@ -8,7 +8,33 @@ The first pack is the DEFAULT (its entries keep their bare names);
 entries from later packs are suffixed `@<pack>` — the r13 record
 format the judge reads (entries/packs/round/summary).
 """
-import sys, json
+import sys, json, os
+
+# The canonical 100x exclusion list (docs/SCALE.md "closed-form 100x
+# absentee table") - every oracle entry NOT expected in the record,
+# mapped to the evidence that binds instead. Audited below: an
+# absentee that appears in the record, or a record gap not named
+# here, prints a LOUD warning so exclusions stay closed-form instead
+# of being re-derived by diff each round (VERDICT r13 #5 / r14 #6).
+PERMANENT_ABSENTEES = {
+    "dedup_ngram_jaccard": "dedup_ngram_planted_check@plantedtext100",
+    "dedup_containment": "dedup_containment_planted_check@plantedtext100",
+    "dedup_clusters": "dedup_clusters_planted_check@plantedtext100",
+    "dedup_survivors": "dedup_survivors_planted_check@plantedtext100",
+    "dedup_minhash_lsh_check": "dedup_minhash_planted_check@plantedtext100",
+    "dedup_simhash_check": "dedup_simhash_planted_check@plantedtext100",
+    "dedup_incremental_check":
+        "dedup_incremental_planted_check@plantedtext100",
+    "dedup_embedding": "dedup_embedding_lsh_planted_check@planted100",
+    "dedup_embedding_lsh_check":
+        "dedup_embedding_lsh_planted_check@planted100",
+    "sim_lsh_ann_check": "sim_lsh_ann_planted_check@planted100",
+    "sim_ivf_ann_check": "sim_ivf_ann_planted_check@planted100",
+    "sim_ivfpq_check": "sim_ivfpq_planted_check@planted100",
+    "sim_filtered_ann_check": "sim_filtered_ann_planted_check@planted100",
+    "sim_bruteforce_topk": "10x-only (IS the exact baseline)",
+    "sim_quantized_check": "10x-only (needs the exact baseline side)",
+}
 
 rnd, out = int(sys.argv[1]), sys.argv[2]
 entries = {}
@@ -51,3 +77,22 @@ doc = {
 }
 json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
 print(f"{out}: {oracle} oracle-checked, {green} green, red: {red}")
+
+# absentee audit against the canonical table (docs/SCALE.md)
+present_absentees = sorted(set(PERMANENT_ABSENTEES) & set(entries))
+if present_absentees:
+    print(f"WARNING: listed absentees present in the record "
+          f"(promote them out of the table): {present_absentees}")
+oracle_json = os.environ.get("GRAFT_ORACLE_JSON")
+if oracle_json and os.path.exists(oracle_json):
+    full = set(json.load(open(oracle_json)))
+    bare = {k.split("@")[0] for k in entries}
+    unexplained = sorted(full - bare - set(PERMANENT_ABSENTEES))
+    # streaming entries are the documented engine-startup class; six
+    # headliners run, the rest are covered by batch twins
+    unexplained = [u for u in unexplained if not u.startswith("stream_")]
+    if unexplained:
+        print(f"WARNING: oracle entries missing from the record and "
+              f"NOT in the absentee table: {unexplained}")
+    else:
+        print("absentee audit: clean (every gap named in the table)")
