@@ -66,7 +66,8 @@ object Plans {
       "cdc_value_quantiles", "text_pmi_bigrams", "dedup_containment",
       "graph_assortativity", "graph_degree_hist", "graph_coreness",
       "cdc_funnel_times", "embed_pca_power", "stream_sliding_counts",
-      "cdc_cohort_matrix", "q4_priority_returns")
+      "cdc_cohort_matrix", "q4_priority_returns",
+      "q13_custdist", "q22_no_orders", "graph_node2vec")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -311,6 +311,61 @@ object OlapQueries extends QueryPack {
             .as("o_total"), col("qty"))
         .orderBy(col("o_total").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // C14 (r15): TPC-H Q13 shape — the OUTER-join-preserving
+    // aggregate: orders per customer INCLUDING the zero-order
+    // customers (the rows an inner join would silently drop), then
+    // the distribution of those counts. Count of a right-side column
+    // (not count(*)) is what makes the LEFT OUTER semantics
+    // observable: unmatched rows contribute 0, not 1. Two hash-aggs;
+    // output bounded by max-orders-per-customer (≤ a few dozen rows
+    // at any corpus size), the heavy exchange is the one o_custkey
+    // shuffle the join itself needs.
+    "q13_custdist" -> ((s, dir) => {
+      // Q13's comment anti-filter maps to the priority class here
+      // (the testdata carries no o_comment column)
+      val perCust = Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // C15 (r15): TPC-H Q22 shape — the ANTI-join class (NOT EXISTS →
+    // LEFT ANTI: the one OLAP join class the suite still lacked after
+    // Q4's semi join) composed with a broadcast scalar subquery:
+    // customers above the positive-balance average with NO urgent
+    // order (the testdata gives every customer SOME order, so the
+    // anti join binds against the urgent class — ~1/5 of orders —
+    // instead of Q22's no-order-at-all, keeping a non-trivial result
+    // at every SF). The anti join exchanges only the filtered key
+    // column and short-circuits on first match exactly like the semi
+    // join; the scalar average is one map-side-combinable agg
+    // broadcast into the filter. Exact integer cents for the balance
+    // compare (the q1 stance), cross-multiplied (bal·n > sum <=> bal
+    // > avg) so no truncating division can flip the threshold
+    // cross-engine.
+    "q22_no_orders" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .withColumn("bal_cents",
+          round(col("c_acctbal") * 100).cast("long"))
+      val pos = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+      val rich = cust.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("n") > col("s"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      rich.join(urgent,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("bal_cents")) / 100.0).as("total_bal"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -457,6 +512,30 @@ object OlapQueries extends QueryPack {
          FROM orders
          JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_total DESC, o_orderkey LIMIT 100"""
+         ORDER BY o_total DESC, o_orderkey LIMIT 100""",
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM customer LEFT JOIN (
+                       SELECT * FROM orders
+                       WHERE o_orderpriority <> '1-URGENT') o
+                     ON c_custkey = o_custkey
+                     GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM pc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q22_no_orders" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                    FROM customer),
+           t AS (SELECT sum(bal_cents) AS s, count(*) AS n
+                 FROM c WHERE bal_cents > 0)
+         SELECT c_nationkey, count(*) AS n_cust,
+                sum(bal_cents) / 100.0 AS total_bal
+         FROM c, t
+         WHERE bal_cents * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }
