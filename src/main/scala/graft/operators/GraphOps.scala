@@ -995,45 +995,57 @@ object GraphOps {
     * the pinned relation against the |V|·d state + one hash-agg —
     * nothing |E|-proportional exchanges after the one-time pin.
     *
-    * Determinism: round-1 products w·val are integer-valued doubles
-    * (val ∈ {−1,0,1}) — sums exact in any order, so x₁ is
-    * bit-identical cross-engine; later rounds' sum-order ulps are
-    * absorbed by the caller's 6dp rounding (the fastRP/PageRank
-    * precedent). */
+    * Determinism — the EXACT INTEGER GRID (the kmeansExact/PCA
+    * stance), adopted after a live 100× catch: the first cut kept
+    * doubles and leaned on 6dp output rounding to absorb round-2's
+    * sum-order ulps, and at 857,776 output rows exactly one value
+    * landed ON a rounding boundary where a last-ulp difference flips
+    * the 6th digit (flat100 r15: -0.232813 vs -0.232812). So state is
+    * LONG at scale 10⁶ throughout: q₀ ∈ {+10⁶, −10⁶, 0}; each round
+    * is q_k = floor(Σ w·q_{k-1} / wd) — an exact long sum (any order)
+    * followed by ONE IEEE division of identical operands and a floor,
+    * all bit-identical cross-engine by construction. The ≤1e-6
+    * per-round quantization is the operator's defined semantics, not
+    * error. Overflow: |q| ≤ 10⁶ invariantly (a weighted mean of
+    * bounded values is bounded), so Σ w·q ≤ wd·10⁶ — exact in a long
+    * to per-node co-occurrence mass wd ≈ 9·10¹², far past any corpus.
+    * Output `val` = Σ_k αk·q_k / 10⁶ (double). */
   def fastRPWeighted(wEdges: DataFrame, dims: Int,
                      iterWeights: Seq[Double]): DataFrame = {
     require(dims >= 1, s"fastRPWeighted: dims must be >= 1, got $dims")
     require(iterWeights.nonEmpty,
       "fastRPWeighted: iterWeights must be non-empty")
+    val Scale = 1000000L
     val wdeg = wEdges.groupBy(col("a").as("node"))
       .agg(sum(col("w")).as("wd")).transform(pin)
     val wEdgesD = wEdges
       .join(wdeg.select(col("node").as("a"), col("wd")), "a")
       .repartition(col("b")).sortWithinPartitions("b")
       .transform(pin)
-    var x = wdeg.select(col("node"),
+    var q = wdeg.select(col("node"),
         explode(sequence(lit(0L), lit(dims - 1L))).as("dim"))
       .withColumn("h",
         pmod(col("node") * lit(31L) + col("dim") * lit(1000003L) + lit(777L),
           lit(1000000007L)) % 6)
       .select(col("node"), col("dim"),
-        when(col("h") === 0, lit(1.0)).when(col("h") === 1, lit(-1.0))
-          .otherwise(lit(0.0)).as("val"))
+        when(col("h") === 0, lit(Scale)).when(col("h") === 1, lit(-Scale))
+          .otherwise(lit(0L)).as("q"))
       .localCheckpoint()
     var acc: DataFrame = null
     for (w <- iterWeights) {
-      x = wEdgesD.join(x, col("b") === col("node"))
+      q = wEdgesD.join(q, col("b") === col("node"))
         .groupBy(col("a").as("node"), col("dim"))
-        .agg((sum(col("w") * col("val")) / max(col("wd"))).as("val"))
+        .agg(floor(sum(col("w") * col("q")) / max(col("wd"))).as("q"))
         .localCheckpoint()
       if (w != 0.0) {
-        val term = x.select(col("node"), col("dim"),
-          (col("val") * lit(w)).as("val"))
+        val term = q.select(col("node"), col("dim"),
+          (col("q") * lit(w)).as("val"))
         acc = if (acc == null) term else acc.union(term)
       }
     }
     require(acc != null, "fastRPWeighted: all iteration weights are zero")
-    acc.groupBy("node", "dim").agg(sum(col("val")).as("val"))
+    acc.groupBy("node", "dim")
+      .agg((sum(col("val")) / lit(Scale.toDouble)).as("val"))
   }
 
   /** Window-`window` skip-gram pair extraction over a walk trace

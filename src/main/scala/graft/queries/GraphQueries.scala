@@ -1303,9 +1303,12 @@ object GraphQueries extends QueryPack {
           WHERE l.step <> r.step AND abs(l.step - r.step) <= 2
           GROUP BY 1, 2 ORDER BY 1, 2""",
     // B32: the skip-gram pairs as a count-weighted relation, then two
-    // weighted-FastRP rounds — round-1 sums are integer-valued
-    // products (bit-exact any order), round-2 ulps absorbed by the
-    // 6dp output rounding (GraphOps.fastRPWeighted scaladoc).
+    // weighted-FastRP rounds on the EXACT INTEGER GRID (state = LONG
+    // at scale 1e6; each round one exact integer sum + one identical
+    // IEEE division + floor — GraphOps.fastRPWeighted scaladoc for
+    // the 100× boundary-ulp catch that mandated it). floor, not
+    // integer division: DuckDB's BIGINT // truncates toward zero,
+    // Spark's floor rounds down — they differ on negatives.
     "graph_node2vec" ->
       s"""WITH $n2vTraceSql,
           prs AS MATERIALIZED (
@@ -1319,20 +1322,24 @@ object GraphQueries extends QueryPack {
           nv0 AS MATERIALIZED (SELECT node, dim,
                  CASE ((node * 31 + dim * 1000003 + 777) % 1000000007
                        + 1000000007) % 1000000007 % 6
-                   WHEN 0 THEN 1.0e0 WHEN 1 THEN -1.0e0
-                   ELSE 0.0e0 END AS val
+                   WHEN 0 THEN CAST(1000000 AS BIGINT)
+                   WHEN 1 THEN CAST(-1000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS q
                FROM nwd CROSS JOIN ndim),
           nv1 AS MATERIALIZED (SELECT p.center AS node, x.dim,
-                 sum(p.cnt * x.val) / max(d.wd) AS val
+                 CAST(floor(CAST(sum(p.cnt * x.q) AS DOUBLE) / max(d.wd))
+                      AS BIGINT) AS q
                FROM prs p JOIN nv0 x ON p.context = x.node
                JOIN nwd d ON d.node = p.center
                GROUP BY p.center, x.dim),
           nv2 AS MATERIALIZED (SELECT p.center AS node, x.dim,
-                 sum(p.cnt * x.val) / max(d.wd) AS val
+                 CAST(floor(CAST(sum(p.cnt * x.q) AS DOUBLE) / max(d.wd))
+                      AS BIGINT) AS q
                FROM prs p JOIN nv1 x ON p.context = x.node
                JOIN nwd d ON d.node = p.center
                GROUP BY p.center, x.dim)
-          SELECT n1.node, n1.dim, round(n1.val + n2.val, 6) AS val
+          SELECT n1.node, n1.dim,
+                 round((n1.q + n2.q) / 1000000.0e0, 6) AS val
           FROM nv1 n1 JOIN nv2 n2 USING (node, dim)
           ORDER BY node, dim""",
     "graph_sample_neighborhood" ->

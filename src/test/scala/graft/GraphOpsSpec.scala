@@ -582,23 +582,25 @@ class GraphOpsSpec extends SparkSpec {
     for (w <- trace.groupBy(_._1).values; p <- w; q <- w
          if p._2 != q._2 && math.abs(p._2 - q._2) <= 2)
       pairs((p._3, q._3)) = pairs.getOrElse((p._3, q._3), 0L) + 1L
-    def proj(node: Long, dim: Long): Double = {
+    // exact integer grid: state is LONG at scale 1e6, rounds are
+    // floor(Σ w·q / wd) — the fastRPWeighted determinism contract
+    def proj(node: Long, dim: Long): Long = {
       val m = 1000000007L
       val h = (((node * 31 + dim * 1000003 + 777) % m) + m) % m % 6
-      if (h == 0) 1.0 else if (h == 1) -1.0 else 0.0
+      if (h == 0) 1000000L else if (h == 1) -1000000L else 0L
     }
     val nodes = pairs.keys.map(_._1).toSeq.distinct
     val wd = nodes.map(n =>
       n -> pairs.collect { case ((c, _), w) if c == n => w }.sum).toMap
-    def step(x: Map[(Long, Long), Double]): Map[(Long, Long), Double] =
+    def step(x: Map[(Long, Long), Long]): Map[(Long, Long), Long] =
       (for (n <- nodes; d <- 0L until dims) yield (n, d) ->
-        pairs.collect { case ((c, ctx), w) if c == n =>
-          w * x((ctx, d)) }.sum / wd(n)).toMap
+        math.floor(pairs.collect { case ((c, ctx), w) if c == n =>
+          w * x((ctx, d)) }.sum.toDouble / wd(n)).toLong).toMap
     val x0 = (for (n <- nodes; d <- 0L until dims)
       yield (n, d) -> proj(n, d)).toMap
     val x1 = step(x0); val x2 = step(x1)
     val want = nodes.map(n => n -> (0L until dims).map(d =>
-      math.rint((x1((n, d)) + x2((n, d))) * 1e6) / 1e6)).toMap
+      math.rint((x1((n, d)) + x2((n, d))) / 1e6 * 1e6) / 1e6)).toMap
     assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
     for (n <- nodes) assert(got(n) == want(n), s"node $n: ${got(n)} vs ${want(n)}")
   }
