@@ -268,14 +268,19 @@ object GraphOps {
     * fixed-round oracle replay sound (past the fixpoint each round is
     * identity, so converge-early == fixed-count, the kCore argument).
     *
-    * Scale shape: one equi-join of the pinned pre-partitioned edge
-    * relation against the |V|-row coreness vector per round (only the
-    * vector exchanges — the eigenvector loop shape) + one hash-agg
-    * whose per-node collect is bounded by true degree (the
-    * neighborArrays adjacency stance); the H-index itself is a
-    * codegen'd size(filter(...)) over the sorted value array. Rounds
-    * needed ≈ graph-dependent but small (≤ 6 observed at every scale
-    * point; the peel-depth class); LOUD past maxIters like kCore.
+    * Scale shape (r15 rework — the r14 form pinned the relation on a
+    * but joined on b, re-exchanging |E| per round): round 1 joins the
+    * b-pinned edge relation against the |V|-row coreness vector (only
+    * the vector exchanges) + one |E| hash-agg exchange; every later
+    * round is a DELTA round — only neighbors of last round's changed
+    * nodes recompute, so the exchange decays to Σdeg(frontier) as the
+    * peel converges (identical fixpoint: an H-index reads only
+    * neighbor values, so an unchanged neighborhood cannot move). The
+    * per-node collect is bounded by true degree (the neighborArrays
+    * adjacency stance); the H-index itself is a codegen'd
+    * size(filter(...)) over the sorted value array. Rounds needed ≈
+    * graph-dependent but small (≤ 6 observed at every scale point;
+    * the peel-depth class); LOUD past maxIters like kCore.
     *
     * Output: (node, coreness).
     *
@@ -300,14 +305,41 @@ object GraphOps {
   def coreness(edges: DataFrame, maxIters: Int = 64,
                assertConvergedWithin: Option[Int] = None): DataFrame = {
     val und = undirected(edges).transform(pin)
-    val undP = und.repartition(col("a")).sortWithinPartitions("a")
+    // TWO pinned orientations (the link-prediction ea/eb pattern;
+    // r15 — the first cut pinned on a but JOINED on b, re-exchanging
+    // the full |E| relation every round, the top cost center of the
+    // 100× bench at 62.8 s): undB feeds the per-round value join on
+    // its partition key b, so only the coreness vector exchanges
+    // into it; undA feeds the delta restriction, co-partitioned with
+    // its semi-join key a.
+    val undB = und.repartition(col("b")).sortWithinPartitions("b")
+      .transform(pin)
+    val undA = und.repartition(col("a")).sortWithinPartitions("a")
       .transform(pin)
     var c = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).cast("long").as("c")).localCheckpoint()
+    // DELTA iteration (r15): a node's H-index reads only neighbor
+    // values, so it can move in round k only if a neighbor moved in
+    // round k-1 — recompute just N(frontier), merge into the carried
+    // vector. Round 1 computes everyone (frontier = null); late
+    // rounds touch the few nodes still peeling, so per-round cost
+    // decays from |E| to Σdeg(frontier) instead of staying flat.
+    var frontier: DataFrame = null
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val next = undP
+      val adj =
+        if (frontier == null) undB
+        else {
+          // candidates = neighbors of the frontier, read off the
+          // symmetric relation: semi-join undB's partition key
+          // against the frontier, project the other endpoint
+          val cand = undB.join(frontier.withColumnRenamed("node", "b"),
+              Seq("b"), "left_semi")
+            .select(col("a")).distinct()
+          undA.join(cand, Seq("a"), "left_semi")
+        }
+      val upd = adj
         .join(c.select(col("node").as("bk"), col("c").as("cb")),
           col("b") === col("bk"))
         .groupBy(col("a").as("node"))
@@ -318,10 +350,16 @@ object GraphOps {
           // positions (tie order within equal values is irrelevant)
           size(filter(col("cs"), (x, i) => x >= (i + 1).cast("long")))
             .cast("long").as("c"))
-        .localCheckpoint()
-      changed = next.join(c.withColumnRenamed("c", "old"), "node")
-        .filter(col("c") =!= col("old")).count()
-      c = next
+      val diff = upd.join(c.withColumnRenamed("c", "old"), "node")
+        .filter(col("c") =!= col("old"))
+        .select("node", "c").localCheckpoint()
+      changed = diff.count()
+      if (changed > 0) {
+        c = c.join(diff.withColumnRenamed("c", "cnew"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("cnew"), col("c")).as("c"))
+          .localCheckpoint()
+        frontier = diff.select("node")
+      }
       iter += 1
     }
     if (changed > 0)

@@ -199,19 +199,38 @@ object GraphQueries extends QueryPack {
       GraphOps.kCore(supplyEdges(s, dir, quantityCap = Some(1.0)), k = 2)
         .orderBy("node")),
 
-    // B29 (r14): degree assortativity (Newman's r; GDS graph-shape
-    // reporting) — Pearson correlation of endpoint degrees over the
-    // symmetric edge relation. Two degree joins onto the edge list +
-    // one one-pass corr aggregate; 4-dp rounding absorbs sub-ulp
-    // moment-formula differences (the cdc_value_stats stance).
+    // B29 (r14, reworked r15): degree assortativity (Newman's r; GDS
+    // graph-shape reporting) — Pearson correlation of endpoint
+    // degrees over the symmetric edge relation, computed CLOSED-FORM
+    // from exact integer moments instead of two |E|-wide degree
+    // joins + corr (the r14 plan; 23 s at flat100). Over a symmetric
+    // relation the marginals are identical, so with
+    //   n = Σd (edge rows), m1 = Σd² (= Σ_edges da = Σ_edges db),
+    //   m2 = Σd³, sxy = Σ_edges da·db = Σ_b d(b)·Σ_{a∈N(b)} d(a):
+    //   r = (n·sxy − m1²) / (n·m2 − m1²)   — no sqrt, no corr.
+    // The moments come off the |V| degree table (no edge join); only
+    // the cross term rides ONE |E| join. Every sum is an exact long
+    // (Σd³ overflows past hub degree ~2M / Σd³ ~9e18 — DuckDB errors
+    // loudly there, revisit with DecimalType sums); the final
+    // expression is the identical IEEE op tree over identical
+    // operands on both engines, so 4dp rounding is now cosmetic
+    // convention rather than ulp absorption.
     "graph_assortativity" -> ((s, dir) => {
       val und = GraphOps.undirected(supplyEdges(s, dir))
       val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
-      und.join(deg.select(col("a"), col("d").as("da")), "a")
-        .join(deg.select(col("a").as("bk"), col("d").as("db")),
-          col("b") === col("bk"))
-        .agg(count(lit(1)).as("n_edges"),
-          round(corr(col("da").cast("double"), col("db").cast("double")), 4)
+      val nbrSum = und.join(deg.select(col("a"), col("d").as("da")), "a")
+        .groupBy(col("b")).agg(sum(col("da")).as("sa"))
+      val sxy = nbrSum.join(deg.select(col("a").as("b"), col("d")), "b")
+        .agg(sum(col("sa") * col("d")).as("sxy"))
+      val mom = deg.agg(sum(col("d")).as("n"),
+        sum(col("d") * col("d")).as("m1"),
+        sum(col("d") * col("d") * col("d")).as("m2"))
+      mom.crossJoin(sxy)
+        .select(col("n").as("n_edges"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+              col("m1").cast("double") * col("m1").cast("double")) /
+            (col("n").cast("double") * col("m2").cast("double") -
+              col("m1").cast("double") * col("m1").cast("double")), 4)
             .as("assortativity"))
     }),
 
@@ -1132,12 +1151,26 @@ object GraphQueries extends QueryPack {
                                FROM und GROUP BY 1),
           ${(1 to 10).map(hciIter).mkString(",\n")}
           SELECT node, c AS coreness FROM hc10 ORDER BY node""",
+    // closed-form Pearson over exact integer moments (see the entry
+    // comment) — identical op tree to the Spark side, operand for
+    // operand, so the result is deterministic rather than
+    // corr-implementation-dependent
     "graph_assortativity" ->
       s"""WITH ${edgeSql("")},
-          deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1)
-          SELECT count(*) AS n_edges,
-                 round(corr(da.d * 1.0, db.d * 1.0), 4) AS assortativity
-          FROM und u JOIN deg da ON u.a = da.a JOIN deg db ON u.b = db.a""",
+          deg AS MATERIALIZED (SELECT a, count(*) AS d FROM und GROUP BY 1),
+          mom AS (SELECT sum(d) AS n, sum(d*d) AS m1, sum(d*d*d) AS m2
+                  FROM deg),
+          nbs AS (SELECT u.b AS b, sum(da.d) AS sa
+                  FROM und u JOIN deg da ON u.a = da.a GROUP BY u.b),
+          sx AS (SELECT sum(nbs.sa * db.d) AS sxy
+                 FROM nbs JOIN deg db ON nbs.b = db.a)
+          SELECT CAST(n AS BIGINT) AS n_edges,
+                 round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(m2 AS DOUBLE) -
+                        CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)), 4)
+                   AS assortativity
+          FROM mom, sx""",
     "graph_degree_hist" ->
       s"""WITH ${edgeSql("")},
           deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1)
