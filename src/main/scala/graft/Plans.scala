@@ -67,7 +67,8 @@ object Plans {
       "graph_assortativity", "graph_degree_hist", "graph_coreness",
       "cdc_funnel_times", "embed_pca_power", "stream_sliding_counts",
       "cdc_cohort_matrix", "q4_priority_returns",
-      "q13_custdist", "q22_no_orders", "graph_node2vec")
+      "q13_custdist", "q22_no_orders", "graph_node2vec",
+      "q21_waiting_supplier", "q16_supplier_cnt")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -366,6 +366,79 @@ object OlapQueries extends QueryPack {
         .agg(count(lit(1)).as("n_cust"),
           (sum(col("bal_cents")) / 100.0).as("total_bal"))
         .orderBy("c_nationkey")
+    }),
+
+    // C16 (r15): TPC-H Q21 shape — the COMPOSED correlated-subquery
+    // class: an EXISTS and a NOT EXISTS against the SAME relation with
+    // a different-supplier (<>) correlation, the hardest join shape in
+    // TPC-H. "Late" adapts to l_shipdate > o_orderdate + 60 days (the
+    // testdata carries no commit/receipt dates); the class is intact.
+    // Decorrelated to ONE aggregation instead of two |lineitem|
+    // self-joins: per order, count distinct suppliers (nsupp), count
+    // distinct LATE suppliers (nlate), and keep the order when
+    // nsupp ≥ 2 (the EXISTS: some other supplier participated) and
+    // nlate = 1 (the NOT EXISTS: nobody ELSE was late — the single
+    // late supplier is the waiting-blocker). Equivalence: a late
+    // candidate (order, supplier) survives the NOT EXISTS iff the
+    // order's late-supplier set is exactly {supplier}, i.e. nlate = 1;
+    // so at most one candidate per order survives and numwait counts
+    // qualifying ORDERS. Cost: one orderkey shuffle for the
+    // lineitem⋈orders join, then two map-side-combinable hash-aggs
+    // (the (order, supplier) dedup collapses multi-line suppliers
+    // before the per-order count); the DuckDB oracle replays the
+    // LITERAL EXISTS/NOT EXISTS form, proving the decorrelation.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val lo = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .cast("int").as("late"))
+      val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nsupp"),
+          sum(col("late")).as("nlate"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      perOrder
+        .join(Tables.load(s, dir, "supplier"),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // C17 (r15): TPC-H Q16 shape — supplier-diversity reporting:
+    // DISTINCT-count per attribute group with a NOT IN exclusion
+    // subquery (negative-balance suppliers stand in for Q16's
+    // complaint filter; s_suppkey is non-nullable so NOT IN is
+    // exactly a LEFT ANTI join — the null-poisoning NOT IN trap does
+    // not apply and the scaladoc'd rewrite is safe). Scale shape: the
+    // exclusion list broadcasts (|supplier| ≪ facts); the
+    // (partkey, suppkey) dedup is map-side-combinable and bounds the
+    // part join's probe side; the second dedup collapses to
+    // ≤ |brand|·|size|·|supplier| rows before the final tiny agg —
+    // never a countDistinct expand over raw lineitem.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val excluded = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val pairs = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .distinct()
+      pairs
+        .join(Tables.load(s, dir, "part")
+            .select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
     })
   )
 
@@ -536,6 +609,33 @@ object OlapQueries extends QueryPack {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
-         GROUP BY c_nationkey ORDER BY c_nationkey"""
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // the LITERAL correlated form — proves the Scala side's
+    // single-aggregation decorrelation
+    "q21_waiting_supplier" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderstatus = 'F'),
+           cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+                    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM cand c JOIN supplier ON s_suppkey = c.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lo
+                       WHERE lo.l_orderkey = c.l_orderkey
+                         AND lo.l_suppkey <> c.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lo
+                           WHERE lo.l_orderkey = c.l_orderkey
+                             AND lo.l_suppkey <> c.l_suppkey
+                             AND lo.l_shipdate >
+                                 lo.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_suppkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_size"""
   )
 }

@@ -278,4 +278,62 @@ class CoreQueriesSpec extends SparkSpec {
       .agg(sum(col("cnt"))).head().getLong(0)
     assert(got == signups, s"next-event rows $got != signups $signups")
   }
+
+  test("q21 decorrelation == the literal EXISTS/NOT EXISTS form") {
+    // the operator replaces Q21's two correlated subqueries with one
+    // per-order aggregation (nsupp >= 2, nlate == 1); replay the
+    // LITERAL correlated form through Spark SQL itself and demand
+    // identical results — an in-engine twin of the DuckDB oracle
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("q21_l")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("q21_o")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("q21_s")
+    val literal = spark.sql(
+      """WITH lo AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                     FROM q21_l JOIN q21_o ON l_orderkey = o_orderkey
+                     WHERE o_orderstatus = 'F'),
+           cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+                    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM cand c JOIN q21_s ON s_suppkey = c.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lo
+                       WHERE lo.l_orderkey = c.l_orderkey
+                         AND lo.l_suppkey <> c.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lo
+                           WHERE lo.l_orderkey = c.l_orderkey
+                             AND lo.l_suppkey <> c.l_suppkey
+                             AND lo.l_shipdate >
+                                 lo.o_orderdate + INTERVAL 60 DAYS)
+         GROUP BY s_suppkey, s_name""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == literal,
+      s"decorrelated ${got.size} rows != literal ${literal.size}")
+    assert(got.nonEmpty, "q21 fixture selected nothing — predicate dead")
+  }
+
+  test("q16 anti-join == the literal NOT IN form; groups bounded") {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("q16_l")
+    Tables.load(spark, sfDir, "part").createOrReplaceTempView("q16_p")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("q16_s")
+    val literal = spark.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM q16_l JOIN q16_p ON l_partkey = p_partkey
+         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM q16_s
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_size""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val df = SparkEntry.queries("q16_supplier_cnt")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == literal,
+      s"anti-join ${got.size} groups != NOT IN ${literal.size}")
+    // output is attribute-bounded: |brand| x |size| at any corpus size
+    val bound = Tables.load(spark, sfDir, "part")
+      .select("p_brand", "p_size").distinct().count()
+    assert(got.size <= bound, s"${got.size} groups > $bound attributes")
+  }
 }
