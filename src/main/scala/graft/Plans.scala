@@ -68,7 +68,10 @@ object Plans {
       "cdc_funnel_times", "embed_pca_power", "stream_sliding_counts",
       "cdc_cohort_matrix", "q4_priority_returns",
       "q13_custdist", "q22_no_orders", "graph_node2vec",
-      "q21_waiting_supplier", "q16_supplier_cnt")
+      "q21_waiting_supplier", "q16_supplier_cnt",
+      "q6_forecast", "q7_volume_shipping", "q8_market_share",
+      "q9_product_profit", "q10_returned_items", "q12_late_lines",
+      "q14_promo_revenue", "q19_disjunctive")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -439,6 +439,241 @@ object OlapQueries extends QueryPack {
         .groupBy("p_brand", "p_size")
         .agg(count(lit(1)).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // C18 (r15): TPC-H Q6 shape — the pure filter-pushdown aggregate
+    // (the canonical parquet-stats pruning benchmark: no join, the
+    // entire query is scan selectivity). The shipdate range and the
+    // quantity bound reach PushedFilters; the discount band is decided
+    // on EXACT basis points (round(d·100) ∈ [5,7] — the q1 integer
+    // stance, so no raw-double boundary compare can flip cross-engine)
+    // with a REDUNDANT wider raw-double range (0.04, 0.08) underneath
+    // it that IS pushable — parquet row groups still prune, the bp
+    // predicate only adjudicates rows the range already admitted.
+    // Q6's revenue is price·discount (the forecast delta), in exact
+    // cents·bp longs.
+    "q6_forecast" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+                col("l_quantity") < 24 &&
+                col("l_discount") > 0.04 && col("l_discount") < 0.08)
+        .filter(round(col("l_discount") * 100).cast("long").between(5, 7))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+               round(col("l_discount") * 100).cast("long")) / 10000.0)
+            .as("revenue"))),
+
+    // C19 (r15): TPC-H Q7 shape — bilateral volume shipping: revenue
+    // between two named nations by (supplier nation, customer nation,
+    // ship year). Scale shape: the nation filter lands on the DIM
+    // sides FIRST (supplier/customer each shrink to 2/25 via a
+    // broadcast of the 2-row nation slice) so the fact joins probe
+    // pruned build sides; the cross-pair (s ≠ c) filter runs on the
+    // two attached name columns after the joins. The heavy exchanges
+    // are the lineitem⋈orders orderkey shuffle — unavoidable — and the
+    // custkey shuffle; both carry only pruned survivors.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_10", "NATION_12"))
+      val supp = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // C20 (r15): TPC-H Q8 shape — national market share: the fraction
+    // of a market's volume (ASIA-region customers buying ECONOMY
+    // parts) supplied by one nation, per order year. The conditional
+    // share is the shape: sum(CASE supplier-is-NATION_3)/sum(all) over
+    // the SAME aggregate — one pass, no self-join. Customer membership
+    // is a LEFT SEMI (key-only exchange; the market filter needs
+    // existence, not columns); numerator and denominator are exact
+    // cents·bp longs, so the 4dp share ratio is one IEEE division
+    // over identical operands cross-engine. The NATION_3 test rides
+    // s_nationkey directly — no supplier-side nation join at all.
+    "q8_market_share" -> ((s, dir) => {
+      val asia = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val pk = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val vol = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.load(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey",
+            "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("s_nationkey") === 3, vol).otherwise(0L)) * 1.0 /
+            sum(vol), 4).as("mkt_share"),
+          (sum(vol) / 10000.0).as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // C21 (r15): TPC-H Q9 shape — product-line profit by supplier
+    // nation and order year, with a part-NAME substring filter (the
+    // LIKE class: unindexable, evaluated post-scan on the dim — but
+    // the dim shrinks BEFORE touching the fact). The testdata carries
+    // no ps_supplycost; p_retailprice·quantity stands in as the cost
+    // leg (documented adaptation — the profit SHAPE, a signed
+    // two-term sum, is what the class tests). Exact basis-point-cents
+    // longs: extc·(100−bp) − retailc·100·qty per row, summed as
+    // longs (row magnitude ~1e9, Long headroom to ~9e18 — the q1
+    // overflow stance), /10000.0 once at the end.
+    "q9_product_profit" -> ((s, dir) => {
+      val pk = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retailc"))
+      val profitBp =
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+        col("retailc") * lit(100L) * col("l_quantity").cast("long")
+      Tables.load(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(profitBp) / 10000.0).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // C22 (r15): TPC-H Q10 shape — returned-item ranking: top-20
+    // customers by revenue lost to returns in one quarter. The quarter
+    // filter prunes orders FIRST (parquet stats), the returnflag
+    // filter prunes lineitem, then one orderkey join + one custkey
+    // join + a broadcast nation name. Revenue in exact cents·bp longs
+    // makes the desc ranking engine-stable; c_custkey breaks ties.
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select("o_orderkey", "o_custkey")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          (round(col("c_acctbal") * 100).cast("long") / 100.0).as("c_acctbal"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // C23 (r15): TPC-H Q12 shape — late-shipment priority accounting:
+    // CASE-conditional counts (high-priority vs low-priority lines)
+    // among LATE lines, grouped by a line attribute. Adaptations (the
+    // q21 stance): no shipmode column → l_linestatus is the grouping
+    // stand-in; no commit/receipt dates → late = l_shipdate >
+    // o_orderdate + 60 days. The orders join carries only
+    // (o_orderkey, o_orderdate, o_orderpriority); both conditional
+    // counts collapse map-side in ONE aggregate — never two passes.
+    "q12_late_lines" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus").as("ship_class"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+
+    // C24 (r15): TPC-H Q14 shape — promotional-revenue share: the
+    // conditional-aggregate RATIO class (promo fraction of one
+    // month's revenue). One month of lineitem (pushed range) joins
+    // part for the type flag; numerator and denominator come out of
+    // the SAME hash-agg as exact cents·bp longs, the 4dp percentage
+    // is one IEEE multiply-divide over identical operands.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1996-02-01")))
+        .join(Tables.load(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", vol).otherwise(0L))
+            * 100.0 / sum(vol), 4).as("promo_pct"),
+          (sum(vol) / 10000.0).as("total_revenue"))
+    }),
+
+    // C25 (r15): TPC-H Q19 shape — the DISJUNCTIVE-predicate class:
+    // an OR of three (brand ∧ size-range ∧ quantity-range) clauses
+    // spanning BOTH join sides. The scale move is the implied-
+    // predicate extraction Q19 exists to test: each clause requires
+    // brand ∈ {1,2,3} ∧ size ≤ 15 (part side) and quantity ≤ 30
+    // (lineitem side) — hoisted here as explicit simple conjuncts so
+    // both scans prune with plain range/In PushedFilters regardless
+    // of optimizer version. (Catalyst additionally projects the
+    // per-side disjuncts of the OR into each scan — the plan audit
+    // shows both forms pushed; the spec replays the UNHOISTED literal
+    // through Spark SQL and proves the hoist semantics-preserving.)
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+                col("p_size") >= 1 && col("p_size") <= 15)
+        .select("p_partkey", "p_brand", "p_size")
+      val clause =
+        (col("p_brand") === "Brand#1" && col("p_size") <= 5 &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("l_quantity").between(20, 30))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"))
     })
   )
 
@@ -636,6 +871,109 @@ object OlapQueries extends QueryPack {
          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                  WHERE s_acctbal < 0)
          GROUP BY p_brand, p_size
-         ORDER BY supplier_cnt DESC, p_brand, p_size"""
+         ORDER BY supplier_cnt DESC, p_brand, p_size""",
+    "q6_forecast" ->
+      """SELECT count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_quantity < 24
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""",
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+             OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                round(sum(CASE WHEN s_nationkey = 3 THEN vol ELSE 0 END) * 1.0
+                      / sum(vol), 4) AS mkt_share,
+                sum(vol) / 10000.0 AS total_volume
+         FROM (SELECT o_orderdate, s_nationkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               WHERE l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_type = 'ECONOMY')
+                 AND o_custkey IN (SELECT c_custkey FROM customer
+                                   JOIN nation ON c_nationkey = n_nationkey
+                                   JOIN region ON n_regionkey = r_regionkey
+                                   WHERE r_name = 'ASIA'))
+         GROUP BY 1 ORDER BY o_year""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                      * CAST(l_quantity AS BIGINT)) / 10000.0 AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS c_acctbal,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q12_late_lines" ->
+      """SELECT l_linestatus AS ship_class,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1 ORDER BY ship_class""",
+    "q14_promo_revenue" ->
+      """SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END)
+                      * 100.0 / sum(vol), 4) AS promo_pct,
+                sum(vol) / 10000.0 AS total_revenue
+         FROM (SELECT p_type,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-02-01')""",
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""
   )
 }

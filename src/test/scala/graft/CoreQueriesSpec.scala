@@ -336,4 +336,55 @@ class CoreQueriesSpec extends SparkSpec {
       .select("p_brand", "p_size").distinct().count()
     assert(got.size <= bound, s"${got.size} groups > $bound attributes")
   }
+
+  test("q19 manual implied-predicate hoisting == the literal OR form") {
+    // the operator hoists the conjuncts implied by the cross-relation
+    // OR (brand ∈ {1,2,3}, size ≤ 15, qty ≤ 30) above the join so both
+    // scans prune; replay the UNHOISTED literal form through Spark SQL
+    // and demand the identical aggregate — proving the hoist is
+    // semantics-preserving, not just plan-flattering
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("q19_l")
+    Tables.load(spark, sfDir, "part").createOrReplaceTempView("q19_p")
+    val literal = spark.sql(
+      """SELECT count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  / CAST(10000.0 AS DOUBLE) AS revenue
+         FROM q19_l JOIN q19_p ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""").head()
+    val got = SparkEntry.queries("q19_disjunctive")(spark, sfDir).head()
+    assert(got.getLong(0) == literal.getLong(0) &&
+           got.getDouble(1) == literal.getDouble(1),
+      s"hoisted (${got.getLong(0)}, ${got.getDouble(1)}) != " +
+        s"literal (${literal.getLong(0)}, ${literal.getDouble(1)})")
+    assert(got.getLong(0) > 0, "q19 fixture selected nothing — predicate dead")
+  }
+
+  test("q12 high+low partition the late-line count; q8 share in [0,1]") {
+    // q12's two conditional counts are a partition of the late-join
+    // row count — recompute the total independently
+    val lateTotal = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.load(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    val q12 = SparkEntry.queries("q12_late_lines")(spark, sfDir)
+      .agg(sum(col("high_line_count") + col("low_line_count"))).head().getLong(0)
+    assert(q12 == lateTotal, s"q12 partition sum $q12 != late rows $lateTotal")
+    // q8's conditional share is a fraction of the same aggregate by
+    // construction — every year must sit in [0,1]
+    SparkEntry.queries("q8_market_share")(spark, sfDir).collect().foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share outside [0,1]")
+    }
+  }
 }
