@@ -674,6 +674,129 @@ object OlapQueries extends QueryPack {
           (sum(round(col("l_extendedprice") * 100).cast("long") *
                (lit(100L) - round(col("l_discount") * 100).cast("long")))
           / 10000.0).as("revenue"))
+    }),
+
+    // C26 (r15): TPC-H Q2 shape — the ARGMIN-per-group join-back
+    // class: for each size-15 part, the supplier(s) with the MINIMUM
+    // account balance among suppliers who have shipped it (the
+    // testdata carries no partsupp/ps_supplycost — partsupp derives
+    // as DISTINCT (l_partkey, l_suppkey) shipping history and
+    // s_acctbal stands in for the cost; the correlated-min SHAPE is
+    // the class). Decorrelated to a whole-partition WINDOW min +
+    // filter — ties kept, Q2's contract — rather than a min-agg
+    // joined back: the join-back form plans the pair-dedup subtree
+    // TWICE (Spark does not reuse the un-cached common subplan — two
+    // lineitem scans), the window form scans once and pays one
+    // partkey exchange + sort over the part-filtered pair relation.
+    // Pair dedup collapses map-side BEFORE any dim join; the part
+    // filter (1/|sizes|) prunes the pair relation going in. Exact
+    // integer cents make the min and the desc ranking engine-stable.
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val pk = Tables.load(s, dir, "part")
+        .filter(col("p_size") === 15).select("p_partkey")
+      val ps = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(pk, col("l_partkey") === col("p_partkey"))
+      val wb = ps.join(Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            round(col("s_acctbal") * 100).cast("long").as("bal")),
+        col("l_suppkey") === col("s_suppkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_partkey")
+      wb.withColumn("min_bal", min(col("bal")).over(w))
+        .filter(col("bal") === col("min_bal"))
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select((col("bal") / 100.0).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // C27 (r15): TPC-H Q11 shape — the FRACTION-OF-TOTAL HAVING
+    // class: per-part inventory value, keeping parts whose value
+    // exceeds 1/10000 of the corpus total. Value adapts to
+    // Σ_pairs(shipped qty · supplier balance cents) — the
+    // cost-times-quantity product Q11 sums, from the columns the
+    // testdata has (positive-balance suppliers stand in for Q11's
+    // nation filter). The global total is one extra row out of the
+    // SAME aggregate tree, broadcast back over the per-part rows; the
+    // threshold is DISTRIBUTION-RELATIVE — value > 1.5× the mean part
+    // value, compared cross-multiplied in exact integers
+    // (value·np·2 > total·3, no division) — because a fixed fraction
+    // of total (Q11's literal 0.0001) empties as the corpus grows
+    // (total scales with SF, a part's value does not; measured: 11
+    // parts at sf0.1, ZERO at 10×), while the vs-mean form tracks the
+    // distribution at every scale (3 / 55 / 642 / 6,420 / 64,200
+    // parts across sf0.001 → 100×). Overflow headroom: value·np·2 ≈
+    // 4e17 at 100×, Long-safe to ~sf1000 (then regroup via DIV).
+    "q11_important_stock" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"),
+          round(col("s_acctbal") * 100).cast("long").as("bal"))
+      // The partsupp-level value DISTRIBUTES over lines:
+      // Σ_pairs (Σ_lines qty)·bal == Σ_lines qty·bal — so the engine
+      // never materializes the derived partsupp at all (the first cut
+      // did: three ~|pairs| exchanges per branch, 55M rows each at
+      // flat100, probed 18-22 s). One suppkey join at line grain +
+      // one map-side-combinable partkey agg; the DuckDB oracle keeps
+      // the LITERAL pair-structured formulation, so the hash match
+      // additionally proves the distributivity rewrite.
+      def lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"), col("l_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      val v = lines
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("qty") * col("bal")).as("value"))
+      // the scalar branch recomputes the line subtree (the
+      // q15-adjudicated rescan class — Spark does not reuse un-cached
+      // common subplans) but collapses map-side to a single row
+      val tot = lines.agg(sum(col("qty") * col("bal")).as("t"),
+        count_distinct(col("l_partkey")).as("np"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value") * col("np") * 2 > col("t") * 3)
+        .select(col("p_partkey"), col("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // C28 (r15): TPC-H Q20 shape — the NESTED-SEMI-JOIN class with a
+    // correlated aggregate threshold: suppliers who DOMINATE the
+    // shipping of some widget part (pair quantity > 2× the part's
+    // mean pair quantity — the availqty-vs-half-shipped correlated
+    // compare adapted to shipping history; a fixed fraction-of-total
+    // would empty as supplier counts grow, the vs-mean form is
+    // SF-stable). Decorrelated to one (part, supplier) aggregate +
+    // one per-part rollup, compared cross-multiplied in exact
+    // integers (q·np > 2·tq ⟺ q > 2·mean, no division); the supplier
+    // surface is a LEFT SEMI — key-only exchange, first match wins.
+    // The per-part rollup rides a whole-partition WINDOW over the
+    // pair aggregate (the agg+join-back form plans the pair subtree
+    // twice — two lineitem scans; the window form scans once:
+    // lineitem → (part,supp) hash-agg → one partkey exchange + sort).
+    // The DuckDB oracle replays the LITERAL doubly-correlated
+    // subquery form, proving the decorrelation.
+    "q20_promotion_parts" -> ((s, dir) => {
+      val pk = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%widget%")).select("p_partkey")
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey")
+      val cand = pairs
+        .withColumn("tq", sum(col("q")).over(w))
+        .withColumn("np", count(lit(1)).over(w))
+        .filter(col("q") * col("np") > lit(2L) * col("tq"))
+        .select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(cand, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     })
   )
 
@@ -974,6 +1097,52 @@ object OlapQueries extends QueryPack {
             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 20 AND 30)"""
+                AND l_quantity BETWEEN 20 AND 30)""",
+    // the LITERAL correlated-min form — proves the argmin decorrelation
+    "q2_min_cost_supp" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           w AS (SELECT p_partkey, s_name, s_nationkey,
+                        CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+                 FROM ps
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 WHERE p_size = 15)
+         SELECT bal / 100.0 AS s_acctbal, s_name, n_name, p_partkey
+         FROM w JOIN nation ON s_nationkey = n_nationkey
+         WHERE bal = (SELECT min(bal) FROM w w2
+                      WHERE w2.p_partkey = w.p_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    // the LITERAL scalar-subquery HAVING form
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey AS p_partkey,
+                CAST(sum(q * bal) AS BIGINT) AS value
+              FROM (SELECT l_partkey, l_suppkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                    FROM lineitem GROUP BY 1, 2) pairs
+              JOIN (SELECT s_suppkey,
+                           CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+                    FROM supplier WHERE s_acctbal > 0) sup
+                ON l_suppkey = s_suppkey
+              GROUP BY 1)
+         SELECT p_partkey, value FROM v
+         WHERE value * (SELECT count(*) FROM v) * 2
+               > (SELECT sum(value) FROM v) * 3
+         ORDER BY value DESC, p_partkey""",
+    // the LITERAL doubly-correlated form — proves the decorrelation
+    "q20_promotion_parts" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                    FROM lineitem
+                    WHERE l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_name LIKE '%widget%')
+                    GROUP BY 1, 2)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM q
+           WHERE q.q * (SELECT count(*) FROM q q2
+                        WHERE q2.l_partkey = q.l_partkey)
+                 > 2 * (SELECT sum(q2.q) FROM q q2
+                        WHERE q2.l_partkey = q.l_partkey))
+         ORDER BY s_suppkey"""
   )
 }

@@ -365,6 +365,73 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.getLong(0) > 0, "q19 fixture selected nothing — predicate dead")
   }
 
+  test("q2 argmin join-back == the literal correlated-min form; ties kept") {
+    // replay Q2's correlated scalar-min subquery through Spark SQL and
+    // demand the identical result set (pre-LIMIT, so the comparison is
+    // order-free) — proving the min-agg join-back decorrelation
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("q2_l")
+    Tables.load(spark, sfDir, "part").createOrReplaceTempView("q2_p")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("q2_s")
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("q2_n")
+    val literal = spark.sql(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM q2_l),
+           w AS (SELECT p_partkey, s_name, s_nationkey,
+                        CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+                 FROM ps
+                 JOIN q2_p ON l_partkey = p_partkey
+                 JOIN q2_s ON l_suppkey = s_suppkey
+                 WHERE p_size = 15)
+         SELECT bal, s_name, n_name, p_partkey
+         FROM w JOIN q2_n ON s_nationkey = n_nationkey
+         WHERE bal = (SELECT min(bal) FROM w w2
+                      WHERE w2.p_partkey = w.p_partkey)""")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // sf0.001 result is < the 100 limit, so the operator output IS the
+    // full qualifying set
+    val got = SparkEntry.queries("q2_min_cost_supp")(spark, sfDir)
+      .collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getString(1),
+        r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got.size < 100, "fixture outgrew the LIMIT — compare invalid")
+    assert(got == literal,
+      s"decorrelated ${got.size} rows != literal ${literal.size}")
+    assert(got.nonEmpty, "q2 fixture selected nothing — predicate dead")
+    // the argmin keeps ALL tied suppliers: every (part, min-bal) group
+    // in the literal set appears fully
+    val perPart = literal.groupBy(_._4).view.mapValues(_.size).toMap
+    val gotPerPart = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(perPart == gotPerPart, "tie multiplicity differs per part")
+  }
+
+  test("q20 nested-semi decorrelation == the literal correlated form") {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("q20_l")
+    Tables.load(spark, sfDir, "part").createOrReplaceTempView("q20_p")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("q20_s")
+    val literal = spark.sql(
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qv
+                    FROM q20_l
+                    WHERE l_partkey IN (SELECT p_partkey FROM q20_p
+                                        WHERE p_name LIKE '%widget%')
+                    GROUP BY 1, 2)
+         SELECT s_suppkey, s_name FROM q20_s
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM pq
+           WHERE pq.qv * (SELECT count(*) FROM pq q2
+                          WHERE q2.l_partkey = pq.l_partkey)
+                 > 2 * (SELECT sum(q2.qv) FROM pq q2
+                        WHERE q2.l_partkey = pq.l_partkey))""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = SparkEntry.queries("q20_promotion_parts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == literal,
+      s"decorrelated ${got.size} suppliers != literal ${literal.size}")
+    assert(got.nonEmpty, "q20 fixture selected nothing — predicate dead")
+  }
+
   test("q12 high+low partition the late-line count; q8 share in [0,1]") {
     // q12's two conditional counts are a partition of the late-join
     // row count — recompute the total independently
