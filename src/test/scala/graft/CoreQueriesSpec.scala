@@ -432,6 +432,45 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "q20 fixture selected nothing — predicate dead")
   }
 
+  test("bigram ppl: independent in-memory replay on sf0.001") {
+    // recompute every document's (n_big, n_backoff, avg_nll) from the
+    // raw text in plain Scala — train on even doc_ids, min-count-2
+    // bigram table, stupid backoff to add-one unigrams — and demand
+    // exact agreement with the distributed plan (4dp on the NLL)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq)
+    val train = docs.filter(_._1 % 2 == 0)
+    val uni = train.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = uni.values.sum; val v = uni.size.toLong
+    val big = train.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .map(p => (p(0), p(1))).groupBy(identity)
+      .collect { case (k, o) if o.size >= 2 => k -> o.size.toLong }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs.collect { case (id, t) if t.size >= 2 =>
+      val nlls = t.sliding(2).filter(_.size == 2).map { p =>
+        (big.get((p(0), p(1))), uni.get(p(0))) match {
+          case (Some(bc), Some(pc)) => (math.log(pc.toDouble / bc), 0L)
+          case (_, _) =>
+            (math.log((n + v).toDouble /
+              (0.4 * (uni.getOrElse(p(1), 0L) + 1))), 1L)
+        }
+      }.toSeq
+      id -> ((nlls.size.toLong, nlls.map(_._2).sum,
+        r4(nlls.map(_._1).sum / nlls.size)))
+    }.toMap
+    val got = SparkEntry.queries("text_bigram_ppl")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"doc coverage differs: ${got.size} vs ${want.size}")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)} want $w")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("q12 high+low partition the late-line count; q8 share in [0,1]") {
     // q12's two conditional counts are a partition of the late-join
     // row count — recompute the total independently
