@@ -24,6 +24,17 @@ object DedupQueries extends QueryPack {
           "doc_id", "text", n = 3, tau = 0.5, dfCap = 1000L)
         .orderBy("i", "j")),
 
+    // D19 (r15): blocked edit-distance near-dup pairs on the leading
+    // 24-char key — the record-linkage fuzzy-match class (typo'd
+    // titles/names) the shingle family doesn't cover at string grain.
+    // Two-pass prefix/suffix blocking with PROVEN full recall on the
+    // len ≥ 2p domain (a single edit cannot break both blocks — see
+    // the operator scaladoc); blocked == brute-force spec-pinned.
+    "dedup_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("i", "j")),
+
     // D18 (r14): asymmetric n-gram CONTAINMENT ≥ 0.8 — the
     // subset/superset near-dup class (short doc embedded in a long
     // one) that Jaccard's symmetric denominator structurally misses.
@@ -79,6 +90,22 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_edit_pairs" ->
+      """WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 24)) AS k
+                    FROM documents WHERE text IS NOT NULL),
+           kd AS (SELECT * FROM k WHERE len(k) >= 20),
+           bl AS (SELECT id, k, substr(k, 1, 10) AS blk FROM kd
+                  UNION ALL
+                  SELECT id, k, substr(k, -10) AS blk FROM kd),
+           keep AS (SELECT blk FROM bl GROUP BY blk
+                    HAVING count(*) <= 10000),
+           bb AS (SELECT bl.* FROM bl JOIN keep USING (blk)),
+           cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+                           a.k AS ki, b.k AS kj
+                    FROM bb a JOIN bb b ON a.blk = b.blk AND a.id < b.id
+                    WHERE abs(len(a.k) - len(b.k)) <= 1)
+         SELECT i, j, CAST(levenshtein(ki, kj) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(ki, kj) <= 1 ORDER BY i, j""",
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
           sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tok

@@ -432,6 +432,49 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "q20 fixture selected nothing — predicate dead")
   }
 
+  test("edit-distance pairs: blocked == brute force; corner fixture") {
+    // the recall proof says two-pass prefix/suffix blocking loses
+    // NOTHING on keys of length >= 2p at maxDist 1 — verify by
+    // quadratic brute force over the real corpus
+    val keyed = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        lower(substring(col("text"), 1, 24)).as("k"))
+      .filter(length(col("k")) >= 20)
+    val brute = keyed.as("a").join(keyed.as("b"), col("a.id") < col("b.id"))
+      .filter(abs(length(col("a.k")) - length(col("b.k"))) <= 1 &&
+        levenshtein(col("a.k"), col("b.k")) <= 1)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("dedup_edit_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"blocked ${got.size} != brute ${brute.size}")
+    // directed corners: an edit at the FRONT survives via the suffix
+    // pass, at the END via the prefix pass, in the MIDDLE via both;
+    // distance-2 pairs and short keys are excluded by contract
+    val s2 = spark
+    import s2.implicits._
+    val base = "abcdefghij0123456789xyzw"          // 24 chars
+    val fx = Seq(
+      1L -> base,
+      2L -> ("Z" + base.tail),                      // front substitution
+      3L -> (base.init + "Z"),                      // end substitution
+      4L -> (base.take(12) + "Z" + base.drop(13)),  // middle substitution
+      5L -> (base.take(12) + base.drop(13)),        // middle deletion
+      6L -> ("ZZ" + base.drop(2)),                  // distance 2 — out
+      7L -> "shortkey")                             // < 2p — out of domain
+      .toDF("doc_id", "text")
+    val gotFx = operators.Dedup.editDistancePairs(fx, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotFx == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (1L, 5L, 1L), (4L, 5L, 1L), (2L, 6L, 1L)),
+      s"fixture got $gotFx")
+    // over-cap blocks drop entirely (the documented recall stance)
+    val capped = operators.Dedup.editDistancePairs(
+      fx, "doc_id", "text", blockCap = 1L)
+    assert(capped.count() == 0, "cap 1 must drop every shared block")
+  }
+
   test("bigram ppl: independent in-memory replay on sf0.001") {
     // recompute every document's (n_big, n_backoff, avg_nll) from the
     // raw text in plain Scala — train on even doc_ids, min-count-2

@@ -33,6 +33,9 @@ PERMANENT_ABSENTEES = {
     "sim_ivfpq_check": "sim_ivfpq_planted_check@planted100",
     "sim_filtered_ann_check": "sim_filtered_ann_planted_check@planted100",
     "sim_bruteforce_topk": "10x-only (IS the exact baseline)",
+    "dedup_edit_pairs": "10x-only (flat-pack verbatim replicas make the "
+        "pair OUTPUT quadratic in replicas — C(100,2) per dup group; "
+        "10x oracle green + blocked==brute-force spec bind)",
     "sim_quantized_check": "10x-only (needs the exact baseline side)",
 }
 
