@@ -73,7 +73,7 @@ object Plans {
       "q9_product_profit", "q10_returned_items", "q12_late_lines",
       "q14_promo_revenue", "q19_disjunctive",
       "q2_min_cost_supp", "q11_important_stock", "q20_promotion_parts",
-      "text_bigram_ppl", "dedup_edit_pairs")
+      "text_bigram_ppl", "dedup_edit_pairs", "text_vocab_coverage")
     // the LSH entries are PINNED to their bucketed operating point
     // here: at sf0.01 the auto entries' cost-based selection correctly
     // falls back to the exact loop-join plan, but PLANS.md exists to

@@ -374,6 +374,49 @@ object TextQueries extends QueryPack {
           "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))),
 
+    // F17 (r15): vocabulary COVERAGE CURVE — the tokenizer-prep
+    // question "what fraction of corpus tokens does a top-k
+    // vocabulary cover?" at standard rank checkpoints (how vocab
+    // sizes get picked before BPE training). Scale-first design: the
+    // naive form is a GLOBAL row_number + cumulative sum over the
+    // |V|-row count table — a single-partition sort that dies at
+    // web vocab sizes. Instead: a count-of-counts histogram (second
+    // hash-agg, |distinct count values| rows) folds on the driver —
+    // and that state is PROVABLY bounded: k distinct positive counts
+    // sum to ≥ k²/2, so |classes| ≤ √(2N) (~1.4M rows at 10¹²
+    // tokens; the documented bounded model-fit collect class).
+    // Rank-boundary ties need no token-level data: every token in
+    // the boundary class has the SAME count c, so the partial
+    // contribution is (k − n_above)·c regardless of which tokens the
+    // (cnt desc, tok asc) order admits. The DuckDB oracle replays
+    // the NAIVE window-cumsum form — a different formulation proving
+    // the histogram fold. All-integer until one final 4dp ratio.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val hist = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(filter(split(lower(col("text")), " "),
+          x => length(x) > 0)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("cnt").agg(count(lit(1)).as("ntok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      val total = hist.map { case (c, n) => c * n }.sum
+      val checkpoints = Seq(100L, 1000L, 10000L, 100000L)
+      val rows = checkpoints.map { k =>
+        var nAbove = 0L; var covered = 0L
+        hist.foreach { case (c, n) =>
+          if (nAbove + n <= k) { nAbove += n; covered += c * n }
+          else if (nAbove < k) { covered += (k - nAbove) * c; nAbove = k }
+        }
+        (k, nAbove, covered)
+      }
+      import s.implicits._
+      rows.toDF("rank_k", "vocab_used", "tokens_covered")
+        .withColumn("coverage",
+          round(col("tokens_covered") * 1.0 / lit(total.toDouble), 4))
+        .orderBy("rank_k")
+    }),
+
     // F16 (r15): bigram LM perplexity with STUPID BACKOFF (Brants et
     // al. 2007) — the CCNet-class quality scorer: train an n-gram LM
     // on a reference corpus, score every document by average negative
@@ -570,6 +613,33 @@ object TextQueries extends QueryPack {
                   ORDER BY score DESC, term) AS rn FROM scored)
          SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
          ORDER BY doc_id, score DESC, term""",
+    // the NAIVE global window-cumsum form — a different formulation
+    // than the engine's count-of-counts histogram fold, so the hash
+    // match proves the fold (boundary-tie arithmetic included)
+    "text_vocab_coverage" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> len(x) > 0)) AS tok
+                     FROM documents WHERE text IS NOT NULL),
+           m AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+           t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                        count(*) AS v FROM m),
+           r AS (SELECT cnt,
+                        row_number() OVER (ORDER BY cnt DESC, tok) AS rn,
+                        sum(cnt) OVER (ORDER BY cnt DESC, tok
+                                       ROWS UNBOUNDED PRECEDING) AS csum
+                 FROM m),
+           k AS (SELECT * FROM (VALUES (100), (1000), (10000), (100000))
+                 AS kk(rank_k))
+         SELECT CAST(rank_k AS BIGINT) AS rank_k,
+                CAST(least(rank_k, (SELECT v FROM t)) AS BIGINT)
+                  AS vocab_used,
+                CAST(coalesce((SELECT max(csum) FROM r
+                               WHERE rn <= rank_k), 0) AS BIGINT)
+                  AS tokens_covered,
+                round(CAST(coalesce((SELECT max(csum) FROM r
+                                     WHERE rn <= rank_k), 0) AS BIGINT)
+                      * 1.0 / (SELECT total FROM t), 4) AS coverage
+         FROM k ORDER BY rank_k""",
     "text_bigram_ppl" ->
       """WITH d AS (SELECT doc_id,
                            list_filter(string_split(lower(text), ' '),

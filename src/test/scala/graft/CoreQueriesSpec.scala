@@ -432,6 +432,32 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "q20 fixture selected nothing — predicate dead")
   }
 
+  test("vocab coverage: boundary-tie arithmetic at the checkpoint") {
+    // 5 hot tokens (10x each) + 200 singleton tokens: rank 100 cuts
+    // MID-CLASS through the singletons, so coverage(100) must count
+    // exactly 95 of them — the (k − n_above)·c partial term
+    val s2 = spark
+    import s2.implicits._
+    val text = ((1 to 5).flatMap(i => Seq.fill(10)(s"hot$i")) ++
+      (1 to 200).map(i => s"rare$i")).mkString(" ")
+    // drive the fold through the public entry by staging the fixture
+    // as a one-table dir
+    val dir = java.nio.file.Files.createTempDirectory("vc").toString
+    Seq((1L, text, "en", "fixture"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_vocab_coverage")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val total = 5 * 10 + 200
+    // rank 100: all 5 hot classes (50 tokens) + 95 singletons
+    assert(got(100L) == ((100L, 145L,
+      math.rint(145.0 / total * 1e4) / 1e4)), s"got ${got(100L)}")
+    // rank 1000 > vocab (205): full coverage, vocab_used capped
+    assert(got(1000L) == ((205L, total.toLong, 1.0)), s"got ${got(1000L)}")
+  }
+
   test("edit-distance pairs: blocked == brute force; corner fixture") {
     // the recall proof says two-pass prefix/suffix blocking loses
     // NOTHING on keys of length >= 2p at maxDist 1 — verify by
