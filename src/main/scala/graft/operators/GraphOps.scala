@@ -1261,6 +1261,55 @@ object GraphOps {
     (ranks, n)
   }
 
+  /** B34 (r15): WEIGHTED directed PageRank — Neo4j GDS `pageRank`
+    * with `relationshipWeight`: a neighbor's share of r(u) is
+    * w(u,v)/W(u) (W(u) = Σ out-weights) instead of 1/out(u), so
+    * heavy supply lanes carry proportionally more rank. Weights
+    * arrive as EXACT integer longs (summed quantities), so W(u) is
+    * exact and the per-edge share is ONE double division both
+    * engines evaluate identically; 6dp output rounding absorbs
+    * sum-order ulps (the pageRankDirectedWithN stance). Identical
+    * loop discipline: invariant (a, b, w, W) payload pinned
+    * pre-partitioned + pre-sorted on the join key, dangling mass
+    * redistributed uniformly, rank state localCheckpoint'ed per
+    * round (referenced twice). Fixed iters keeps the recurrence a
+    * pure function of the weighted edge list for the DuckDB
+    * chained-CTE replay. */
+  def pageRankWeightedWithN(wEdges: DataFrame, iters: Int,
+                            damping: Double = 0.85): (DataFrame, Long) = {
+    require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
+    val e0 = wEdges.select(col("a"), col("b"), col("w"))
+      .transform(pin)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+      .transform(pin)
+    val outw = e0.groupBy("a").agg(sum(col("w")).as("outW"))
+    val withW = e0.join(outw, "a")
+      .repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
+    val dangling = nodes.join(outw.select(col("a").as("node")),
+        Seq("node"), "left_anti")
+      .transform(pin)
+    val n = nodes.count() // scalar collect — model-fit class
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(dangling, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val inc = withW.join(ranks, col("a") === col("node"))
+        .select(col("b"),
+          (col("rank") * col("w") / col("outW")).as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(inc, col("node") === col("b"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    (ranks, n)
+  }
+
   /** B20 (r10): PERSONALIZED PageRank (Neo4j GDS `pageRank` with
     * `sourceNodes` — topic-sensitive PageRank, the recommendation
     * workhorse): teleport goes to the SEED distribution p (uniform

@@ -408,6 +408,24 @@ object GraphQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // B34 (r15): WEIGHTED directed PageRank (GDS relationshipWeight)
+    // over the supply graph with per-lane total quantity as the edge
+    // weight — heavy lanes carry proportionally more rank. Exact
+    // integer weights keep every per-edge share a single identical
+    // IEEE division; same fixed-3-round chained-CTE replay as
+    // graph_pagerank_directed.
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val wEdges = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((-col("l_suppkey")).as("a"), col("o_custkey").as("b"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val (pr, n) = GraphOps.pageRankWeightedWithN(wEdges, iters = 3)
+      pr.select(col("node"),
+          round(col("rank") * lit(n), 6).as("rank_x_n"))
+        .orderBy("node")
+    }),
+
     // B20 (r10): personalized PageRank from the supplier seed set
     // {1–4} (the betweenness seed convention) over the directed
     // supplier→customer supply graph — "which customers matter to
@@ -791,6 +809,21 @@ object GraphQueries extends QueryPack {
   // LEFT join so in-edge-free nodes keep the teleport + dangling
   // share. Arithmetic structured EXACTLY as the Spark expression:
   // k1 + 0.85·(s + dm/N), doubles throughout (e-notation literals).
+  private def prWIter(i: Int) =
+    s"""g$i AS (SELECT coalesce(sum(r.rank), 0e0) AS dm
+           FROM r${i - 1} r LEFT JOIN od ON r.node = od.a
+           WHERE od.a IS NULL),
+        r$i AS MATERIALIZED (SELECT n.node,
+           (SELECT (1 - 0.85e0) / cnt FROM nn) + 0.85e0 *
+             (coalesce(c.s, 0e0) +
+              (SELECT dm FROM g$i) / (SELECT CAST(cnt AS DOUBLE) FROM nn))
+             AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.b AS node, sum(r.rank * e.w / od.outw) AS s
+             FROM e0 e JOIN r${i - 1} r ON e.a = r.node
+                       JOIN od ON e.a = od.a
+             GROUP BY e.b) c ON n.node = c.node)"""
+
   private def prDirIter(i: Int) =
     s"""g$i AS (SELECT coalesce(sum(r.rank), 0e0) AS dm
            FROM r${i - 1} r LEFT JOIN od ON r.node = od.a
@@ -1308,6 +1341,21 @@ object GraphQueries extends QueryPack {
                  t(node, cost)),
           ${(1 to 4).map(ssspIter).mkString(",\n")}
           SELECT node, cost FROM c4 ORDER BY node""",
+    "graph_pagerank_weighted" ->
+      s"""WITH e0 AS MATERIALIZED (
+             SELECT -l_suppkey AS a, o_custkey AS b,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1, 2),
+          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+             (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)),
+          nn AS (SELECT count(*) AS cnt FROM nodes),
+          od AS MATERIALIZED (SELECT a, CAST(sum(w) AS BIGINT) AS outw
+                              FROM e0 GROUP BY a),
+          r0 AS (SELECT node, 1.0e0 / cnt AS rank FROM nodes, nn),
+          ${(1 to 3).map(prWIter).mkString(",\n")}
+          SELECT node, round(rank * (SELECT cnt FROM nn), 6) AS rank_x_n
+          FROM r3 ORDER BY node""",
     "graph_pagerank_directed" ->
       s"""WITH e0 AS MATERIALIZED (
              SELECT DISTINCT -l_suppkey AS a, o_custkey AS b

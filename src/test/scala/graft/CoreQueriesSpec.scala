@@ -432,6 +432,30 @@ class CoreQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "q20 fixture selected nothing — predicate dead")
   }
 
+  test("weighted pagerank: equal weights == unweighted; mass conserved") {
+    val s2 = spark
+    import s2.implicits._
+    // a-b-c chain + dangling d, distinct weights elsewhere unused
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val unw = operators.GraphOps.pageRankDirectedWithN(edges, iters = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = operators.GraphOps.pageRankWeightedWithN(
+        edges.withColumn("w", lit(7L)), iters = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical CONSTANT weight cancels in w/W — exact same doubles
+    assert(unw.keySet == w1.keySet)
+    unw.foreach { case (n, r) =>
+      assert(math.abs(w1(n) - r) < 1e-12, s"node $n: $r vs ${w1(n)}") }
+    // unequal weights shift rank toward the heavy edge but conserve mass
+    val w2 = operators.GraphOps.pageRankWeightedWithN(
+        Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+          .toDF("a", "b", "w"), iters = 3)._1
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w2(2L) > w1(2L), "heavy 1->2 lane must raise node 2's rank")
+    assert(math.abs(w2.values.sum - 1.0) < 1e-9, s"mass ${w2.values.sum}")
+  }
+
   test("vocab coverage: boundary-tie arithmetic at the checkpoint") {
     // 5 hot tokens (10x each) + 200 singleton tokens: rank 100 cuts
     // MID-CLASS through the singletons, so coverage(100) must count
