@@ -786,21 +786,27 @@ object GraphOps {
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .transform(pin)
     val m = und.count() / 2 // scalar: undirected edge count
-    var assign = deg.select(col("node"))
-      .withColumn("community", col("node")).localCheckpoint()
+    // deg RIDES the assignment (r15 opt: guide §2.4 — two of the five
+    // per-round joins existed only to re-attach deg to state keyed the
+    // same way; carrying the extra long removes both |V| exchanges):
+    // Σtot folds straight off assign, and `best` reads (cur, deg) from
+    // ONE assign join instead of separate deg + assign joins. Identical
+    // arithmetic, identical argmax — only the join count changes.
+    var assign = deg.select(col("node"), col("node").as("community"),
+      col("deg")).localCheckpoint()
     for (t <- 1 to rounds) {
-      val tot = assign.join(deg, "node")
+      val tot = assign
         .groupBy("community").agg(sum(col("deg")).as("tot"))
       // this round's movers only: gathering + argmax cost halves, and
       // the parity mask is the swap-cycle damping (scaladoc above)
-      val kic = undB.join(assign, col("b") === col("node"))
+      val kic = undB.join(assign.select(col("node"), col("community")),
+          col("b") === col("node"))
         .filter((col("a") + lit(t.toLong)) % 2 === 0)
         .groupBy(col("a"), col("community"))
         .agg(count(lit(1)).as("kic"))
       val best = kic
-        .join(deg.select(col("node").as("a"), col("deg")), "a")
-        .join(assign.select(col("node").as("a"), col("community").as("cur")),
-          "a")
+        .join(assign.select(col("node").as("a"),
+          col("community").as("cur"), col("deg")), "a")
         .join(tot, "community")
         .select(col("a").as("node"), col("community"),
           (lit(2L * m) * col("kic") - col("deg") *
@@ -814,10 +820,11 @@ object GraphOps {
       // `next` exists for all of them); holders ride the left join
       assign = assign.join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("next"), col("community")).as("community"))
+          coalesce(col("next"), col("community")).as("community"),
+          col("deg"))
         .localCheckpoint()
     }
-    assign
+    assign.select(col("node"), col("community"))
   }
 
   /** One WEIGHTED Louvain local-moving level over a symmetric weighted
@@ -876,12 +883,15 @@ object GraphOps {
     // Σ_rows w counts every undirected mass unit twice (symmetric rows;
     // a self-loop row's weight carries both directions itself)
     val m = u.agg(sum(col("w"))).head.getLong(0) / 2
-    var assign = deg.select(col("node"))
-      .withColumn("community", col("node")).localCheckpoint()
+    // deg rides the assignment — the louvainLevel r15 join-count
+    // rework (guide §2.4), same two-joins-per-round saving here
+    var assign = deg.select(col("node"), col("node").as("community"),
+      col("deg")).localCheckpoint()
     for (t <- 1 to rounds) {
-      val tot = assign.join(deg, "node")
+      val tot = assign
         .groupBy("community").agg(sum(col("deg")).as("tot"))
-      val gathered = uB.join(assign, col("b") === col("node"))
+      val gathered = uB.join(assign.select(col("node"), col("community")),
+          col("b") === col("node"))
         .filter((col("a") + lit(t.toLong)) % 2 === 0 &&
           col("a") =!= col("b")) // self-loops never enter k_{i,c}
         .select(col("a"), col("community"), col("w"))
@@ -892,9 +902,8 @@ object GraphOps {
         .groupBy(col("a"), col("community"))
         .agg(sum(col("w")).as("kic"))
       val best = kic
-        .join(deg.select(col("node").as("a"), col("deg")), "a")
-        .join(assign.select(col("node").as("a"), col("community").as("cur")),
-          "a")
+        .join(assign.select(col("node").as("a"),
+          col("community").as("cur"), col("deg")), "a")
         .join(tot, "community")
         .select(col("a").as("node"), col("community"),
           (lit(2L * m) * col("kic") - col("deg") *
@@ -906,10 +915,11 @@ object GraphOps {
         .select(col("node"), col("best.c").as("next"))
       assign = assign.join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("next"), col("community")).as("community"))
+          coalesce(col("next"), col("community")).as("community"),
+          col("deg"))
         .localCheckpoint()
     }
-    assign
+    assign.select(col("node"), col("community"))
   }
 
   /** Two-level Louvain (the GDS `louvain` recursion with ONE
