@@ -1244,31 +1244,40 @@ object GraphOps {
     val withOut = e0.join(outdeg, "a")
       .repartition(col("a")).sortWithinPartitions("a")
       .transform(pin)
-    // dangling = nodes with no out-edge (pure sinks)
-    val dangling = nodes.join(outdeg.select(col("a").as("node")),
-        Seq("node"), "left_anti")
-      .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // the DANGLING FLAG rides the rank state (r15 opt, guide §2.4 —
+    // the same carry-the-invariant move as louvainLevel's deg): a
+    // nullable `out` column marks pure sinks, so the per-round
+    // dangling-mass aggregate is a FILTER over the checkpointed state
+    // instead of a |V| join against a pinned dangling relation, and
+    // the round's update joins the state itself (same node set as
+    // `nodes`, already materialized). 3 joins/round -> 2, identical
+    // arithmetic.
+    var ranks = nodes
+      .join(outdeg.select(col("a").as("node"), col("out")), Seq("node"),
+        "left")
+      .withColumn("rank", lit(1.0 / n))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val dang = ranks.join(dangling, "node")
+      val dang = ranks.filter(col("out").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val inc = withOut.join(ranks, col("a") === col("node"))
+      val inc = withOut.join(ranks.select(col("node"), col("rank")),
+          col("a") === col("node"))
         .select(col("b"), (col("rank") / col("out")).as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
       // localCheckpoint per round (ADVICE r9): each round references
       // `ranks` TWICE (dangling-mass aggregate + contribution join),
       // so the lazy tree doubles per iteration without truncation —
       // the measured HITS failure mode at the 100× pack.
-      ranks = nodes.join(inc, col("node") === col("b"), "left")
+      ranks = ranks.join(inc, col("node") === col("b"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("out"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("rank"))
         .localCheckpoint()
     }
-    (ranks, n)
+    (ranks.select(col("node"), col("rank")), n)
   }
 
   /** B34 (r15): WEIGHTED directed PageRank — Neo4j GDS `pageRank`
@@ -1297,27 +1306,31 @@ object GraphOps {
     val withW = e0.join(outw, "a")
       .repartition(col("a")).sortWithinPartitions("a")
       .transform(pin)
-    val dangling = nodes.join(outw.select(col("a").as("node")),
-        Seq("node"), "left_anti")
-      .transform(pin)
     val n = nodes.count() // scalar collect — model-fit class
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // dangling flag rides the rank state (the pageRankDirectedWithN
+    // r15 rework — one fewer |V| join per round, identical arithmetic)
+    var ranks = nodes
+      .join(outw.select(col("a").as("node"), col("outW")), Seq("node"),
+        "left")
+      .withColumn("rank", lit(1.0 / n))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val dang = ranks.join(dangling, "node")
+      val dang = ranks.filter(col("outW").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val inc = withW.join(ranks, col("a") === col("node"))
+      val inc = withW.join(ranks.select(col("node"), col("rank")),
+          col("a") === col("node"))
         .select(col("b"),
           (col("rank") * col("w") / col("outW")).as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(inc, col("node") === col("b"), "left")
+      ranks = ranks.join(inc, col("node") === col("b"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("outW"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("rank"))
         .localCheckpoint()
     }
-    (ranks, n)
+    (ranks.select(col("node"), col("rank")), n)
   }
 
   /** B20 (r10): PERSONALIZED PageRank (Neo4j GDS `pageRank` with
@@ -1361,9 +1374,6 @@ object GraphOps {
     val withOut = e0.join(outdeg, "a")
       .repartition(col("a")).sortWithinPartitions("a")
       .transform(pin)
-    val dangling = nodes.join(outdeg.select(col("a").as("node")),
-        Seq("node"), "left_anti")
-      .transform(pin)
     // Seeds absent from the edge relation would silently drop their
     // teleport + dangling share (the left join onto `nodes` loses
     // them), leaving total mass < 1 and contradicting the mass
@@ -1377,27 +1387,37 @@ object GraphOps {
       "personalizedPageRank: no seed exists in the graph")
     val seedP = live.toDF("node")
       .withColumn("p", lit(1.0 / live.size))
-    // p(v) joined per round as a broadcast; coalesce(0) off-seed
+    // LOOP-INVARIANT columns ride the rank state (r15 opt, guide §2.4
+    // — the louvainLevel deg carry): the teleport p(v) (coalesced 0
+    // off-seed) and the nullable out-degree (dangling flag) become
+    // state columns, so a round needs NO seedP broadcast join and NO
+    // dangling join — the dangling mass is a filter over the
+    // checkpointed state and the update joins the state itself.
+    // 4 joins/round -> 2, identical arithmetic.
     var ranks = nodes.join(broadcast(seedP), Seq("node"), "left")
-      .select(col("node"), coalesce(col("p"), lit(0.0)).as("rank"))
+      .join(outdeg.select(col("a").as("node"), col("out")), Seq("node"),
+        "left")
+      .select(col("node"), col("out"),
+        coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("p"), lit(0.0)).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val dang = ranks.join(dangling, "node")
+      val dang = ranks.filter(col("out").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val inc = withOut.join(ranks, col("a") === col("node"))
+      val inc = withOut.join(ranks.select(col("node"), col("rank")),
+          col("a") === col("node"))
         .select(col("b"), (col("rank") / col("out")).as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(inc, col("node") === col("b"), "left")
-        .join(broadcast(seedP), Seq("node"), "left")
+      ranks = ranks.join(inc, col("node") === col("b"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(1.0 - damping) * coalesce(col("p"), lit(0.0)) +
+        .select(col("node"), col("out"), col("p"),
+          (lit(1.0 - damping) * col("p") +
             lit(damping) * (coalesce(col("s"), lit(0.0)) +
-              col("dm") * coalesce(col("p"), lit(0.0))))
+              col("dm") * col("p")))
             .as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** B21 (r10): DETERMINISTIC random walks over the undirected graph
