@@ -711,10 +711,17 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val und = undirected(edges).transform(pin)
+    // r15 opt: the per-round join key is a — pin the relation
+    // PRE-PARTITIONED + PRE-SORTED on it (the r11 loop-invariant
+    // discipline every other iterative operator already follows), so
+    // each round's sort-merge join exchanges only the |V| label
+    // vector, never the |E| relation
+    val undA = und.repartition(col("a")).sortWithinPartitions("a")
+      .transform(pin)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      labels = und.join(labels, col("a") === col("node"))
+      labels = undA.join(labels, col("a") === col("node"))
         .groupBy(col("b"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("b").as("node"))

@@ -290,9 +290,21 @@ object PipelineOps {
     }
     // materialize the edge list ONCE — it participates in every
     // iteration's join, and without truncation each iteration would
-    // re-run the (expensive) upstream pair-generation pipeline
+    // re-run the (expensive) upstream pair-generation pipeline.
+    // r15 opt: REPARTITION ON THE JOIN KEY before materializing — a
+    // localCheckpoint'ed plan KEEPS its physical partitioning
+    // (LogicalRDD carries outputPartitioning), so each iteration's
+    // join exchanges only the |V| label vector instead of
+    // re-exchanging the |E| edge list (the GraphOps r11
+    // loop-invariant discipline, applied to the one iterative loop
+    // that materializes instead of pinning). The parquet-checkpoint
+    // path re-reads without partitioning info — there the repartition
+    // still clusters the files by key, but the per-iteration exchange
+    // stays (parquet scans report Unknown partitioning); callers at
+    // that scale should accept it as the durability trade.
     val edges = ck(pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b"))))
+      .union(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+      .repartition(col("b")))
     var labels = ck(edges.groupBy("a")
       .agg(min(least(col("a"), col("b"))).as("lbl"))
       .select(col("a").as("n"), col("lbl")))
